@@ -1,13 +1,181 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.queries.CoreQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every implemented operator from SURVEY.md §2 is exposed as a named query
+  * over the driver's parquet corpus, paired (where SQL-expressible) with an
+  * ANSI-SQL oracle the driver executes in DuckDB on the same tables.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The full reference-pipeline parity query: 4 indicator branches, union,
+    * null filter, broadcast dim join (spark_job_1.py:22-71).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    CoreQueries.indicatorUnion(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (CoreQueries.q1Agg _),
+    "q_window_sma" -> (CoreQueries.windowSma _),
+    "q_window_rsi" -> (CoreQueries.windowRsi _),
+    "q_window_bollinger" -> (CoreQueries.windowBollinger _),
+    "q_indicator_union" -> (CoreQueries.indicatorUnion _),
+    "q_anti_join" -> (CoreQueries.antiJoin _),
+    "q_dim_join_agg" -> (CoreQueries.dimJoinAgg _),
+    "q_get_or_create_dim" -> (CoreQueries.getOrCreateDim _),
+    "q_topn_per_group" -> (CoreQueries.topNPerGroup _),
+    "q_union_by_name" -> (CoreQueries.unionByNameAgg _),
+    "q_epoch_roundtrip" -> (CoreQueries.epochRoundtrip _),
+    "q_json_extract" -> (CoreQueries.jsonExtract _),
+    "q_regex_filter" -> (CoreQueries.regexFilter _),
+    "q_coalesce_default" -> (CoreQueries.coalesceDefault _)
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omit for non-SQL-expressible ops.
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_window_sma" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  ROUND(AVG(value) OVER (
+        |    PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6) AS sma
+        |FROM events""".stripMargin,
+
+    "q_window_rsi" ->
+      """WITH diffs AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    value - lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS diff
+        |  FROM events
+        |), gl AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    CASE WHEN diff > 0 THEN diff ELSE 0.0 END AS gain,
+        |    CASE WHEN diff < 0 THEN -diff ELSE 0.0 END AS loss
+        |  FROM diffs
+        |), a AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    AVG(gain) OVER w AS avg_gain,
+        |    AVG(loss) OVER w AS avg_loss
+        |  FROM gl
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT user_id, event_id, ts_us,
+        |  ROUND(100.0 - 100.0 / (1.0 + avg_gain / NULLIF(avg_loss, 0.0)), 6) AS rsi
+        |FROM a""".stripMargin,
+
+    "q_window_bollinger" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  ROUND(AVG(value) OVER w + 2 * STDDEV_SAMP(value) OVER w, 6) AS bb_up,
+        |  ROUND(AVG(value) OVER w - 2 * STDDEV_SAMP(value) OVER w, 6) AS bb_down
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_indicator_union" ->
+      """WITH diffs AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |    value - lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS diff
+        |  FROM events
+        |), gl AS (
+        |  SELECT *,
+        |    CASE WHEN diff > 0 THEN diff ELSE 0.0 END AS gain,
+        |    CASE WHEN diff < 0 THEN -diff ELSE 0.0 END AS loss
+        |  FROM diffs
+        |), wide AS (
+        |  SELECT user_id, event_id, ts_us,
+        |    AVG(value) OVER w AS sma,
+        |    100.0 - 100.0 / (1.0 + (AVG(gain) OVER w) / NULLIF(AVG(loss) OVER w, 0.0)) AS rsi,
+        |    AVG(value) OVER w + 2 * STDDEV_SAMP(value) OVER w AS bb_up,
+        |    AVG(value) OVER w - 2 * STDDEV_SAMP(value) OVER w AS bb_down
+        |  FROM gl
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
+        |               ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+        |), long AS (
+        |  SELECT user_id, event_id, ts_us, 'SMA' AS type_name, sma AS value FROM wide
+        |  UNION ALL
+        |  SELECT user_id, event_id, ts_us, 'RSI', rsi FROM wide
+        |  UNION ALL
+        |  SELECT user_id, event_id, ts_us, 'BB_UP', bb_up FROM wide
+        |  UNION ALL
+        |  SELECT user_id, event_id, ts_us, 'BB_DOWN', bb_down FROM wide
+        |), dim AS (
+        |  SELECT * FROM (VALUES (1,'SMA'),(2,'RSI'),(3,'BB_UP'),(4,'BB_DOWN')) AS t(type_id, type_name)
+        |)
+        |SELECT l.user_id, l.event_id, l.ts_us, d.type_id, ROUND(l.value, 6) AS value
+        |FROM long l JOIN dim d ON l.type_name = d.type_name
+        |WHERE l.value IS NOT NULL""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin,
+
+    "q_dim_join_agg" ->
+      """SELECT r_name, COUNT(*) AS n_cust,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q_get_or_create_dim" ->
+      """WITH dim0(source_id, source) AS (VALUES (1,'src0'),(2,'src1'),(3,'src2')),
+        |fresh AS (
+        |  SELECT DISTINCT source FROM documents
+        |  WHERE source NOT IN (SELECT source FROM dim0)
+        |)
+        |SELECT source_id, source FROM dim0
+        |UNION ALL
+        |SELECT CAST(3 + row_number() OVER (ORDER BY source) AS INT) AS source_id, source
+        |FROM fresh""".stripMargin,
+
+    "q_topn_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM orders
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey DESC) <= 3""".stripMargin,
+
+    "q_union_by_name" ->
+      """WITH u AS (
+        |  SELECT o_orderkey, o_orderstatus, 'hi' AS bucket FROM orders WHERE o_totalprice > 100000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_orderstatus, 'lo' AS bucket FROM orders WHERE o_totalprice <= 100000
+        |)
+        |SELECT o_orderstatus, bucket, COUNT(*) AS n FROM u GROUP BY o_orderstatus, bucket""".stripMargin,
+
+    "q_epoch_roundtrip" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, epoch_us(ts) // 1000000 AS ts_sec
+        |FROM events""".stripMargin,
+
+    "q_json_extract" ->
+      """SELECT event_id,
+        |  CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+        |FROM events""".stripMargin,
+
+    "q_regex_filter" ->
+      """SELECT lang, COUNT(*) AS n_docs FROM documents
+        |WHERE regexp_matches(text, 'window\s+table')
+        |GROUP BY lang""".stripMargin,
+
+    "q_coalesce_default" ->
+      """SELECT event_id,
+        |  COALESCE(NULLIF(event_type, 'error'), 'unknown') AS etype
+        |FROM events""".stripMargin
+  )
 }

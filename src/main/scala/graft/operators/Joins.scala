@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Join-shaped operators from the reference's warehouse layer:
+  * dimension resolution, idempotent anti-joins, and surrogate-key
+  * get-or-create (SURVEY.md §2.4 J1-J5).
+  */
+object Joins {
+
+  /** Inner equi-join fact -> small dimension, explicitly broadcast
+    * (reference: dags/spark_job_1.py:64-67 joins a 4-row dim). Catalyst would
+    * auto-broadcast under the 10 MB threshold, but at 100 TB fact scale the
+    * explicit hint keeps the plan stable when stats are missing or stale.
+    */
+  def dimJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String]): DataFrame =
+    fact.join(broadcast(dim), keys, "inner")
+
+  /** Idempotence filter: keep only rows whose composite key is NOT already in
+    * `existing` (reference: dags/spark_job_1.py:74-85 anti-join on
+    * (symbol_id, interval_id, type_id, timestamp); dags/consumer_news.py:47-49
+    * per-row URL existence check — both are this one operator).
+    *
+    * Keys are NOT NULL in the reference DDL so a plain (non null-safe) anti-join
+    * is correct. `existing` should be pre-projected to the key columns so the
+    * shuffle carries no payload; when the sink's key set is small (or pruned by
+    * partition filters) Catalyst/AQE will broadcast it.
+    */
+  def antiJoinNew(incoming: DataFrame, existing: DataFrame, keys: Seq[String]): DataFrame =
+    incoming.join(existing.select(keys.map(col): _*).dropDuplicates(keys), keys, "left_anti")
+
+  /** get-or-create surrogate keys for a dimension (reference:
+    * dags/consumer_prices.py:31-39 and dags/consumer_news.py:52-57 do this
+    * per-row against MySQL AUTO_INCREMENT; Spark has no auto-increment, see
+    * SURVEY.md §7.4 hard part 1).
+    *
+    * Returns the updated dimension: existing rows unchanged, new natural keys
+    * assigned ids `max(existing) + row_number() over (order by natural key)`.
+    * Deterministic (ordered by the natural key, not by partition layout) and
+    * dense. Safe under the single-writer assumption that also holds for the
+    * reference (one consumer process per topic).
+    *
+    * @param dim      existing dimension with columns (idCol, naturalCol)
+    * @param incoming any DataFrame containing naturalCol (need not be distinct)
+    */
+  def getOrCreate(dim: DataFrame, incoming: DataFrame, idCol: String, naturalCol: String): DataFrame = {
+    val maxId = coalesce(max(col(idCol)), lit(0L))
+    val base = dim.agg(maxId.as("_max_id"))
+    val fresh = incoming.select(col(naturalCol)).distinct()
+      .join(dim.select(col(naturalCol)), Seq(naturalCol), "left_anti")
+      // single-row cross join: broadcast nested loop, no shuffle of `fresh`
+      .crossJoin(broadcast(base))
+      .withColumn(idCol,
+        (col("_max_id") + row_number().over(Window.orderBy(col(naturalCol)))).cast("int"))
+      .select(col(idCol), col(naturalCol))
+    dim.select(col(idCol), col(naturalCol)).unionByName(fresh)
+  }
+
+  /** Resolve natural keys to surrogate ids in one shot: grow the dimension with
+    * any unseen keys, then broadcast-join facts to it. Returns (facts with
+    * idCol attached, updated dimension).
+    */
+  def resolveDim(
+      facts: DataFrame,
+      dim: DataFrame,
+      idCol: String,
+      naturalCol: String): (DataFrame, DataFrame) = {
+    val grown = getOrCreate(dim, facts, idCol, naturalCol)
+    (facts.join(broadcast(grown), Seq(naturalCol), "inner"), grown)
+  }
+
+  /** Top-k rows per group, ordered by orderCols descending — the window
+    * `row_number` pattern used throughout the engine (e.g. similarity top-k).
+    */
+  def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String], k: Int): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(orderCols.map(c => col(c).desc): _*)
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")
+  }
+}

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.operators.{Indicators, Joins}
+import graft.sources.Tables
+
+/** Reference-parity queries (SURVEY.md §2), each paired with a DuckDB oracle in
+  * [[graft.SparkEntry.oracleSql]]. Conventions for oracle parity:
+  *   - event timestamps as epoch MICROSECONDS (`ts_us`) — see [[Tables.events]];
+  *   - floating-point aggregates rounded to 6 dp on both sides;
+  *   - money sums cast to exact decimals before summing (order-independent),
+  *     cast back to double for a stable output schema;
+  *   - every window order includes a unique tiebreaker column.
+  */
+object CoreQueries {
+
+  /** The events table viewed as a kline-ish series: one series per user_id,
+    * ordered by (ts_us, event_id), `value` as the price. 150 distinct users at
+    * any SF — at 100 TB the same shape holds if the series key has reasonable
+    * cardinality; the window shuffle is one Exchange on the series key.
+    */
+  private def series(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select("event_id", "user_id", "ts_us", "value")
+
+  private val spec = Indicators.SeriesSpec(
+    partitionCols = Seq("user_id"),
+    orderCols = Seq("ts_us", "event_id"),
+    priceCol = "value",
+    n = 14)
+
+  // --- aggregation flagship (hash agg + exact decimal sums) ------------------
+
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double").as("sum_base"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  // --- indicator windows (A1-A3, W1-W3, E1-E7; reference spark_job_1.py) -----
+
+  def windowSma(s: SparkSession, dir: String): DataFrame =
+    series(s, dir)
+      .withColumn("sma", round(Indicators.smaCol(spec), 6))
+      .select("user_id", "event_id", "ts_us", "sma")
+
+  def windowRsi(s: SparkSession, dir: String): DataFrame =
+    series(s, dir)
+      .withColumn("rsi", round(Indicators.rsiCol(spec), 6))
+      .select("user_id", "event_id", "ts_us", "rsi")
+
+  def windowBollinger(s: SparkSession, dir: String): DataFrame =
+    series(s, dir)
+      .withColumn("bb_up", round(Indicators.bollingerUpCol(spec), 6))
+      .withColumn("bb_down", round(Indicators.bollingerDownCol(spec), 6))
+      .select("user_id", "event_id", "ts_us", "bb_up", "bb_down")
+
+  /** Full reference pipeline parity: 4 indicator branches -> long shape ->
+    * null filter -> broadcast dim join (spark_job_1.py:48-71), in one window
+    * pass. The 4-row dim is built inline, mirroring the seeded
+    * dim_indicator_type_1 (indicator_dim_fact.sql:7-8).
+    */
+  def indicatorUnion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim = graft.model.Schemas.indicatorTypeSeed.toDF("type_id", "type_name")
+    val long = Indicators.allLong(series(s, dir), spec)
+    Joins.dimJoin(long, dim, Seq("type_name"))
+      .select(col("user_id"), col("event_id"), col("ts_us"), col("type_id"),
+        round(col("value"), 6).as("value"))
+  }
+
+  // --- joins (J1-J5) ---------------------------------------------------------
+
+  /** Left-anti idempotence join (J2/J3): customers with no order above 300k —
+    * the filter keeps the result non-trivially non-empty at every SF.
+    */
+  def antiJoin(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val seen = Tables.orders(s, dir)
+      .filter(col("o_totalprice") > 300000)
+      .select(col("o_custkey").as("c_custkey"))
+    Joins.antiJoinNew(cust, seen, Seq("c_custkey")).select("c_custkey", "c_name")
+  }
+
+  /** Broadcast dim join chain + aggregation (J1): region <- nation <- customer. */
+  def dimJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val nat = Tables.nation(s, dir)
+    val reg = Tables.region(s, dir)
+    cust
+      .join(broadcast(nat), cust("c_nationkey") === nat("n_nationkey"))
+      .join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+      .groupBy("r_name")
+      .agg(
+        count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast("double").as("sum_bal"))
+  }
+
+  /** Surrogate-key get-or-create (J4/J5): grow a seeded source dimension with
+    * the unseen sources in `documents`. Mirrors consumer_prices.py:31-39 /
+    * consumer_news.py:52-57 without AUTO_INCREMENT (SURVEY.md §7.4).
+    */
+  def getOrCreateDim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val dim0 = Seq((1, "src0"), (2, "src1"), (3, "src2")).toDF("source_id", "source")
+    Joins.getOrCreate(dim0, Tables.documents(s, dir), "source_id", "source")
+  }
+
+  /** Top-k per group via row_number window (used internally for surrogate keys
+    * and similarity top-k): top-3 orders per customer by price.
+    */
+  def topNPerGroup(s: SparkSession, dir: String): DataFrame =
+    Joins.topKPerGroup(Tables.orders(s, dir),
+        Seq("o_custkey"), Seq("o_totalprice", "o_orderkey"), 3)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+
+  // --- set ops / scalar expressions (U1, E8-E15) -----------------------------
+
+  /** unionByName of two differently-derived projections (U1,
+    * reference spark_job_1.py:50-53), then a stable aggregate.
+    */
+  def unionByNameAgg(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val hi = o.filter(col("o_totalprice") > 100000)
+      .select(col("o_orderkey"), col("o_orderstatus"), lit("hi").as("bucket"))
+    val lo = o.filter(col("o_totalprice") <= 100000)
+      .select(lit("lo").as("bucket"), col("o_orderkey"), col("o_orderstatus"))
+    hi.unionByName(lo)
+      .groupBy("o_orderstatus", "bucket")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Epoch-grain normalization (E8 + SURVEY §7.4 hard part 2): micro + second
+    * grain long timestamps, as used for idempotence anti-join keys.
+    */
+  def epochRoundtrip(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), col("ts_us"),
+        expr("ts_us div 1000000").as("ts_sec"))
+
+  /** JSON field extraction from the wire-ish `props` column (E9). Regex-based
+    * so the oracle needs no DuckDB JSON extension.
+    */
+  def jsonExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long").as("k"))
+
+  /** Regex predicate (P6/E13): documents matching a pattern, counted per lang. */
+  def regexFilter(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("text").rlike("window\\s+table"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"))
+
+  /** Coalesce-with-default (E15, consumer_prices.py:63's missing-interval
+    * default) expressed over events.
+    */
+  def coalesceDefault(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        coalesce(nullif(col("event_type"), lit("error")), lit("unknown")).as("etype"))
+}
