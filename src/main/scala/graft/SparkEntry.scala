@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.CoreQueries
+import graft.queries.{CoreQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,7 +34,12 @@ object SparkEntry {
     "q_epoch_roundtrip" -> (CoreQueries.epochRoundtrip _),
     "q_json_extract" -> (CoreQueries.jsonExtract _),
     "q_regex_filter" -> (CoreQueries.regexFilter _),
-    "q_coalesce_default" -> (CoreQueries.coalesceDefault _)
+    "q_coalesce_default" -> (CoreQueries.coalesceDefault _),
+    "q_parse_prices" -> (WireQueries.parsePrices _),
+    "q_parse_news" -> (WireQueries.parseNews _),
+    "q_rfc822_parse" -> (WireQueries.rfc822Parse _),
+    "q_decimal_cast" -> (WireQueries.decimalCast _),
+    "q_exact_dedup" -> (WireQueries.exactDedup _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -176,6 +181,12 @@ object SparkEntry {
     "q_coalesce_default" ->
       """SELECT event_id,
         |  COALESCE(NULLIF(event_type, 'error'), 'unknown') AS etype
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "q_parse_prices" -> graft.queries.WireQueries.parsePricesOracle,
+    "q_parse_news" -> graft.queries.WireQueries.parseNewsOracle,
+    "q_rfc822_parse" -> graft.queries.WireQueries.rfc822Oracle,
+    "q_decimal_cast" -> graft.queries.WireQueries.decimalCastOracle,
+    "q_exact_dedup" -> graft.queries.WireQueries.exactDedupOracle
   )
 }
