@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, WireQueries}
+import graft.queries.{CoreQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -39,7 +39,10 @@ object SparkEntry {
     "q_parse_news" -> (WireQueries.parseNews _),
     "q_rfc822_parse" -> (WireQueries.rfc822Parse _),
     "q_decimal_cast" -> (WireQueries.decimalCast _),
-    "q_exact_dedup" -> (WireQueries.exactDedup _)
+    "q_exact_dedup" -> (WireQueries.exactDedup _),
+    "q_stream_tumbling" -> (StreamQueries.streamTumbling _),
+    "q_session_window" -> (StreamQueries.sessionWindow _),
+    "q_sliding_window" -> (StreamQueries.slidingWindow _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -187,6 +190,9 @@ object SparkEntry {
     "q_parse_news" -> graft.queries.WireQueries.parseNewsOracle,
     "q_rfc822_parse" -> graft.queries.WireQueries.rfc822Oracle,
     "q_decimal_cast" -> graft.queries.WireQueries.decimalCastOracle,
-    "q_exact_dedup" -> graft.queries.WireQueries.exactDedupOracle
+    "q_exact_dedup" -> graft.queries.WireQueries.exactDedupOracle,
+    "q_stream_tumbling" -> graft.queries.StreamQueries.streamTumblingOracle,
+    "q_session_window" -> graft.queries.StreamQueries.sessionWindowOracle,
+    "q_sliding_window" -> graft.queries.StreamQueries.slidingWindowOracle
   )
 }

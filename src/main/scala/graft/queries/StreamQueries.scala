@@ -1,0 +1,121 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Event-time windowing queries — the Structured Streaming capabilities the
+  * reference explicitly lacks (README.md:161 lists them as future work;
+  * SURVEY.md §2.10 T8). q_stream_tumbling runs a REAL streaming query
+  * (file-source replay, Trigger.AvailableNow, memory sink) whose drained
+  * result must equal the DuckDB batch oracle — the batch/stream parity
+  * guarantee. Session/sliding windows run the same operators in batch mode
+  * against gaps-and-islands SQL oracles.
+  */
+object StreamQueries {
+
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long via nanosAsLong
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The file stream source replays a DIRECTORY; stage the single table file
+    // into a temp dir (simulating an arriving-files landing zone).
+    val staged = java.nio.file.Files.createTempDirectory("graft-stream-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      staged.resolve("events.parquet"))
+    s.readStream.schema(eventsSchema).parquet(staged.toString)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+  }
+
+  private def eventsBatch(s: SparkSession, dir: String): DataFrame =
+    graft.sources.Tables.events(s, dir)
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+
+  /** Tumbling 1h windows over a drained stream (T6 AvailableNow + event-time
+    * windows). Complete output mode: every window is in the memory sink when
+    * the drain terminates, so the result equals the batch aggregation.
+    */
+  def streamTumbling(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+    val name = "stream_tumbling_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(name).select(
+      unix_micros(col("window.start")).as("win_start_us"),
+      col("event_type"), col("n"), col("sum_value"))
+  }
+
+  val streamTumblingOracle: String =
+    """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,
+      |  event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** Session windows, 30-minute gap, per user (the richest event-time window
+    * shape). Oracle is the classic gaps-and-islands rewrite.
+    */
+  def sessionWindow(s: SparkSession, dir: String): DataFrame =
+    eventsBatch(s, dir)
+      .groupBy(session_window(col("ts_t"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        // window.end = last event + gap; expose the last-event time instead
+        (unix_micros(col("session_window.end")) - lit(1800000000L)).as("session_last_us"),
+        col("n"))
+
+  val sessionWindowOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      |), brk AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |           OR ts_us - lag(ts_us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+      |), sess AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                      ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM brk
+      |)
+      |SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_last_us,
+      |  COUNT(*) AS n
+      |FROM sess GROUP BY user_id, sess_id""".stripMargin
+
+  /** Sliding windows (2h length, 1h slide): each event lands in two windows. */
+  def slidingWindow(s: SparkSession, dir: String): DataFrame =
+    eventsBatch(s, dir)
+      .groupBy(window(col("ts_t"), "2 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(
+        unix_micros(col("window.start")).as("win_start_us"),
+        col("event_type"), col("n"))
+
+  val slidingWindowOracle: String =
+    """WITH buckets AS (
+      |  SELECT event_type, epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_type, epoch_us(time_bucket(INTERVAL '1 hour', ts)) - 3600000000 AS win_start_us
+      |  FROM events
+      |)
+      |SELECT win_start_us, event_type, COUNT(*) AS n
+      |FROM buckets GROUP BY 1, 2""".stripMargin
+}

@@ -1,0 +1,33 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+import graft.operators.Joins
+
+/** Exactly-once-EFFECT sink for at-least-once streams (SURVEY.md §2.10 T1/T3).
+  *
+  * The reference achieves idempotent writes with MySQL UNIQUE keys +
+  * INSERT IGNORE (consumer_prices.py:70-81) and per-row URL existence checks
+  * (consumer_news.py:47-49). The Spark-native equivalent is a foreachBatch
+  * sink that (1) dedups within the micro-batch, (2) anti-joins the batch
+  * against the sink's existing keys, (3) appends the remainder. Combined with
+  * checkpointed source offsets this yields effectively-once rows even when a
+  * batch replays after failure.
+  *
+  * Scale note: the anti-join reads back only the key columns (column-pruned
+  * scan); with a partitioned sink, partition filters keep the read-back
+  * bounded by the batch's key range rather than the full history.
+  */
+object IdempotentWriter {
+
+  /** foreachBatch body: append only rows whose `keys` aren't in the sink. */
+  def appendNew(sinkPath: String, keys: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val deduped = batch.dropDuplicates(keys)
+    val fresh =
+      if (new java.io.File(sinkPath).exists())
+        Joins.antiJoinNew(deduped, spark.read.parquet(sinkPath), keys)
+      else deduped
+    fresh.write.mode(SaveMode.Append).parquet(sinkPath)
+  }
+}
