@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -42,7 +42,19 @@ object SparkEntry {
     "q_exact_dedup" -> (WireQueries.exactDedup _),
     "q_stream_tumbling" -> (StreamQueries.streamTumbling _),
     "q_session_window" -> (StreamQueries.sessionWindow _),
-    "q_sliding_window" -> (StreamQueries.slidingWindow _)
+    "q_sliding_window" -> (StreamQueries.slidingWindow _),
+    "q_token_stats" -> (LlmQueries.tokenStats _),
+    "q_quality_score" -> (LlmQueries.qualityScore _),
+    "q_lang_id" -> (LlmQueries.langId _),
+    "q_fingerprint" -> (LlmQueries.fingerprintDocs _),
+    "q_ngram_jaccard" -> (LlmQueries.ngramJaccard _),
+    "q_minhash_neardup" -> (LlmQueries.minhashNearDup _),
+    "q_simhash_neardup" -> (LlmQueries.simhashNearDup _),
+    "q_embed_neardup" -> (LlmQueries.embedNearDup _),
+    "q_cosine_topk" -> (LlmQueries.cosineTopK _),
+    "q_ann_ivf" -> (LlmQueries.annIvf _),
+    "q_multimodal_meta" -> (LlmQueries.multimodalMeta _),
+    "q_sentiment" -> (LlmQueries.sentimentNews _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -193,6 +205,17 @@ object SparkEntry {
     "q_exact_dedup" -> graft.queries.WireQueries.exactDedupOracle,
     "q_stream_tumbling" -> graft.queries.StreamQueries.streamTumblingOracle,
     "q_session_window" -> graft.queries.StreamQueries.sessionWindowOracle,
-    "q_sliding_window" -> graft.queries.StreamQueries.slidingWindowOracle
+    "q_sliding_window" -> graft.queries.StreamQueries.slidingWindowOracle,
+    "q_token_stats" -> LlmQueries.tokenStatsOracle,
+    "q_quality_score" -> LlmQueries.qualityScoreOracle,
+    "q_lang_id" -> LlmQueries.langIdOracle,
+    "q_fingerprint" -> LlmQueries.fingerprintOracle,
+    "q_ngram_jaccard" -> LlmQueries.ngramJaccardOracle,
+    "q_minhash_neardup" -> LlmQueries.ngramJaccardOracle,
+    "q_embed_neardup" -> LlmQueries.embedNearDupOracle,
+    "q_cosine_topk" -> LlmQueries.cosineTopKOracle,
+    "q_ann_ivf" -> LlmQueries.annIvfOracle,
+    "q_multimodal_meta" -> LlmQueries.multimodalMetaOracle
+    // q_simhash_neardup, q_sentiment: hash-/imperative-dependent -> rows-only
   )
 }

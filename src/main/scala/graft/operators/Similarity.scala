@@ -1,0 +1,111 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity search over an embedding column (`array<float>`):
+  * brute-force cosine top-k as the exact baseline, and an IVF-style
+  * (inverted-file) bucketed variant as the scale path.
+  *
+  * All vector math is built from higher-order functions (zip_with /
+  * aggregate) in DOUBLE precision — native Catalyst expressions, no UDFs, and
+  * bit-reproducible against an oracle that evaluates the same left-to-right
+  * summation.
+  *
+  * Scale posture: brute force is a crossJoin — O(|Q|x|C|) — only correct for
+  * small query sets or as the verifier. IVF shuffles the corpus once on
+  * centroid assignment, then each query probes `nprobe` buckets: the join is
+  * (query x nprobe buckets), a ~|C|/|centroids|*nprobe fraction of the
+  * corpus per query. Centroids are broadcast.
+  */
+object Similarity {
+
+  /** Dot product in double precision, sequential left-to-right sum. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors for each query vector by brute-force cosine.
+    * `queries`/`corpus`: (idCol, vecCol). Self-matches excluded. Output:
+    * (query_id, neighbor_id, cos) with deterministic (cos desc, neighbor id)
+    * ranking.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Assign every vector to its best centroid by cosine (ties -> lowest
+    * centroid id). Centroids are broadcast; one narrow pass over the corpus.
+    */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val c = centroids.select(col(idCol).as("centroid_id"), col(vecCol).as("centv"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("affinity").desc, col("centroid_id"))
+    vectors.join(broadcast(c))
+      .withColumn("affinity", cosine(col(vecCol), col("centv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn", "centv", "affinity")
+  }
+
+  /** IVF search: probe the `nprobe` best centroids per query, brute-force
+    * only inside those buckets. Returns (query_id, neighbor_id, cos); a
+    * subset of bruteForceTopK's result with identical scores (deterministic,
+    * oracle-checkable — no randomness anywhere).
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 2): DataFrame = {
+    val bucketed = assignToCentroids(corpus, centroids, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"), col("centroid_id"))
+    val cc = centroids.select(col(idCol).as("centroid_id2"), col(vecCol).as("centv"))
+    val probeW = Window.partitionBy(col("query_id"))
+      .orderBy(col("caff").desc, col("centroid_id2"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(broadcast(cc))
+      .withColumn("caff", cosine(col("qv"), col("centv")))
+      .withColumn("rn", row_number().over(probeW))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("centroid_id2").as("centroid_id"))
+    val scored = probes
+      .join(bucketed, Seq("centroid_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cos"))
+  }
+
+  /** Embedding-space near-duplicate pairs: all (a, b) with cosine >=
+    * threshold. Brute force (the exact verifier); the LSH analog for scale is
+    * random-hyperplane bucketing — same shape as [[Dedup.lshCandidates]].
+    */
+  def cosineNearDup(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_1"), col(vecCol).as("va"))
+    val b = vectors.select(col(idCol).as("id_2"), col(vecCol).as("vb"))
+    a.join(b, col("id_1") < col("id_2"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .filter(col("cos") >= threshold)
+      .select(col("id_1"), col("id_2"), col("cos"))
+  }
+}

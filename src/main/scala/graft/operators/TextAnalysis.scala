@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token counting
+  * (whitespace + BPE-ish regex), quality scoring, language identification
+  * (marker-word heuristic), and content fingerprinting (polynomial rolling
+  * hash). Everything is built from codegen'd native functions — no UDFs — and
+  * every operator is arithmetic-reproducible in the DuckDB oracle.
+  */
+object TextAnalysis {
+
+  // --- token counting --------------------------------------------------------
+
+  /** Whitespace token count (single-space tokenization, oracle-aligned). */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish subword-boundary count: runs of letters, runs of digits, and
+    * single non-alphanumeric marks — the regex shape GPT-2-style tokenizers
+    * use as their pre-tokenizer. A cheap, deterministic proxy for "how many
+    * tokens will the model see".
+    */
+  def bpeishCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+
+  def avgTokenLen(text: Column): Column =
+    length(regexp_replace(text, lit(" "), lit(""))).cast("double") / tokenCount(text)
+
+  // --- quality scoring -------------------------------------------------------
+
+  /** Stopword list used by the quality score and the "en" language profile. */
+  val enStopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "this", "for", "on", "with", "as", "at", "by", "be", "are")
+
+  private def ratioInList(text: Column, words: Seq[String]): Column = {
+    val toks = split(text, " ")
+    size(filter(toks, t => t.isin(words.map(w => w: Any): _*))).cast("double") /
+      size(toks)
+  }
+
+  /** Heuristic document quality in [0,1]: blends length saturation (chars /
+    * (chars + 500)), non-punctuation ratio, a stopword-presence band, and
+    * mean-word-length sanity (penalize <2 or >12 chars). The exact blend is
+    * ours (the reference has no quality scoring); the VALUE of the operator
+    * is that it is pure column arithmetic — pushdown-safe, codegen'd,
+    * reproducible in SQL.
+    */
+  def qualityScore(text: Column): Column = {
+    val chars = length(text).cast("double")
+    val lenScore = chars / (chars + lit(500.0))
+    val punctRatio =
+      regexp_count(text, lit("[^A-Za-z0-9 ]")).cast("double") / greatest(chars, lit(1.0))
+    val stopRatio = ratioInList(text, enStopwords)
+    val stopScore = when(stopRatio.between(0.01, 0.6), lit(1.0)).otherwise(lit(0.5))
+    val awl = avgTokenLen(text)
+    val awlScore = when(awl.between(2.0, 12.0), lit(1.0)).otherwise(lit(0.3))
+    round(lenScore * (lit(1.0) - punctRatio) * stopScore * awlScore, 6)
+  }
+
+  // --- language identification ----------------------------------------------
+
+  /** Marker-word profiles (top function words per language — public
+    * knowledge). Scoring counts DISTINCT marker hits, so repeated fillers
+    * don't dominate.
+    */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "with"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "es" -> Seq("el", "la", "los", "las", "es", "y", "en", "que", "por", "con"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "dans", "que", "pour", "une", "avec"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "这", "他"))
+
+  def langScore(text: Column, markers: Seq[String]): Column =
+    size(array_intersect(array_distinct(split(text, " ")),
+      array(markers.map(lit): _*)))
+
+  /** Predicted language: argmax of marker hits with a fixed priority order on
+    * ties (first match in [[langMarkers]] order); "und" (undetermined) when
+    * no marker hits at all.
+    */
+  def langId(text: Column): Column = {
+    val scores = langMarkers.map { case (l, m) => l -> langScore(text, m) }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val cases = scores.foldLeft(when(best <= 0, lit("und"))) {
+      case (acc, (l, s)) => acc.when(s === best, lit(l))
+    }
+    cases
+  }
+
+  // --- fingerprinting --------------------------------------------------------
+
+  /** Polynomial rolling hash of the full text, mod 1e9+7 — a deterministic
+    * content fingerprint computable by any engine (unlike murmur/xxhash,
+    * whose constants differ across systems). acc stays < 2^35 so the fold
+    * never overflows under ANSI arithmetic.
+    */
+  def fingerprint(text: Column): Column =
+    aggregate(
+      transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 1000000007L)
+}

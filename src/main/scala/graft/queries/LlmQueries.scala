@@ -1,0 +1,271 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Sentiment, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** Training-data-pipeline queries (the north-star extensions): dedup ladder,
+  * similarity search, text analysis, multimodal plumbing, sentiment. Oracles
+  * recompute the SAME math in DuckDB (list lambdas for vector math,
+  * gaps-and-islands SQL for shingles) — only hash-function-dependent outputs
+  * (SimHash) and imperative scoring (VADER) fall back to rows-only checks
+  * backed by ScalaTest goldens.
+  */
+object LlmQueries {
+
+  // --- text analysis ---------------------------------------------------------
+
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+      TextAnalysis.bpeishCount(col("text")).as("n_bpeish"),
+      round(TextAnalysis.avgTokenLen(col("text")), 6).as("avg_tok_len"))
+
+  val tokenStatsOracle: String =
+    """SELECT doc_id,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_bpeish,
+      |  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |        / len(string_split(text, ' ')), 6) AS avg_tok_len
+      |FROM documents""".stripMargin
+
+  def qualityScore(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"), TextAnalysis.qualityScore(col("text")).as("quality"))
+
+  val qualityScoreOracle: String = {
+    val stop = TextAnalysis.enStopwords.map("'" + _ + "'").mkString("[", ", ", "]")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS DOUBLE) AS chars,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+       |    len(string_split(text, ' ')) AS n_toks,
+       |    len(list_filter(string_split(text, ' '), t -> list_contains($stop, t))) AS n_stop,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS alpha_chars
+       |  FROM documents
+       |)
+       |SELECT doc_id, ROUND(
+       |  (chars / (chars + 500.0))
+       |  * (1.0 - n_punct / greatest(chars, 1.0))
+       |  * (CASE WHEN n_stop * 1.0 / n_toks BETWEEN 0.01 AND 0.6 THEN 1.0 ELSE 0.5 END)
+       |  * (CASE WHEN alpha_chars / n_toks BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.3 END),
+       |  6) AS quality
+       |FROM m""".stripMargin
+  }
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"), col("lang"),
+      TextAnalysis.langId(col("text")).as("predicted"))
+
+  val langIdOracle: String = {
+    val scoreExprs = TextAnalysis.langMarkers.map { case (l, m) =>
+      val list = m.map("'" + _ + "'").mkString("[", ", ", "]")
+      s"len(list_intersect(list_distinct(string_split(text, ' ')), $list)) AS s_$l"
+    }.mkString(",\n    ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val best = "greatest(" + langs.map("s_" + _).mkString(", ") + ")"
+    val cases = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+    s"""WITH scores AS (
+       |  SELECT doc_id, lang,
+       |    $scoreExprs
+       |  FROM documents
+       |), b AS (
+       |  SELECT *, $best AS best FROM scores
+       |)
+       |SELECT doc_id, lang,
+       |  CASE WHEN best <= 0 THEN 'und' $cases END AS predicted
+       |FROM b""".stripMargin
+  }
+
+  def fingerprintDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
+
+  val fingerprintOracle: String =
+    """SELECT doc_id,
+      |  list_reduce(
+      |    list_transform(range(1, length(text) + 1),
+      |                   i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+      |FROM documents""".stripMargin
+
+  // --- dedup ladder ----------------------------------------------------------
+
+  private val JaccardThreshold = 0.5
+
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3,
+        threshold = JaccardThreshold)
+      .select(col("id_1"), col("id_2"), round(col("jaccard"), 6).as("jaccard"))
+
+  val ngramJaccardOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(w, 2) OVER win IS NOT NULL
+      |), ds AS (
+      |  SELECT DISTINCT doc_id, s FROM sh
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id
+      |), inter AS (
+      |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+      |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT id_1, id_2,
+      |  ROUND(CAST(i AS DOUBLE) / (s1.sz + s2.sz - i), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes s1 ON id_1 = s1.doc_id
+      |JOIN sizes s2 ON id_2 = s2.doc_id
+      |WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5""".stripMargin
+
+  /** MinHash-LSH with exact verification: same contract as [[ngramJaccard]]
+    * (the exact filter guarantees precision; 64 2-row bands give ~1e-8 miss
+    * probability per true pair), so it shares the exact-Jaccard oracle.
+    */
+  def minhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDup(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = JaccardThreshold, k = 128, bands = 64)
+      .select(col("id_1"), col("id_2"), round(col("jaccard"), 6).as("jaccard"))
+
+  /** SimHash near-dup pairs. xxhash64-dependent, so no SQL oracle (rows-only
+    * gate); precision/recall pinned by DedupSpec on planted perturbations.
+    */
+  def simhashNearDup(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text", maxHamming = 12)
+
+  // --- embedding similarity --------------------------------------------------
+
+  private val cosSql: (String, String) => String = (a, b) =>
+    s"""list_sum(list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+       |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+
+  def embedNearDup(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
+      .select(col("id_1"), col("id_2"), round(col("cos"), 6).as("cos"))
+
+  val embedNearDupOracle: String =
+    s"""SELECT a.vec_id AS id_1, b.vec_id AS id_2,
+       |  ROUND(${cosSql("a.embedding", "b.embedding")}, 6) AS cos
+       |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+       |WHERE ${cosSql("a.embedding", "b.embedding")} >= 0.45""".stripMargin
+
+  def cosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.bruteForceTopK(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  val cosineTopKOracle: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 20
+       |)
+       |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos FROM scored
+       |QUALIFY row_number() OVER (
+       |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin
+
+  /** IVF ANN: deterministic centroids (vec_id < 10), nprobe=2, top-3 — every
+    * step is exact arithmetic, so the approximate index is fully
+    * oracle-checkable (same buckets, same results, in SQL).
+    */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.ivfTopK(
+        queries = emb.filter(col("vec_id") < 20),
+        corpus = emb,
+        centroids = emb.filter(col("vec_id") < 10),
+        "vec_id", "embedding", k = 3, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  val annIvfOracle: String =
+    s"""WITH cent AS (
+       |  SELECT vec_id AS centroid_id, embedding AS centv FROM embeddings WHERE vec_id < 10
+       |), assign AS (
+       |  SELECT e.vec_id AS neighbor_id, e.embedding AS cv, c.centroid_id,
+       |    ${cosSql("e.embedding", "c.centv")} AS aff
+       |  FROM embeddings e, cent c
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY e.vec_id ORDER BY aff DESC, c.centroid_id) = 1
+       |), probes AS (
+       |  SELECT q.vec_id AS query_id, q.embedding AS qv, c.centroid_id,
+       |    ${cosSql("q.embedding", "c.centv")} AS caff
+       |  FROM embeddings q, cent c WHERE q.vec_id < 20
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY q.vec_id ORDER BY caff DESC, c.centroid_id) <= 2
+       |), scored AS (
+       |  SELECT p.query_id, a.neighbor_id,
+       |    ${cosSql("p.qv", "a.cv")} AS cos
+       |  FROM probes p JOIN assign a USING (centroid_id)
+       |  WHERE a.neighbor_id <> p.query_id
+       |)
+       |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos FROM scored
+       |QUALIFY row_number() OVER (
+       |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin
+
+  // --- multimodal ------------------------------------------------------------
+
+  def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    val media = Multimodal.packPayload(Tables.documents(s, dir), "doc_id", "text")
+    val decoded = Multimodal.decodeFeatures(media).toDF()
+    media.select("media_id", "kind", "n_bytes", "fingerprint")
+      .join(decoded.select(col("media_id"), col("width"), col("height"),
+        col("n_frames"), round(col("mean_luma"), 6).as("mean_luma")), Seq("media_id"))
+  }
+
+  val multimodalMetaOracle: String =
+    """WITH bytes AS (
+      |  SELECT doc_id,
+      |    list_extract(['image', 'audio', 'video'], CAST(doc_id % 3 AS INT) + 1) AS kind,
+      |    CAST(length(text) AS BIGINT) AS n_bytes,
+      |    md5(text) AS fingerprint,
+      |    list_reduce(
+      |      list_concat([CAST(17 AS BIGINT)],
+      |        list_transform(range(1, length(text) + 1),
+      |                       i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h,
+      |    list_sum(list_transform(range(1, length(text) + 1),
+      |                            i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))) AS byte_sum
+      |  FROM documents
+      |)
+      |SELECT doc_id AS media_id, kind, n_bytes, fingerprint,
+      |  CAST(64 + h % 448 AS INT) AS width,
+      |  CAST(64 + (h // 448) % 448 AS INT) AS height,
+      |  CAST(CASE WHEN kind = 'video' THEN greatest(n_bytes // 64, 1) ELSE 1 END AS INT) AS n_frames,
+      |  ROUND(CAST(byte_sum AS DOUBLE) / n_bytes / 255.0, 6) AS mean_luma
+      |FROM bytes""".stripMargin
+
+  // --- sentiment (F1) --------------------------------------------------------
+
+  /** VADER-style compound score over captured news contents plus a slice of
+    * documents. Imperative scoring -> rows-only gate; goldens in
+    * SentimentSpec pin the algorithm.
+    */
+  def sentimentNews(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val news = graft.sources.KafkaJson.parseNews(
+      WireQueries.newsFixtures.toDF("value"))
+      .select(col("url").as("id"), col("content").as("text"))
+    val docs = Tables.documents(s, dir).limit(50)
+      .select(col("doc_id").cast("string").as("id"), col("text"))
+    news.unionByName(docs)
+      .select(col("id"), round(Sentiment.sentiment(col("text")), 6).as("compound"))
+  }
+}

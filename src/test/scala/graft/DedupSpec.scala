@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Dedup ladder on planted near-duplicates: a base corpus plus controlled
+  * perturbations, verifying precision (every reported pair is truly similar)
+  * and recall (planted pairs are found).
+  */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 20 distinct base docs + 3 planted near-dups (light perturbations) +
+  // 1 exact dup
+  private lazy val corpus = {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu", "nu", "xi")
+    val base = (0 until 20).map { i =>
+      (i.toLong, (0 until 60).map(_ => vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val d0 = base(0)._2
+    val planted = Seq(
+      (100L, d0.replaceFirst("alpha", "omega")), // near-dup of 0
+      (101L, d0.split(" ").dropRight(3).mkString(" ")), // truncated copy of 0
+      (102L, base(1)._2.replaceFirst(" ", " inserted ")), // near-dup of 1
+      (103L, d0)) // exact dup of 0
+    (base ++ planted).toDF("doc_id", "text")
+  }
+
+  test("exact dedup finds the exact copy and nothing else") {
+    val groups = Dedup.exact(corpus, "doc_id", "text")
+      .filter($"n_copies" > 1).collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("keeper_doc_id") == 0L)
+    assert(groups(0).getAs[Long]("n_copies") == 2L)
+  }
+
+  test("exact jaccard finds all planted near-dup pairs") {
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 100L)))
+    assert(pairs.contains((0L, 101L)))
+    assert(pairs.contains((1L, 102L)))
+    assert(pairs.contains((0L, 103L)))
+    // planted copies are also similar to each other; nothing crosses bases
+    assert(pairs.forall { case (a, b) =>
+      Set(0L, 100L, 101L, 103L).map(x => (a == x || b == x)).nonEmpty })
+  }
+
+  test("minhash-LSH output equals exact jaccard output (verified candidates)") {
+    val exact = Dedup.jaccardPairs(corpus, "doc_id", "text", n = 3, threshold = 0.5)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDup(corpus, "doc_id", "text", n = 3,
+        threshold = 0.5, k = 128, bands = 64)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash: exact dup has distance 0; perturbed docs are close; unrelated far") {
+    val fp = Dedup.simhash(corpus, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fp(a) ^ fp(b))
+    assert(ham(0L, 103L) == 0)
+    assert(ham(0L, 100L) <= 12)
+    assert(ham(0L, 5L) > 20, s"unrelated docs too close: ${ham(0L, 5L)}")
+  }
+
+  test("simhashNearDup reports only verified-close pairs") {
+    val pairs = Dedup.simhashNearDup(corpus, "doc_id", "text", maxHamming = 12)
+    val bad = pairs.filter($"hamming" > 12).count()
+    assert(bad == 0)
+    val found = pairs.select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(found.contains((0L, 103L)))
+  }
+}

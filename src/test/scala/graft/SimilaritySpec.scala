@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+class SimilaritySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)),
+    (2L, Array(0.0f, 1.0f, 0.0f)),
+    (3L, Array(0.0f, 0.9f, 0.1f)),
+    (4L, Array(0.0f, 0.0f, 1.0f)),
+    (5L, Array(0.577f, 0.577f, 0.577f))
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: hand-computed values") {
+    val out = vecs.as("a").join(vecs.as("b"),
+        col("a.vec_id") === 0 && col("b.vec_id") === 2)
+      .select(Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .as[Double].head()
+    assert(math.abs(out) < 1e-12) // orthogonal
+    val self = vecs.filter($"vec_id" === 5)
+      .select(Similarity.cosine(col("embedding"), col("embedding")))
+      .as[Double].head()
+    assert(math.abs(self - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK: nearest neighbor of 0 is 1, k respected, self excluded") {
+    val top = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs,
+      "vec_id", "embedding", k = 2).collect()
+    assert(top.length == 2)
+    assert(top.map(_.getLong(1)).head == 1L)
+    assert(!top.map(_.getLong(1)).contains(0L))
+  }
+
+  test("IVF with all-vectors-as-centroids equals brute force") {
+    val brute = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(vecs, vecs, vecs, "vec_id", "embedding",
+        k = 2, nprobe = vecs.count().toInt)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ivf == brute)
+  }
+
+  test("IVF results are a subset of brute-force with identical scores") {
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val queries = emb.filter($"vec_id" < 5)
+    val brute = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(queries, emb, emb.filter($"vec_id" < 10),
+      "vec_id", "embedding", k = 3, nprobe = 2).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      val key = (r.getLong(0), r.getLong(1))
+      brute.get(key).foreach(b => assert(math.abs(b - r.getDouble(2)) < 1e-12))
+    }
+  }
+
+  test("cosineNearDup is symmetric-free (id_1 < id_2) and respects threshold") {
+    val pairs = Similarity.cosineNearDup(vecs, "vec_id", "embedding", 0.9).collect()
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(_.getDouble(2) >= 0.9))
+    val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ids.contains((0L, 1L)) && ids.contains((2L, 3L)))
+  }
+}
