@@ -1,0 +1,81 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst expressions for the vector-similarity hot path.
+  *
+  * The composable HOF formulation (`aggregate(zip_with(...))`, see
+  * [[graft.operators.Similarity.dot]]) is evaluated interpreted — per-row
+  * lambda dispatch and boxing dominate at millions of pairs (measured: 74 s
+  * for the sf0.1 near-dup crossjoin). These expressions generate a tight Java
+  * loop over the underlying float arrays inside whole-stage codegen instead.
+  *
+  * Arithmetic is kept BIT-IDENTICAL to the HOF version and the DuckDB oracle:
+  * each accumulator (dot, |a|², |b|²) is summed sequentially left-to-right in
+  * double precision, then cos = dot / (sqrt(na) * sqrt(nb)).
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // inputs must be array<float>; enforced by construction via cosine_sim
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "cosine_similarity"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val xa = x.getFloat(i).toDouble
+      val yb = y.getFloat(i).toDouble
+      dot += xa * yb
+      na += xa * xa
+      nb += yb * yb
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val xa = ctx.freshName("xa")
+      val yb = ctx.freshName("yb")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xa = (double) $x.getFloat($i);
+         |  double $yb = (double) $y.getFloat($i);
+         |  $dot += $xa * $yb;
+         |  $na += $xa * $xa;
+         |  $nb += $yb * $yb;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object VectorFunctions {
+  /** Codegen'd cosine similarity over two array<float> columns. */
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosineSimilarity(GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b)))
+}

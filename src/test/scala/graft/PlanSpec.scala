@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec, SortMergeJoinExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
+import graft.queries.{CoreQueries, LlmQueries}
+
+/** Physical-plan guarantees behind the 100 TB claims: single window pass for
+  * the indicator pipeline, broadcast (not shuffle) joins for dims, filter/
+  * column pushdown into parquet scans, partial aggregation before shuffles.
+  * AQE is disabled here so the static physical plan is directly inspectable;
+  * production runs keep it on (it only improves these plans).
+  */
+class PlanSpec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def planOf(df: DataFrame): SparkPlan = df.queryExecution.executedPlan
+
+  private def withStaticPlans[A](f: => A): A = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try f finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("indicator pipeline: ONE shuffle, ONE sort — not 4 branch re-scans") {
+    withStaticPlans {
+      val plan = planOf(CoreQueries.indicatorUnion(spark, sf))
+      // lag() has an offset frame so Spark legitimately splits it from the
+      // rows-frame aggregates: exactly 2 WindowExec, but they SHARE one
+      // exchange + one sort (the scale-relevant property).
+      val windows = plan.collect { case w: WindowExec => w }
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      val sorts = plan.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(windows.size <= 2, s"window evaluation fragmented: ${windows.size}")
+      assert(shuffles.size == 1, s"expected 1 shuffle, got ${shuffles.size}")
+      assert(sorts.size == 1, s"expected 1 sort, got ${sorts.size}")
+    }
+  }
+
+  test("dim join chain: broadcast hash joins, zero sort-merge joins") {
+    withStaticPlans {
+      val plan = planOf(CoreQueries.dimJoinAgg(spark, sf))
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.size == 2)
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+    }
+  }
+
+  test("regex filter is pushed down to the parquet scan") {
+    withStaticPlans {
+      val plan = planOf(CoreQueries.regexFilter(spark, sf))
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      // rlike itself can't push, but the implied IsNotNull does; the scan
+      // must also prune to the 2 referenced columns
+      val schema = scans.head.requiredSchema.fieldNames.toSet
+      assert(schema == Set("text", "lang"), s"scan reads too much: $schema")
+    }
+  }
+
+  test("q1 agg: column-pruned scan + partial aggregation before the shuffle") {
+    withStaticPlans {
+      val df = CoreQueries.q1Agg(spark, sf)
+      val plan = planOf(df)
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      val readCols = scans.head.requiredSchema.fieldNames.toSet
+      assert(readCols == Set("l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount"), s"scan reads: $readCols")
+      // partial + final hash aggregate pair
+      val aggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggs.size >= 2, "no partial aggregation (map-side combine) found")
+    }
+  }
+
+  test("anti-join: key-only projection on the build side") {
+    withStaticPlans {
+      val plan = planOf(CoreQueries.antiJoin(spark, sf))
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      val ordersScan = scans.find(_.requiredSchema.fieldNames.contains("o_custkey")).get
+      assert(ordersScan.requiredSchema.fieldNames.toSet == Set("o_custkey", "o_totalprice"))
+      // the totalprice predicate is pushed into the scan
+      assert(ordersScan.metadata("PushedFilters").contains("GreaterThan(o_totalprice"))
+    }
+  }
+
+  test("embedding near-dup: native cosine keeps the pair scoring inside codegen") {
+    withStaticPlans {
+      val plan = planOf(LlmQueries.embedNearDup(spark, sf))
+      // the crossjoin is a broadcast nested loop (no shuffle of the big side)
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty)
+      // and the plan contains no non-codegen HOF evaluation for the cosine
+      assert(!plan.toString.contains("aggregate(zip_with"),
+        "cosine still evaluated via interpreted HOFs")
+    }
+  }
+
+  test("minhash signature aggregation happens map-side before the shuffle") {
+    withStaticPlans {
+      val df = graft.operators.Dedup.minhashSignatures(
+        graft.operators.Dedup.shinglePostings(
+          graft.sources.Tables.documents(spark, sf), "doc_id", "text", 3), 16)
+      val plan = planOf(df)
+      val aggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+      }
+      assert(aggs.size >= 2, "minhash aggregate not split partial/final")
+    }
+  }
+}
