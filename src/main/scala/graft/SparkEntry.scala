@@ -54,7 +54,8 @@ object SparkEntry {
     "q_cosine_topk" -> (LlmQueries.cosineTopK _),
     "q_ann_ivf" -> (LlmQueries.annIvf _),
     "q_multimodal_meta" -> (LlmQueries.multimodalMeta _),
-    "q_sentiment" -> (LlmQueries.sentimentNews _)
+    "q_sentiment" -> (LlmQueries.sentimentNews _),
+    "q_rss_parse" -> (graft.queries.RssQueries.rssParse _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -215,7 +216,8 @@ object SparkEntry {
     "q_embed_neardup" -> LlmQueries.embedNearDupOracle,
     "q_cosine_topk" -> LlmQueries.cosineTopKOracle,
     "q_ann_ivf" -> LlmQueries.annIvfOracle,
-    "q_multimodal_meta" -> LlmQueries.multimodalMetaOracle
+    "q_multimodal_meta" -> LlmQueries.multimodalMetaOracle,
+    "q_rss_parse" -> graft.queries.RssQueries.rssParseOracle
     // q_simhash_neardup, q_sentiment: hash-/imperative-dependent -> rows-only
   )
 }

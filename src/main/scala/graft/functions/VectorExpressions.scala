@@ -73,9 +73,59 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fraction of positions where two long arrays agree — the MinHash-signature
+  * Jaccard estimator. Codegen'd for the same reason as CosineSimilarity: it
+  * runs once per LSH candidate pair, and candidate sets are orders of
+  * magnitude larger than the verified output.
+  */
+case class LongArrayMatchFraction(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "match_fraction"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (x.getLong(i) == y.getLong(i)) eq += 1
+      i += 1
+    }
+    if (n == 0) 0.0 else eq.toDouble / n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val eq = ctx.freshName("eq")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |int $eq = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($x.getLong($i) == $y.getLong($i)) $eq++;
+         |}
+         |${ev.value} = ($n == 0) ? 0.0 : ((double) $eq) / $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorFunctions {
   /** Codegen'd cosine similarity over two array<float> columns. */
   def cosine_sim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b)))
+
+  /** Codegen'd positional match fraction over two array<long> columns. */
+  def match_fraction(a: Column, b: Column): Column =
+    GraftColumnBridge.column(LongArrayMatchFraction(GraftColumnBridge.expression(a),
       GraftColumnBridge.expression(b)))
 }

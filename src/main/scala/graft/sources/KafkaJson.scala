@@ -41,7 +41,7 @@ object KafkaJson {
         col("m.close").cast(Schemas.priceDecimal).as("close_price"),
         col("m.volume").cast(Schemas.volumeDecimal).as("volume"),
         msToSecondGrain(col("m.close_time")).as("close_time"),
-        to_timestamp(col("m.fetched_at")).as("fetched_at"))
+        try_to_timestamp(col("m.fetched_at")).as("fetched_at"))
 
   /** Serialize kline rows back to the wire shape: JSON value + "SYMBOL-interval"
     * key (reference producer_prices.py:62-64, E10). Inverse of [[parsePrices]]
@@ -69,7 +69,7 @@ object KafkaJson {
   val Rfc822: String = "dd MMM yyyy HH:mm:ss Z"
 
   def parseRfc822(c: Column): Column =
-    to_timestamp(regexp_replace(c, "^[A-Za-z]{3}, ", ""), Rfc822)
+    try_to_timestamp(regexp_replace(c, "^[A-Za-z]{3}, ", ""), lit(Rfc822))
 
   /** Parse `crypto-news` messages (reference producer_news.py:76-85).
     * `created_date` arrives as a stringified tz-aware datetime
@@ -81,7 +81,7 @@ object KafkaJson {
       .select(
         col("m.title").as("title"),
         col("m.url").as("url"),
-        to_timestamp(col("m.created_date")).as("created_date"),
+        try_to_timestamp(col("m.created_date")).as("created_date"),
         col("m.tag").as("tag"),
         col("m.content").as("content"),
         col("m.sentiment_score").cast("double").as("sentiment_score"))
