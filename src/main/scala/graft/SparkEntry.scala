@@ -55,7 +55,11 @@ object SparkEntry {
     "q_ann_ivf" -> (LlmQueries.annIvf _),
     "q_multimodal_meta" -> (LlmQueries.multimodalMeta _),
     "q_sentiment" -> (LlmQueries.sentimentNews _),
-    "q_rss_parse" -> (graft.queries.RssQueries.rssParse _)
+    "q_rss_parse" -> (graft.queries.RssQueries.rssParse _),
+    "q_asof_join" -> (CoreQueries.asofJoin _),
+    "q_distinct_agg" -> (CoreQueries.distinctAgg _),
+    "q_rollup" -> (CoreQueries.rollupAgg _),
+    "q_pivot" -> (CoreQueries.pivotAgg _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -217,7 +221,36 @@ object SparkEntry {
     "q_cosine_topk" -> LlmQueries.cosineTopKOracle,
     "q_ann_ivf" -> LlmQueries.annIvfOracle,
     "q_multimodal_meta" -> LlmQueries.multimodalMetaOracle,
-    "q_rss_parse" -> graft.queries.RssQueries.rssParseOracle
+    "q_rss_parse" -> graft.queries.RssQueries.rssParseOracle,
+
+    "q_asof_join" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type FROM events
+        |), l AS (SELECT * FROM e WHERE event_type = 'click'),
+        |   r AS (SELECT * FROM e WHERE event_type = 'purchase')
+        |SELECT l.user_id, l.event_id, l.ts_us,
+        |  r.value AS asof_value, r.event_id AS asof_event_id
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.user_id = r.user_id AND r.ts_us <= l.ts_us""".stripMargin,
+
+    "q_distinct_agg" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT user_id,
+        |  COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+        |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
+        |FROM events GROUP BY user_id""".stripMargin
     // q_simhash_neardup, q_sentiment: hash-/imperative-dependent -> rows-only
   )
 }

@@ -117,11 +117,20 @@ object Dedup {
     * at 64 bands — so the verified output matches the exact algorithm's
     * output in expectation AND the exact filter guarantees precision.
     */
+  /** @param broadcastDocTables broadcast the per-doc signature/shingle-set
+    *        tables into the candidate stream (right for corpora whose
+    *        signatures fit in executor memory, i.e. up to ~10M docs); at
+    *        larger scale set false to shuffle candidates against them
+    *        sort-merge instead.
+    */
   def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5, k: Int = 128, bands: Int = 64): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5, k: Int = 128, bands: Int = 64,
+      broadcastDocTables: Boolean = true): DataFrame = {
     val postings = hashedPostings(df, idCol, textCol, n)
     val sigs = minhashSignatures(postings, k)
     val cands = lshCandidates(sigs, bands)
+    def maybeBroadcast(d: DataFrame): DataFrame =
+      if (broadcastDocTables) broadcast(d) else d
     // Stage 1 — estimate: signature agreement approximates Jaccard with
     // sigma = sqrt(J(1-J)/k) ~ 0.044 at k=128. Pruning candidates below
     // threshold - 0.2 (>4.5 sigma) costs ~3e-6 miss probability per true
@@ -129,17 +138,21 @@ object Dedup {
     // make most moderately-similar pairs candidates). The estimate is
     // DETERMINISTIC given the data (fixed hash functions), not per-run noise.
     val estCut = math.max(0.0, threshold - 0.2)
+    // Broadcast the per-doc tables into the candidate stream: candidates are
+    // the big side (potentially ~|pairs|), signatures/sets are |docs| rows —
+    // without the hint Spark has no stats for these aggregation outputs and
+    // falls back to shuffling the candidate stream twice per join.
     val estimated = cands
-      .join(sigs.as("ga"), col("id_1") === col("ga.id"))
-      .join(sigs.as("gb"), col("id_2") === col("gb.id"))
+      .join(maybeBroadcast(sigs.as("ga")), col("id_1") === col("ga.id"))
+      .join(maybeBroadcast(sigs.as("gb")), col("id_2") === col("gb.id"))
       .filter(graft.functions.VectorFunctions.match_fraction(
         col("ga.sig"), col("gb.sig")) >= estCut)
       .select(col("id_1"), col("id_2"))
     // Stage 2 — exact verify on the survivors only.
     val sets = postings.groupBy(col("id")).agg(collect_set(col("shingle")).as("set"))
     estimated
-      .join(sets.as("sa"), col("id_1") === col("sa.id"))
-      .join(sets.as("sb"), col("id_2") === col("sb.id"))
+      .join(maybeBroadcast(sets.as("sa")), col("id_1") === col("sa.id"))
+      .join(maybeBroadcast(sets.as("sb")), col("id_2") === col("sb.id"))
       .withColumn("i", size(array_intersect(col("sa.set"), col("sb.set"))).cast("double"))
       .withColumn("jaccard",
         col("i") / (size(col("sa.set")) + size(col("sb.set")) - col("i")))

@@ -71,6 +71,57 @@ object Joins {
     (facts.join(broadcast(grown), Seq(naturalCol), "inner"), grown)
   }
 
+  /** AS-OF join (SURVEY.md §2.4: the extension the price x news correlation
+    * needs): for every left row, attach the LATEST right row with
+    * right.timeCol <= left.timeCol within the same key group.
+    *
+    * Implemented Spark-first as the union-and-carry-forward technique: tag
+    * both sides, union, and let `last(_, ignoreNulls)` over a running window
+    * carry the most recent right-side values onto each left row. ONE shuffle
+    * on the key, one sort on (time, side, tiebreak) — strictly better than a
+    * range self-join (no quadratic candidate explosion), and the sort order
+    * (right before left on time ties) pins the inclusive <= semantics.
+    *
+    * @param rightVals right-side columns to carry; exposed as `asof_<name>`
+    * @param tiebreak  unique right-side column ordering same-time right rows
+    *                  (the last one wins, deterministically)
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String],
+      tiebreak: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1))
+      .withColumn("_tb", lit(null).cast("long"))
+      .withColumns(rightVals.map(v => s"_rv_$v" -> lit(null).cast(
+        right.schema(v).dataType)).toMap)
+      .select((keys ++ Seq("_t", "_side", "_tb") ++ rightVals.map("_rv_" + _)).map(col) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+    val r = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(0))
+      .withColumn("_tb", col(tiebreak).cast("long"))
+      .withColumns(rightVals.map(v => s"_rv_$v" -> col(v)).toMap)
+      .select((keys ++ Seq("_t", "_side", "_tb") ++ rightVals.map("_rv_" + _)).map(col): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"), col("_tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(unioned) { (df, v) =>
+      df.withColumn(s"asof_$v", last(col(s"_rv_$v"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("_side") === 1)
+      .select((keys ++ leftCols.filterNot(keys.contains) ++
+        rightVals.map("asof_" + _)).map(col): _*)
+  }
+
   /** Top-k rows per group, ordered by orderCols descending — the window
     * `row_number` pattern used throughout the engine (e.g. similarity top-k).
     */

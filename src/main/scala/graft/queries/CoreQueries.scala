@@ -166,4 +166,45 @@ object CoreQueries {
     Tables.events(s, dir)
       .select(col("event_id"),
         coalesce(nullif(col("event_type"), lit("error")), lit("unknown")).as("etype"))
+
+  /** AS-OF join (SURVEY §2.4 extension): every click gets the latest
+    * preceding purchase of the same user. One shuffle via the union-and-
+    * carry-forward rewrite; the oracle uses DuckDB's native ASOF LEFT JOIN —
+    * two independent formulations of the same semantics.
+    */
+  def asofJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_id", "ts_us", "value", "event_type")
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+    Joins.asOfJoin(clicks, purchases, Seq("user_id"), "ts_us", "ts_us",
+        rightVals = Seq("value", "event_id"), tiebreak = "event_id")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("asof_value"), col("asof_event_id"))
+  }
+
+  /** Distinct aggregates (absent from the reference; table stakes for an
+    * analytics engine).
+    */
+  def distinctAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+
+  /** ROLLUP grouping sets with exact decimal sums. */
+  def rollupAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+
+  /** Pivot (wide conditional aggregation), null-filled to match COUNT(CASE). */
+  def pivotAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .count()
+      .na.fill(0L)
 }

@@ -1,0 +1,48 @@
+package graft
+
+import graft.operators.Joins
+
+/** Pins the as-of join semantics: inclusive <= at equal timestamps, latest
+  * right row wins, null before any right row, per-key isolation.
+  */
+class AsOfJoinSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val left = Seq(
+    ("u1", 100L, "c1"), ("u1", 200L, "c2"), ("u1", 50L, "c0"),
+    ("u2", 100L, "c3")
+  ).toDF("k", "t", "name")
+
+  private val right = Seq(
+    ("u1", 100L, 10.0, 1L), // exactly at c1's time -> included (<=)
+    ("u1", 150L, 20.0, 2L),
+    ("u2", 999L, 99.0, 3L) // after u2's only left row
+  ).toDF("k", "t", "v", "rid")
+
+  private def run() =
+    Joins.asOfJoin(left, right, Seq("k"), "t", "t", Seq("v", "rid"), "rid")
+      .select("k", "name", "asof_v", "asof_rid")
+      .collect()
+      .map(r => r.getString(1) -> (Option(r.get(2)), Option(r.get(3)))).toMap
+
+  test("inclusive <= at equal timestamps") {
+    assert(run()("c1") == (Some(10.0), Some(1L)))
+  }
+
+  test("latest preceding right row wins") {
+    assert(run()("c2") == (Some(20.0), Some(2L)))
+  }
+
+  test("left row before any right row gets nulls") {
+    assert(run()("c0") == (None, None))
+    assert(run()("c3") == (None, None)) // u2's purchase is later
+  }
+
+  test("same-time right rows: highest tiebreak wins deterministically") {
+    val r2 = Seq(("u1", 100L, 1.0, 1L), ("u1", 100L, 2.0, 2L)).toDF("k", "t", "v", "rid")
+    val l2 = Seq(("u1", 100L, "x")).toDF("k", "t", "name")
+    val out = Joins.asOfJoin(l2, r2, Seq("k"), "t", "t", Seq("v"), "rid")
+      .select("asof_v").as[Double].head()
+    assert(out == 2.0)
+  }
+}

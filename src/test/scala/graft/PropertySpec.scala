@@ -1,0 +1,79 @@
+package graft
+
+/** Property-based invariants from SURVEY.md §5.2, checked on seeded
+  * generated price series through the real operators (deterministic
+  * generation — the offline cache has no scalatest-scalacheck bridge, and
+  * reproducibility beats shrinking here).
+  */
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  import graft.operators.Indicators
+  import graft.operators.Indicators.SeriesSpec
+
+  private val spec = SeriesSpec(Seq("k"), Seq("t"), "p", n = 5)
+
+  private def genSeries(seed: Int): List[Double] = {
+    val rnd = new scala.util.Random(seed)
+    List.fill(6 + rnd.nextInt(35))(1.0 + rnd.nextDouble() * 999.0)
+  }
+
+  test("BB_UP >= SMA >= BB_DOWN wherever stddev is defined; RSI in [0,100]") {
+    (1 to 8).foreach { seed =>
+      val prices = genSeries(seed)
+      val df = prices.zipWithIndex.map { case (p, i) => ("k", i, p) }.toDF("k", "t", "p")
+      val out = Indicators.all(df, spec).collect()
+      out.foreach { r =>
+        val sma = r.getAs[Double]("sma")
+        if (!r.isNullAt(r.fieldIndex("bb_up"))) {
+          assert(r.getAs[Double]("bb_up") >= sma - 1e-9, s"seed $seed")
+          assert(r.getAs[Double]("bb_down") <= sma + 1e-9, s"seed $seed")
+        }
+        if (!r.isNullAt(r.fieldIndex("rsi"))) {
+          val rsi = r.getAs[Double]("rsi")
+          assert(rsi >= -1e-9 && rsi <= 100 + 1e-9, s"RSI out of range: $rsi (seed $seed)")
+        }
+      }
+    }
+  }
+
+  test("long shape: row count equals non-null wide cells; SMA never null") {
+    (10 to 14).foreach { seed =>
+      val prices = genSeries(seed)
+      val df = prices.zipWithIndex.map { case (p, i) => ("k", i, p) }.toDF("k", "t", "p")
+      val wide = Indicators.all(df, spec).collect()
+      val expected = wide.map { r =>
+        Seq("sma", "rsi", "bb_up", "bb_down").count(c => !r.isNullAt(r.fieldIndex(c)))
+      }.sum
+      val long = Indicators.allLong(df, spec)
+      assert(long.count() == expected, s"seed $seed")
+      assert(long.filter($"type_name" === "SMA").count() == prices.size, s"seed $seed")
+    }
+  }
+
+  test("exact dedup conserves rows and distinct keys on random corpora") {
+    (20 to 24).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val texts = List.fill(30)(rnd.alphanumeric.take(1 + rnd.nextInt(6)).mkString)
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      val groups = graft.operators.Dedup.exact(df, "doc_id", "text")
+      assert(groups.count() == texts.distinct.size, s"seed $seed")
+      val copies = groups.agg(org.apache.spark.sql.functions.sum("n_copies"))
+        .head().getLong(0)
+      assert(copies == texts.size, s"seed $seed")
+    }
+  }
+
+  test("indicator job idempotence property: recompute on same input is a fixed point") {
+    (30 to 32).foreach { seed =>
+      val prices = genSeries(seed)
+      val df = prices.zipWithIndex.map { case (p, i) =>
+        (1, 1, java.sql.Timestamp.valueOf(f"2024-01-01 ${i % 24}%02d:${i / 24}%02d:00"), p)
+      }.toDF("symbol_id", "interval_id", "close_time", "close_price")
+      val typeDim = graft.model.Schemas.indicatorTypeSeed.toDF("type_id", "type_name")
+      val once = graft.pipeline.IndicatorJob.computeIndicators(df, typeDim)
+      val fresh = graft.pipeline.IndicatorJob.newOnly(once, once)
+      assert(fresh.count() == 0, s"seed $seed: recompute appended rows")
+    }
+  }
+}
