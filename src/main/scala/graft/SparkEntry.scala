@@ -56,6 +56,7 @@ object SparkEntry {
     "q_multimodal_meta" -> (LlmQueries.multimodalMeta _),
     "q_sentiment" -> (LlmQueries.sentimentNews _),
     "q_rss_parse" -> (graft.queries.RssQueries.rssParse _),
+    "q_stateful_indicators" -> (StreamQueries.statefulIndicators _),
     "q_asof_join" -> (CoreQueries.asofJoin _),
     "q_distinct_agg" -> (CoreQueries.distinctAgg _),
     "q_rollup" -> (CoreQueries.rollupAgg _),
@@ -222,6 +223,7 @@ object SparkEntry {
     "q_ann_ivf" -> LlmQueries.annIvfOracle,
     "q_multimodal_meta" -> LlmQueries.multimodalMetaOracle,
     "q_rss_parse" -> graft.queries.RssQueries.rssParseOracle,
+    "q_stateful_indicators" -> StreamQueries.statefulIndicatorsOracle,
 
     "q_asof_join" ->
       """WITH e AS (

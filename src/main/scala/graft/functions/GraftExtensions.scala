@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions wiring: exposes the engine's native expressions to
+  * SQL users (`SELECT cosine_sim(a, b) FROM ...`), so the library is usable
+  * from pure-SQL contexts (thrift server, spark.sql notebooks) without Scala
+  * imports.
+  *
+  * Register at session build time:
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions)
+  * }}}
+  * or via config: `spark.sql.extensions=graft.functions.GraftExtensions`.
+  */
+object GraftExtensions {
+  /** Register on an ALREADY-RUNNING session (withExtensions only applies to
+    * newly-built contexts; getOrCreate on an existing session ignores it).
+    */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim",
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("match_fraction",
+      (args: Seq[Expression]) => LongArrayMatchFraction(args(0), args(1)), "scala_udf")
+  }
+}
+
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[CosineSimilarity].getName, null, name, usage,
+      "", "", "", "", "", "", "scala_udf")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
+      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("match_fraction"),
+      info("match_fraction", "match_fraction(a, b) - fraction of equal positions in two long arrays"),
+      (args: Seq[Expression]) => LongArrayMatchFraction(args(0), args(1))))
+  }
+}

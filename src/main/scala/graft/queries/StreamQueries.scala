@@ -108,6 +108,43 @@ object StreamQueries {
         unix_micros(col("window.start")).as("win_start_us"),
         col("event_type"), col("n"))
 
+  /** Stateful incremental indicators (flatMapGroupsWithState, batch mode)
+    * over the events series — the oracle recomputes the same values with
+    * declarative SQL windows, so the gate itself proves incremental ==
+    * declarative (StreamingSpec proves the streaming/cross-batch side).
+    */
+  def statefulIndicators(s: SparkSession, dir: String): DataFrame = {
+    val pts = graft.sources.Tables.events(s, dir)
+      .select(col("user_id").cast("int").as("symbol_id"),
+        lit(1).as("interval_id"),
+        col("ts_us").as("close_time"),
+        col("value").as("close_price"))
+    graft.streaming.StatefulIndicators.fromDataFrame(pts, n = 14)
+      .select(col("symbol_id").as("user_id"), col("close_time").as("ts_us"),
+        round(col("sma"), 6).as("sma"), round(col("rsi"), 6).as("rsi"),
+        round(col("bb_up"), 6).as("bb_up"), round(col("bb_down"), 6).as("bb_down"))
+  }
+
+  val statefulIndicatorsOracle: String =
+    """WITH diffs AS (
+      |  SELECT CAST(user_id AS INT) AS user_id, epoch_us(ts) AS ts_us, value,
+      |    value - lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS diff
+      |  FROM events
+      |), gl AS (
+      |  SELECT *,
+      |    CASE WHEN diff > 0 THEN diff ELSE 0.0 END AS gain,
+      |    CASE WHEN diff < 0 THEN -diff ELSE 0.0 END AS loss
+      |  FROM diffs
+      |)
+      |SELECT user_id, ts_us,
+      |  ROUND(AVG(value) OVER w, 6) AS sma,
+      |  ROUND(100.0 - 100.0 / (1.0 + (AVG(gain) OVER w) / NULLIF(AVG(loss) OVER w, 0.0)), 6) AS rsi,
+      |  ROUND(AVG(value) OVER w + 2 * STDDEV_SAMP(value) OVER w, 6) AS bb_up,
+      |  ROUND(AVG(value) OVER w - 2 * STDDEV_SAMP(value) OVER w, 6) AS bb_down
+      |FROM gl
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin
+
   val slidingWindowOracle: String =
     """WITH buckets AS (
       |  SELECT event_type, epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us

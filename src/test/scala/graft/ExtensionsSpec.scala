@@ -1,0 +1,34 @@
+package graft
+
+/** The native expressions are callable from pure SQL once registered. */
+class ExtensionsSpec extends SparkTestBase {
+
+  test("cosine_sim and match_fraction are callable from spark.sql") {
+    graft.functions.GraftExtensions.register(spark)
+    val cos = spark.sql(
+      "SELECT cosine_sim(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)))").head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-12)
+    val mf = spark.sql(
+      "SELECT match_fraction(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 9L))")
+      .head().getDouble(0)
+    assert(mf == 0.5)
+  }
+
+  test("SQL cosine agrees with the Column API on real embeddings") {
+    graft.functions.GraftExtensions.register(spark)
+    graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .limit(20).createOrReplaceTempView("emb_ext_test")
+    val viaSql = spark.sql(
+      """SELECT a.vec_id, b.vec_id, cosine_sim(a.embedding, b.embedding) AS c
+        |FROM emb_ext_test a JOIN emb_ext_test b ON a.vec_id < b.vec_id""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    import org.apache.spark.sql.functions._
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001").limit(20)
+    val viaApi = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        graft.operators.Similarity.cosine(col("a.embedding"), col("b.embedding")))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(viaSql == viaApi)
+  }
+}
