@@ -56,6 +56,7 @@ object SparkEntry {
     "q_multimodal_meta" -> (LlmQueries.multimodalMeta _),
     "q_sentiment" -> (LlmQueries.sentimentNews _),
     "q_rss_parse" -> (graft.queries.RssQueries.rssParse _),
+    "q_pipeline_e2e" -> (graft.queries.PipelineE2E.run _),
     "q_stateful_indicators" -> (StreamQueries.statefulIndicators _),
     "q_asof_join" -> (CoreQueries.asofJoin _),
     "q_distinct_agg" -> (CoreQueries.distinctAgg _),
@@ -223,6 +224,7 @@ object SparkEntry {
     "q_ann_ivf" -> LlmQueries.annIvfOracle,
     "q_multimodal_meta" -> LlmQueries.multimodalMetaOracle,
     "q_rss_parse" -> graft.queries.RssQueries.rssParseOracle,
+    "q_pipeline_e2e" -> graft.queries.PipelineE2E.oracle,
     "q_stateful_indicators" -> StreamQueries.statefulIndicatorsOracle,
 
     "q_asof_join" ->

@@ -35,8 +35,13 @@ object IndicatorJob {
       orderCols = Seq("close_time"),
       priceCol = "close_price",
       n = n)
+    // Indicator math runs in DOUBLE (decimal inputs would make the SMA
+    // branch decimal while RSI/Bollinger are double — stack() refuses the
+    // mix, and the reference's computation is effectively double anyway);
+    // the declared DECIMAL(18,8) precision is applied to the OUTPUT.
     val long = Indicators.allLong(
-      klines.select("symbol_id", "interval_id", "close_time", "close_price"), spec)
+      klines.select(col("symbol_id"), col("interval_id"), col("close_time"),
+        col("close_price").cast("double").as("close_price")), spec)
     Joins.dimJoin(long, typeDim, Seq("type_name"))
       .select(
         col("symbol_id"), col("interval_id"), col("type_id"),
