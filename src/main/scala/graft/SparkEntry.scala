@@ -61,6 +61,7 @@ object SparkEntry {
     "q_asof_join" -> (CoreQueries.asofJoin _),
     "q_distinct_agg" -> (CoreQueries.distinctAgg _),
     "q_rollup" -> (CoreQueries.rollupAgg _),
+    "q_percentile" -> (CoreQueries.percentileAgg _),
     "q_pivot" -> (CoreQueries.pivotAgg _)
   )
 
@@ -246,6 +247,13 @@ object SparkEntry {
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT l_returnflag,
+        |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+        |  ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,

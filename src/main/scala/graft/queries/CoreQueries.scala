@@ -200,6 +200,17 @@ object CoreQueries {
         sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double").as("sum_qty"),
         count(lit(1)).as("n"))
 
+  /** Exact interpolated percentiles (Spark `percentile` and DuckDB
+    * `quantile_cont` share the linear-interpolation definition).
+    */
+  def percentileAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
+        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+
   /** Pivot (wide conditional aggregation), null-filled to match COUNT(CASE). */
   def pivotAgg(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
