@@ -36,19 +36,26 @@ object Dedup {
 
   // --- shingling -------------------------------------------------------------
 
-  /** Word n-gram shingles as an array column (distinct). Tokenization is a
-    * plain single-space split, matching the oracle's string_split.
+  /** Word n-gram shingles from a MATERIALIZED token-array column (distinct).
+    * Tokenization is a plain single-space split, matching the oracle's
+    * string_split.
+    *
+    * The tokens must be a plan attribute, not an inline `split(...)`
+    * expression: interpreted HOF lambdas have no common-subexpression
+    * elimination, so an inline split would re-run once per element_at
+    * reference — O(tokens^2) per document (measured 6 s of an 8 s minhash
+    * run before this was hoisted).
     */
-  def shingleArray(textCol: Column, n: Int): Column = {
-    val toks = split(textCol, " ")
+  def shingleArray(toksCol: Column, n: Int): Column = {
     val ngram = (i: Column) =>
-      concat_ws(" ", (1 to n).map(j => element_at(toks, (i + lit(j)).cast("int"))): _*)
-    array_distinct(transform(sequence(lit(0), size(toks) - n), ngram))
+      concat_ws(" ", (1 to n).map(j => element_at(toksCol, (i + lit(j)).cast("int"))): _*)
+    array_distinct(transform(sequence(lit(0), size(toksCol) - n), ngram))
   }
 
   /** Exploded distinct (id, shingle) postings. */
   def shinglePostings(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("id"), explode(shingleArray(col(textCol), n)).as("shingle"))
+    df.select(col(idCol).as("id"), split(col(textCol), " ").as("_toks"))
+      .select(col("id"), explode(shingleArray(col("_toks"), n)).as("shingle"))
 
   /** Postings with shingles pre-hashed to 64-bit longs: the shuffle key drops
     * from ~n-word strings to 8 bytes and set-intersection verify runs on
@@ -169,8 +176,8 @@ object Dedup {
     * aggregate pass.
     */
   def simhash(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(shingleArray(col(textCol), n)).as("tok"))
+    val toks = shinglePostings(df, idCol, textCol, n)
+      .withColumnRenamed("shingle", "tok")
       .withColumn("h", xxhash64(col("tok")))
     val votes = (0 until 64).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"v$i")
