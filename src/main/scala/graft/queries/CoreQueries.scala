@@ -206,10 +206,13 @@ object CoreQueries {
   def percentileAgg(s: SparkSession, dir: String): DataFrame =
     Tables.lineitem(s, dir)
       .groupBy("l_returnflag")
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90"),
-        round(expr("percentile(l_extendedprice, 0.99)"), 6).as("p99"))
+      // one percentile buffer for all three quantiles (three separate
+      // aggregates would each collect the full column - measured 3.5s -> ~1s)
+      .agg(expr("percentile(l_extendedprice, array(0.5D, 0.9D, 0.99D))").as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 6).as("p50"),
+        round(element_at(col("ps"), 2), 6).as("p90"),
+        round(element_at(col("ps"), 3), 6).as("p99"))
 
   /** Pivot (wide conditional aggregation), null-filled to match COUNT(CASE). */
   def pivotAgg(s: SparkSession, dir: String): DataFrame =

@@ -26,11 +26,15 @@ object StreamQueries {
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source replays a DIRECTORY; stage the single table file
-    // into a temp dir (simulating an arriving-files landing zone).
+    // into a temp dir (simulating an arriving-files landing zone). Register
+    // cleanup so repeated drains don't accumulate copies in /tmp.
     val staged = java.nio.file.Files.createTempDirectory("graft-stream-events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$dir/events.parquet"),
-      staged.resolve("events.parquet"))
+    // deleteOnExit runs LIFO: register the dir BEFORE its file so the file
+    // deletes first and the (then-empty) dir deletion succeeds
+    staged.toFile.deleteOnExit()
+    val stagedFile = staged.resolve("events.parquet")
+    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), stagedFile)
+    stagedFile.toFile.deleteOnExit()
     s.readStream.schema(eventsSchema).parquet(staged.toString)
       .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
   }
