@@ -93,10 +93,18 @@ object TextAnalysis {
 
   /** Polynomial rolling hash of the full text, mod 1e9+7 — a deterministic
     * content fingerprint computable by any engine (unlike murmur/xxhash,
-    * whose constants differ across systems). acc stays < 2^35 so the fold
-    * never overflows under ANSI arithmetic.
+    * whose constants differ across systems). Codegen'd byte loop
+    * ([[graft.functions.PolyHash]]); identical to [[fingerprintHof]] for
+    * ASCII content and to the DuckDB list_reduce oracle.
     */
   def fingerprint(text: Column): Column =
+    graft.functions.TextFunctions.poly_hash(text)
+
+  /** The composable-HOF formulation (walks code points via ascii/substr),
+    * kept as the reference the native expression is pinned against.
+    * acc stays < 2^35 so the fold never overflows under ANSI arithmetic.
+    */
+  def fingerprintHof(text: Column): Column =
     aggregate(
       transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
       lit(0L),

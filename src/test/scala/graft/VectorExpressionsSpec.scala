@@ -45,4 +45,17 @@ class VectorExpressionsSpec extends SparkTestBase {
     val out = v.select(Similarity.cosine($"a", $"b")).collect()
     assert(out(0).isNullAt(0))
   }
+
+  test("native poly_hash == HOF fingerprint on the ASCII corpus") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val diff = docs.select(
+        graft.operators.TextAnalysis.fingerprint(col("text")).as("native"),
+        graft.operators.TextAnalysis.fingerprintHof(col("text")).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0)
+    // hand value: "ab" -> 97*31+98 = 3105
+    val v = Seq("ab").toDF("t")
+      .select(graft.operators.TextAnalysis.fingerprint($"t")).as[Long].head()
+    assert(v == 3105L)
+  }
 }
