@@ -50,6 +50,8 @@ object SparkEntry {
     "q_ngram_jaccard" -> (LlmQueries.ngramJaccard _),
     "q_minhash_neardup" -> (LlmQueries.minhashNearDup _),
     "q_simhash_neardup" -> (LlmQueries.simhashNearDup _),
+    "q_dedup_clusters" -> (LlmQueries.dedupClusters _),
+    "q_top_terms" -> (LlmQueries.topTerms _),
     "q_embed_neardup" -> (LlmQueries.embedNearDup _),
     "q_cosine_topk" -> (LlmQueries.cosineTopK _),
     "q_ann_ivf" -> (LlmQueries.annIvf _),
@@ -219,6 +221,8 @@ object SparkEntry {
     "q_lang_id" -> LlmQueries.langIdOracle,
     "q_fingerprint" -> LlmQueries.fingerprintOracle,
     "q_ngram_jaccard" -> LlmQueries.ngramJaccardOracle,
+    "q_dedup_clusters" -> LlmQueries.dedupClustersOracle,
+    "q_top_terms" -> LlmQueries.topTermsOracle,
     "q_minhash_neardup" -> LlmQueries.ngramJaccardOracle,
     "q_embed_neardup" -> LlmQueries.embedNearDupOracle,
     "q_cosine_topk" -> LlmQueries.cosineTopKOracle,

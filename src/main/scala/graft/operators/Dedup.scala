@@ -167,6 +167,50 @@ object Dedup {
       .select(col("id_1"), col("id_2"), col("jaccard"))
   }
 
+  // --- cluster resolution ----------------------------------------------------
+
+  /** Connected components over a near-dup pair graph: every doc gets the
+    * MINIMUM doc id reachable through pairs as its cluster label — the
+    * "keep one canonical doc per duplicate cluster" step a dedup pipeline
+    * actually ships.
+    *
+    * Distributed small-label propagation: each iteration joins current
+    * labels across the (symmetrized) edge list and keeps the per-node min;
+    * converges in O(diameter) rounds, each one shuffle on the node id.
+    * Label tables are checkpointed per round (localCheckpoint) so the plan
+    * does not grow exponentially across iterations.
+    *
+    * @param pairs (id_1, id_2) near-dup pairs (e.g. from [[minhashNearDup]])
+    * @param nodes one-column DataFrame of all ids (singletons label selves)
+    */
+  def clusterLabels(pairs: DataFrame, nodes: DataFrame, maxIter: Int = 20): DataFrame = {
+    val idCol = nodes.columns.head
+    val edges = pairs.select(col("id_1").as("src"), col("id_2").as("dst"))
+      .unionByName(pairs.select(col("id_2").as("src"), col("id_1").as("dst")))
+      .localCheckpoint()
+    var labels = nodes.select(col(idCol).cast("long").as("node"),
+      col(idCol).cast("long").as("label")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // candidate labels flowing along edges: neighbor's current label
+      val viaEdges = edges
+        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.unionByName(viaEdges)
+        .groupBy("node").agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      val changed = next.as("n")
+        .join(labels.as("o"), col("n.node") === col("o.node"))
+        .filter(col("n.label") =!= col("o.label"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
   // --- SimHash ---------------------------------------------------------------
 
   /** 64-bit SimHash over n-gram shingle features: per bit, shingles vote

@@ -137,11 +137,92 @@ object LlmQueries {
         n = 3, threshold = JaccardThreshold, k = 128, bands = 64)
       .select(col("id_1"), col("id_2"), round(col("jaccard"), 6).as("jaccard"))
 
+  /** Near-dup cluster resolution: connected components over the exact-
+    * Jaccard pair graph, labeling each clustered doc with the minimum
+    * reachable doc_id. Only non-singleton members are returned. The oracle
+    * computes the same transitive closure with a recursive CTE.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+      threshold = JaccardThreshold)
+    val labels = Dedup.clusterLabels(pairs.select("id_1", "id_2"),
+      docs.select("doc_id"))
+    labels.filter(col("node") =!= col("label"))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .unionByName(
+        // cluster roots that actually have members
+        labels.filter(col("node") =!= col("label"))
+          .select(col("label").as("doc_id"), col("label").as("cluster_id"))
+          .distinct())
+  }
+
+  val dedupClustersOracle: String =
+    """WITH RECURSIVE tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(w, 2) OVER win IS NOT NULL
+      |), ds AS (SELECT DISTINCT doc_id, s FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+      |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), pairs AS (
+      |  SELECT id_1, id_2 FROM inter
+      |  JOIN sizes s1 ON id_1 = s1.doc_id JOIN sizes s2 ON id_2 = s2.doc_id
+      |  WHERE CAST(i AS DOUBLE) / (s1.sz + s2.sz - i) >= 0.5
+      |), edges AS (
+      |  SELECT id_1 AS src, id_2 AS dst FROM pairs
+      |  UNION ALL SELECT id_2, id_1 FROM pairs
+      |), reach(node, label) AS (
+      |  SELECT src, src FROM edges
+      |  UNION
+      |  SELECT e.src, r.label FROM edges e JOIN reach r ON e.dst = r.node
+      |)
+      |SELECT node AS doc_id, MIN(label) AS cluster_id
+      |FROM reach GROUP BY node""".stripMargin
+
   /** SimHash near-dup pairs. xxhash64-dependent, so no SQL oracle (rows-only
     * gate); precision/recall pinned by DedupSpec on planted perturbations.
     */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text", maxHamming = 12)
+
+  /** Corpus term frequencies with stopword removal: top-20 terms. The final
+    * top-k window is a single-partition row_number over the (tiny) aggregated
+    * term table — the heavy lifting (explode + count) is fully distributed.
+    */
+  def topTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val stop = TextAnalysis.enStopwords
+    val counts = Tables.documents(s, dir)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .filter(!col("term").isin(stop.map(x => x: Any): _*) && col("term") =!= "")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+    counts
+      .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("term"))))
+      .filter(col("rk") <= 20)
+      .select("term", "n", "rk")
+  }
+
+  val topTermsOracle: String = {
+    val stop = TextAnalysis.enStopwords.map("'" + _ + "'").mkString("(", ", ", ")")
+    s"""WITH t AS (
+       |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+       |), c AS (
+       |  SELECT term, COUNT(*) AS n FROM t
+       |  WHERE term NOT IN $stop AND term <> ''
+       |  GROUP BY term
+       |)
+       |SELECT term, n, CAST(row_number() OVER (ORDER BY n DESC, term) AS INT) AS rk
+       |FROM c QUALIFY rk <= 20""".stripMargin
+  }
 
   // --- embedding similarity --------------------------------------------------
 

@@ -1,0 +1,37 @@
+package graft
+
+import graft.operators.Dedup
+
+/** Connected-component cluster labeling: chains, separate components,
+  * singletons, convergence on multi-hop graphs.
+  */
+class ClusterSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def labelsOf(pairs: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] =
+    Dedup.clusterLabels(pairs.toDF("id_1", "id_2"), nodes.toDF("id"))
+      .as[(Long, Long)].collect().toMap
+
+  test("chain merges into one cluster labeled by the minimum id") {
+    // 5 - 3 - 9 - 7 chain, plus pair (20, 21), plus singleton 42
+    val l = labelsOf(Seq((5L, 3L), (3L, 9L), (9L, 7L), (20L, 21L)),
+      Seq(3L, 5L, 7L, 9L, 20L, 21L, 42L))
+    assert(Seq(3L, 5L, 7L, 9L).forall(l(_) == 3L))
+    assert(l(20L) == 20L && l(21L) == 20L)
+    assert(l(42L) == 42L)
+  }
+
+  test("long path converges within the iteration bound") {
+    // 0-1-2-...-15 path: worst case for label propagation
+    val pairs = (0L until 15L).map(i => (i, i + 1))
+    val l = labelsOf(pairs, 0L to 15L)
+    assert((0L to 15L).forall(l(_) == 0L))
+  }
+
+  test("labels are idempotent: relabeling the labeled graph changes nothing") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
+    val once = labelsOf(pairs, Seq(1L, 2L, 3L, 10L, 11L))
+    val twice = labelsOf(pairs, Seq(1L, 2L, 3L, 10L, 11L))
+    assert(once == twice)
+  }
+}
