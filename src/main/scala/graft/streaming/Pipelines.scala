@@ -58,6 +58,31 @@ object Pipelines {
   val klineKeys: Seq[String] = Seq("symbol", "interval", "open_time")
   val newsKeys: Seq[String] = Seq("url")
 
+  /** Stream-stream correlation: klines joined with news published in the
+    * preceding `lookback` window (the price x news analysis the reference's
+    * star schema supports only offline). Both sides carry watermarks so the
+    * join state is bounded; the time-range predicate lets Spark expire rows
+    * deterministically.
+    *
+    * Inputs: decoded kline stream (with `symbol`, event-time `open_time`)
+    * and a news stream carrying a `symbol` column (extraction from
+    * title/content is the caller's tokenizer choice) and `created_date`.
+    */
+  def priceNewsJoin(
+      klines: DataFrame,
+      news: DataFrame,
+      lookback: String = "1 hour",
+      watermark: String = "10 minutes"): DataFrame = {
+    val k = klines.withWatermark("open_time", watermark)
+    val n = news.withWatermark("created_date", watermark)
+    k.join(n,
+      k("symbol") === n("symbol") &&
+        n("created_date") >= k("open_time") - expr(s"INTERVAL $lookback") &&
+        n("created_date") <= k("open_time"),
+      "inner")
+      .drop(n("symbol"))
+  }
+
   /** Start a pipeline into an idempotent parquet sink. `availableNow = true`
     * is the Airflow-style run-to-completion drain (T6/T7); false runs
     * continuously at `cadence` (T5; 10s prices / 30s news in the reference).

@@ -114,6 +114,30 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stream-stream join: klines correlate with news in the lookback window (T8 upgrade)") {
+    implicit val sqlCtx = spark.sqlContext
+    val kMem = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val nMem = MemoryStream[(String, java.sql.Timestamp, String)]
+    val klines = kMem.toDF().toDF("symbol", "open_time", "close_price")
+    val news = nMem.toDF().toDF("symbol", "created_date", "title")
+    val joined = Pipelines.priceNewsJoin(klines, news, lookback = "1 hour")
+    val name = "price_news_join"
+    val q = joined.writeStream.outputMode("append").format("memory").queryName(name).start()
+    try {
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      nMem.addData(
+        ("BTCUSDT", ts("2024-01-01 09:30:00"), "btc rallies"),
+        ("BTCUSDT", ts("2024-01-01 07:00:00"), "too old"),
+        ("ETHUSDT", ts("2024-01-01 09:45:00"), "wrong symbol"))
+      kMem.addData(("BTCUSDT", ts("2024-01-01 10:00:00"), 42000.0))
+      q.processAllAvailable()
+      val rows = spark.table(name).collect()
+      // only the in-window, same-symbol article correlates
+      assert(rows.length == 1)
+      assert(rows.head.getAs[String]("title") == "btc rallies")
+    } finally q.stop()
+  }
+
   test("stateful indicators keep state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StatefulIndicators.KlinePoint]
