@@ -59,7 +59,8 @@ object StreamQueries {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    // bounded wait: a wedged drain must not stall the whole verify run
+    if (!q.awaitTermination(300000L)) q.stop()
     s.table(name).select(
       unix_micros(col("window.start")).as("win_start_us"),
       col("event_type"), col("n"), col("sum_value"))
