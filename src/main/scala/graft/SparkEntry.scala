@@ -64,6 +64,9 @@ object SparkEntry {
     "q_distinct_agg" -> (CoreQueries.distinctAgg _),
     "q_rollup" -> (CoreQueries.rollupAgg _),
     "q_percentile" -> (CoreQueries.percentileAgg _),
+    "q_range_join" -> (CoreQueries.rangeJoin _),
+    "q_set_ops" -> (CoreQueries.setOps _),
+    "q_vector_stats" -> (CoreQueries.vectorStats _),
     "q_pivot" -> (CoreQueries.pivotAgg _)
   )
 
@@ -258,6 +261,31 @@ object SparkEntry {
         |  ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
         |  ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_range_join" ->
+      """WITH iv AS (
+        |  SELECT user_id AS window_user, MIN(epoch_us(ts)) AS start_us
+        |  FROM events WHERE user_id < 20 GROUP BY 1
+        |)
+        |SELECT window_user, COUNT(*) AS n_events
+        |FROM events e JOIN iv
+        |  ON epoch_us(e.ts) >= iv.start_us
+        | AND epoch_us(e.ts) < iv.start_us + 7200000000
+        |GROUP BY window_user""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9900
+        |INTERSECT
+        |SELECT c_nationkey FROM customer
+        |EXCEPT
+        |SELECT c_nationkey FROM customer WHERE c_acctbal < -900""".stripMargin,
+
+    "q_vector_stats" ->
+      """SELECT vec_id,
+        |  ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS sum,
+        |  ROUND(CAST(list_max(embedding) AS DOUBLE), 6) AS mx,
+        |  len(list_filter(embedding, x -> x > 0)) AS n_pos
+        |FROM embeddings""".stripMargin,
 
     "q_pivot" ->
       """SELECT user_id,

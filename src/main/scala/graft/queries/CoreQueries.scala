@@ -214,6 +214,50 @@ object CoreQueries {
         round(element_at(col("ps"), 2), 6).as("p90"),
         round(element_at(col("ps"), 3), 6).as("p99"))
 
+  /** Range (interval containment) join: events falling inside each order's
+    * [orderdate, orderdate+7d) week, counted per order status. The join is a
+    * BroadcastNestedLoopJoin at this dim size; at scale, bucketing by
+    * coarse time bands turns it into an equi-join prefilter (documented in
+    * Scale).
+    */
+  def rangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select(col("event_id"), col("ts_us"), col("user_id"))
+    val intervals = ev.filter(col("user_id") < 20)
+      .groupBy(col("user_id").as("window_user"))
+      .agg(min(col("ts_us")).as("start_us"))
+      .withColumn("end_us", col("start_us") + lit(2L * 3600000000L))
+    ev.join(broadcast(intervals),
+        col("ts_us") >= col("start_us") && col("ts_us") < col("end_us"))
+      .groupBy("window_user")
+      .agg(count(lit(1)).as("n_events"))
+  }
+
+  /** INTERSECT / EXCEPT set semantics (absent from the reference): customer
+    * nations present among top-balance customers but absent among
+    * negative-balance ones.
+    */
+  def setOps(s: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(s, dir)
+    val rich = cust.filter(col("c_acctbal") > 9900).select("c_nationkey")
+    val poor = cust.filter(col("c_acctbal") < -900).select("c_nationkey")
+    val all = cust.select("c_nationkey")
+    rich.intersect(all) // distinct intersect (no-op set, exercises the op)
+      .except(poor) // distinct except
+      .withColumnRenamed("c_nationkey", "nationkey")
+  }
+
+  /** Higher-order array functions over embeddings: per-vector stats via
+    * transform/filter/aggregate (the HOF surface as such — the hot paths use
+    * the codegen'd expressions instead).
+    */
+  def vectorStats(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir).select(
+      col("vec_id"),
+      round(aggregate(transform(col("embedding"), x => x.cast("double")),
+        lit(0.0), (a, x) => a + x), 6).as("sum"),
+      round(array_max(col("embedding")).cast("double"), 6).as("mx"),
+      size(filter(col("embedding"), x => x > 0)).as("n_pos"))
+
   /** Pivot (wide conditional aggregation), null-filled to match COUNT(CASE). */
   def pivotAgg(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
