@@ -25,4 +25,24 @@ class QueriesSmokeSpec extends SparkTestBase {
     val extra = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(extra.isEmpty, s"oracles without queries: $extra")
   }
+
+  test("every query has an oracle except the documented rows-only set") {
+    // hash-function-dependent (SimHash) or imperative (VADER) outputs
+    val documentedRowsOnly = Set("q_simhash_neardup", "q_sentiment")
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(missing == documentedRowsOnly,
+      s"undocumented rows-only queries: ${missing -- documentedRowsOnly}")
+  }
+
+  test("golden pin: the e2e pipeline result is byte-stable across rounds") {
+    // Fixture-driven, so this hash must never change unless semantics
+    // intentionally change — catches silent drift in any pipeline stage.
+    val rows = graft.queries.PipelineE2E.run(spark, sfDir)
+      .collect().map(_.toString).sorted.mkString("\n")
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(rows.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(rows.linesIterator.size == 622)
+    assert(digest == "d83e9ab1b297f5484f2c20ea7c71c558",
+      s"e2e golden drifted: $digest")
+  }
 }
