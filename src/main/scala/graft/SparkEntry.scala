@@ -294,7 +294,9 @@ object SparkEntry {
         |  COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
         |  COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
         |  COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error
-        |FROM events GROUP BY user_id""".stripMargin
-    // q_simhash_neardup, q_sentiment: hash-/imperative-dependent -> rows-only
+        |FROM events GROUP BY user_id""".stripMargin,
+
+    "q_simhash_neardup" -> LlmQueries.simhashNearDupOracle,
+    "q_sentiment" -> LlmQueries.sentimentOracle
   )
 }

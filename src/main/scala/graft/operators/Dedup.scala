@@ -49,7 +49,12 @@ object Dedup {
   def shingleArray(toksCol: Column, n: Int): Column = {
     val ngram = (i: Column) =>
       concat_ws(" ", (1 to n).map(j => element_at(toksCol, (i + lit(j)).cast("int"))): _*)
-    array_distinct(transform(sequence(lit(0), size(toksCol) - n), ngram))
+    // Docs shorter than n tokens yield ZERO shingles, like the oracle's
+    // QUALIFY lead IS NOT NULL. Unguarded, sequence(0, size-n) with size<n
+    // descends (default step -1) into index 0 — an ANSI INVALID_INDEX error.
+    when(size(toksCol) >= n,
+      array_distinct(transform(sequence(lit(0), size(toksCol) - n), ngram)))
+      .otherwise(array().cast("array<string>"))
   }
 
   /** Exploded distinct (id, shingle) postings. */
@@ -219,15 +224,30 @@ object Dedup {
     * when the vocabulary is small. 64 codegen'd conditional sums in ONE
     * aggregate pass.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame = {
+  /** Default shingle hash: Spark-native codegen'd xxhash64 (fast path). */
+  val xxhashTok: Column => Column = (c: Column) => xxhash64(c)
+
+  /** Portable 60-bit shingle hash — top 15 hex chars of md5, so an external
+    * engine (the DuckDB oracle) can recompute the identical fingerprints:
+    * both sides parse the same big-endian hex prefix. Slower than xxhash64;
+    * the production path keeps the default.
+    */
+  val md5Tok60: Column => Column =
+    (c: Column) => conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** @param bits fingerprint width; must match the range of `tokHash` (64 for
+    *        xxhash64, 60 for md5Tok60).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
+      bits: Int = 64, tokHash: Column => Column = xxhashTok): DataFrame = {
     val toks = shinglePostings(df, idCol, textCol, n)
       .withColumnRenamed("shingle", "tok")
-      .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map { i =>
+      .withColumn("h", tokHash(col("tok")))
+    val votes = (0 until bits).map { i =>
       sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"v$i")
     }
     val agg = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64)
+    val fp = (0 until bits)
       .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     agg.select(col("id"), fp.as("simhash"))
@@ -238,11 +258,14 @@ object Dedup {
     * above), verified with bit_count(xor).
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, n: Int = 3): DataFrame = {
-    val fps = simhash(df, idCol, textCol, n)
+      maxHamming: Int = 3, n: Int = 3,
+      bits: Int = 64, tokHash: Column => Column = xxhashTok): DataFrame = {
+    val chunkBits = bits / 4
+    val chunkMask = (1L << chunkBits) - 1
+    val fps = simhash(df, idCol, textCol, n, bits, tokHash)
     val banded = fps.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*)))
+        shiftright(col("simhash"), b * chunkBits).bitwiseAND(lit(chunkMask))): _*)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     banded.as("a")
       .join(banded.as("b"),

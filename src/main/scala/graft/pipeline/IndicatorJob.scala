@@ -62,7 +62,7 @@ object IndicatorJob {
       typeDim: DataFrame, n: Int = 14): Long = {
     val klines = spark.read.parquet(klineFactPath)
     val computed = computeIndicators(klines, typeDim, n)
-    val fresh = if (new java.io.File(indicatorFactPath).exists()) {
+    val fresh = if (graft.streaming.IdempotentWriter.sinkExists(spark, indicatorFactPath)) {
       val existing = spark.read.parquet(indicatorFactPath).select(keyCols.map(col): _*)
       newOnly(computed, existing)
     } else computed

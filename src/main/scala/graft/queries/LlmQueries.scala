@@ -188,11 +188,51 @@ object LlmQueries {
       |SELECT node AS doc_id, MIN(label) AS cluster_id
       |FROM reach GROUP BY node""".stripMargin
 
-  /** SimHash near-dup pairs. xxhash64-dependent, so no SQL oracle (rows-only
-    * gate); precision/recall pinned by DedupSpec on planted perturbations.
+  /** SimHash near-dup pairs, gated end-to-end: the portable 60-bit md5-prefix
+    * shingle hash lets the oracle recompute the IDENTICAL fingerprints, band
+    * chunks, and Hamming verification in SQL — bit-voting, 4x15-bit
+    * pigeonhole banding, and xor/bit_count verify are all replayed
+    * independently. (The production default stays xxhash64, covered by
+    * DedupSpec precision/recall on planted perturbations.)
     */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text", maxHamming = 12)
+    Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text",
+      maxHamming = 12, bits = 60, tokHash = Dedup.md5Tok60)
+
+  val simhashNearDupOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(w, 2) OVER win IS NOT NULL
+      |), ds AS (SELECT DISTINCT doc_id, s FROM sh),
+      |hashed AS (
+      |  SELECT doc_id,
+      |    CAST(CAST('0x' || substr(md5(s), 1, 15) AS UBIGINT) AS BIGINT) AS h
+      |  FROM ds
+      |), votes AS (
+      |  SELECT doc_id, t.b,
+      |    SUM(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM hashed, range(60) t(b) GROUP BY doc_id, t.b
+      |), fp AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS fp
+      |  FROM votes GROUP BY doc_id
+      |), banded AS (
+      |  SELECT doc_id, fp, t.b AS band, (fp >> (t.b * 15)) & 32767 AS chunk
+      |  FROM fp, range(4) t(b)
+      |), cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_1, b.doc_id AS id_2,
+      |         a.fp AS fa, b.fp AS fb
+      |  FROM banded a JOIN banded b
+      |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+      |)
+      |SELECT id_1, id_2, bit_count(xor(fa, fb)) AS hamming
+      |FROM cand WHERE bit_count(xor(fa, fb)) <= 12""".stripMargin
 
   /** Corpus term frequencies with stopword removal: top-20 terms. The final
     * top-k window is a single-partition row_number over the (tiny) aggregated
@@ -344,9 +384,94 @@ object LlmQueries {
     val news = graft.sources.KafkaJson.parseNews(
       WireQueries.newsFixtures.toDF("value"))
       .select(col("url").as("id"), col("content").as("text"))
-    val docs = Tables.documents(s, dir).limit(50)
+    // doc_id < 50, not limit(50): the subset must be deterministic for the
+    // SQL oracle to score the same rows.
+    val docs = Tables.documents(s, dir).filter(col("doc_id") < 50)
       .select(col("doc_id").cast("string").as("id"), col("text"))
     news.unionByName(docs)
       .select(col("id"), round(Sentiment.sentiment(col("text")), 6).as("compound"))
+  }
+
+  /** The full VADER-style scorer replayed in SQL: lexicon/booster/negation
+    * tables as VALUES, token stream via lateral range over the regex-split
+    * array, the 3-token booster lookback as sequential lateral-alias CASE
+    * steps (v1→v2→v3, sign checked on the RUNNING valence exactly like the
+    * imperative loop), negation flip after boosting, exclamation emphasis
+    * from the raw text, and the alpha-15 compound normalization.
+    */
+  val sentimentOracle: String = {
+    val lexVals = graft.operators.Sentiment.lexicon.toSeq.sorted
+      .map { case (w, v) => s"('$w', $v)" }.mkString(", ")
+    val boostVals = graft.operators.Sentiment.boosters.toSeq.sorted
+      .map { case (w, b) => s"('$w', $b)" }.mkString(", ")
+    val negVals = graft.operators.Sentiment.negations.toSeq.sorted
+      .map(w => s"('$w')").mkString(", ")
+    val newsVals = Seq(
+      ("https://www.coindesk.com/markets-bitcoin-tops-42k", "Bitcoin rose above 42000 on Monday."),
+      ("https://www.newsbtc.com/analysis/eth-outlook", ""),
+      ("https://www.coindesk.com/policy-regulation-watch", "Regulators weigh new crypto rules; markets shrug."))
+      .map { case (u, t) => s"('$u', '${t.replace("'", "''")}')" }.mkString(", ")
+    s"""WITH lex(word, val) AS (VALUES $lexVals),
+       |boost(word, b) AS (VALUES $boostVals),
+       |neg(word) AS (VALUES $negVals),
+       |news(id, text) AS (VALUES $newsVals),
+       |corpus AS (
+       |  SELECT id, text FROM news
+       |  UNION ALL
+       |  SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents WHERE doc_id < 50
+       |), arrs AS (
+       |  SELECT id, text,
+       |    list_filter(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
+       |                x -> x <> '') AS arr
+       |  FROM corpus
+       |), toks AS (
+       |  SELECT id, generate_subscripts(arr, 1) AS i, unnest(arr) AS tok
+       |  FROM arrs
+       |), ctx AS (
+       |  SELECT id, i, tok,
+       |    lag(tok, 1) OVER w AS p1, lag(tok, 2) OVER w AS p2, lag(tok, 3) OVER w AS p3
+       |  FROM toks WINDOW w AS (PARTITION BY id ORDER BY i)
+       |), joined AS (
+       |  SELECT c.id, lv.val AS v0,
+       |    CASE WHEN l1.word IS NULL THEN COALESCE(b1.b, 0.0) ELSE 0.0 END AS a1,
+       |    CASE WHEN l2.word IS NULL THEN COALESCE(b2.b, 0.0) * 0.95 ELSE 0.0 END AS a2,
+       |    CASE WHEN l3.word IS NULL THEN COALESCE(b3.b, 0.0) * 0.9 ELSE 0.0 END AS a3,
+       |    (n1.word IS NOT NULL OR n2.word IS NOT NULL OR n3.word IS NOT NULL) AS negated
+       |  FROM ctx c
+       |  JOIN lex lv ON lv.word = c.tok
+       |  LEFT JOIN lex l1 ON l1.word = c.p1
+       |  LEFT JOIN lex l2 ON l2.word = c.p2
+       |  LEFT JOIN lex l3 ON l3.word = c.p3
+       |  LEFT JOIN boost b1 ON b1.word = c.p1
+       |  LEFT JOIN boost b2 ON b2.word = c.p2
+       |  LEFT JOIN boost b3 ON b3.word = c.p3
+       |  LEFT JOIN neg n1 ON n1.word = c.p1
+       |  LEFT JOIN neg n2 ON n2.word = c.p2
+       |  LEFT JOIN neg n3 ON n3.word = c.p3
+       |), stepped AS (
+       |  SELECT id,
+       |    v0 + CASE WHEN v0 >= 0 THEN a1 ELSE -a1 END AS v1,
+       |    v1 + CASE WHEN v1 >= 0 THEN a2 ELSE -a2 END AS v2,
+       |    v2 + CASE WHEN v2 >= 0 THEN a3 ELSE -a3 END AS v3,
+       |    CASE WHEN negated THEN v3 * -0.74 ELSE v3 END AS score
+       |  FROM joined
+       |), sums AS (
+       |  SELECT id, SUM(score) AS s FROM stepped GROUP BY id
+       |), agg AS (
+       |  SELECT c.id, c.text, COALESCE(su.s, 0.0) AS s0,
+       |    LEAST(4, length(c.text) - length(replace(c.text, '!', ''))) AS ep
+       |  FROM corpus c LEFT JOIN sums su ON c.id = su.id
+       |), emph AS (
+       |  SELECT id, text,
+       |    CASE WHEN s0 <> 0.0
+       |         THEN s0 + CASE WHEN s0 > 0 THEN 1.0 ELSE -1.0 END * ep * 0.292
+       |         ELSE s0 END AS s1
+       |  FROM agg
+       |)
+       |SELECT id,
+       |  CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
+       |       ELSE ROUND(GREATEST(-1.0, LEAST(1.0, s1 / sqrt(s1 * s1 + 15.0))), 6)
+       |  END AS compound
+       |FROM emph""".stripMargin
   }
 }

@@ -123,8 +123,9 @@ object StreamQueries {
       .select(col("user_id").cast("int").as("symbol_id"),
         lit(1).as("interval_id"),
         col("ts_us").as("close_time"),
-        col("value").as("close_price"))
-    graft.streaming.StatefulIndicators.fromDataFrame(pts, n = 14)
+        col("value").as("close_price"),
+        col("event_id"))
+    graft.streaming.StatefulIndicators.fromDataFrame(pts, n = 14, tiebreakCol = Some("event_id"))
       .select(col("symbol_id").as("user_id"), col("close_time").as("ts_us"),
         round(col("sma"), 6).as("sma"), round(col("rsi"), 6).as("rsi"),
         round(col("bb_up"), 6).as("bb_up"), round(col("bb_down"), 6).as("bb_down"))
@@ -132,8 +133,8 @@ object StreamQueries {
 
   val statefulIndicatorsOracle: String =
     """WITH diffs AS (
-      |  SELECT CAST(user_id AS INT) AS user_id, epoch_us(ts) AS ts_us, value,
-      |    value - lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) AS diff
+      |  SELECT CAST(user_id AS INT) AS user_id, epoch_us(ts) AS ts_us, value, event_id,
+      |    value - lag(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS diff
       |  FROM events
       |), gl AS (
       |  SELECT *,
@@ -147,7 +148,7 @@ object StreamQueries {
       |  ROUND(AVG(value) OVER w + 2 * STDDEV_SAMP(value) OVER w, 6) AS bb_up,
       |  ROUND(AVG(value) OVER w - 2 * STDDEV_SAMP(value) OVER w, 6) AS bb_down
       |FROM gl
-      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id
       |             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin
 
   val slidingWindowOracle: String =

@@ -48,7 +48,13 @@ object WireQueries {
         col("symbol"), col("interval"),
         unix_timestamp(col("open_time")).as("open_sec"),
         unix_timestamp(col("close_time")).as("close_sec"),
-        col("open_price"), col("close_price"), col("volume"))
+        // Decimals leave the gate as full-scale plain strings: Spark's
+        // decimal->string and DuckDB's decimal->varchar render identically
+        // ("42283.5800000000"), while decimal-typed columns are read back
+        // asymmetrically by the comparer (Decimal objects vs float64).
+        col("open_price").cast("string").as("open_price"),
+        col("close_price").cast("string").as("close_price"),
+        col("volume").cast("string").as("volume"))
 
   val parsePricesOracle: String =
     s"""WITH raw(value) AS (VALUES ${priceFixtures.map(f => "('" + f.replace("'", "''") + "')").mkString(", ")})
@@ -57,9 +63,9 @@ object WireQueries {
        |  COALESCE(json_extract_string(value, '$$.interval'), '1h') AS interval,
        |  CAST(json_extract_string(value, '$$.open_time') AS BIGINT) // 1000 AS open_sec,
        |  CAST(json_extract_string(value, '$$.close_time') AS BIGINT) // 1000 AS close_sec,
-       |  CAST(json_extract_string(value, '$$.open') AS DECIMAL(20,10)) AS open_price,
-       |  CAST(json_extract_string(value, '$$.close') AS DECIMAL(20,10)) AS close_price,
-       |  CAST(json_extract_string(value, '$$.volume') AS DECIMAL(38,18)) AS volume
+       |  CAST(CAST(json_extract_string(value, '$$.open') AS DECIMAL(20,10)) AS VARCHAR) AS open_price,
+       |  CAST(CAST(json_extract_string(value, '$$.close') AS DECIMAL(20,10)) AS VARCHAR) AS close_price,
+       |  CAST(CAST(json_extract_string(value, '$$.volume') AS DECIMAL(38,18)) AS VARCHAR) AS volume
        |FROM raw""".stripMargin
 
   /** News-message decode (S5/E9): nullable tag, tz-offset timestamps. */
@@ -111,15 +117,18 @@ object WireQueries {
     import s.implicits._
     decimalFixtures.toDF("raw")
       .select(col("raw"),
-        col("raw").cast(Schemas.priceDecimal).as("price"),
-        col("raw").cast(Schemas.volumeDecimal).as("vol"))
+        // Full-scale plain-string rendering on both sides (see parsePrices):
+        // the string IS the losslessness witness — every digit of the
+        // declared scale survives the cast or the hashes diverge.
+        col("raw").cast(Schemas.priceDecimal).cast("string").as("price"),
+        col("raw").cast(Schemas.volumeDecimal).cast("string").as("vol"))
   }
 
   val decimalCastOracle: String =
     s"""WITH raw(raw) AS (VALUES ${decimalFixtures.map("('" + _ + "')").mkString(", ")})
        |SELECT raw,
-       |  CAST(raw AS DECIMAL(20,10)) AS price,
-       |  CAST(raw AS DECIMAL(38,18)) AS vol
+       |  CAST(CAST(raw AS DECIMAL(20,10)) AS VARCHAR) AS price,
+       |  CAST(CAST(raw AS DECIMAL(38,18)) AS VARCHAR) AS vol
        |FROM raw""".stripMargin
 
   /** Exact dedup by content fingerprint (md5) — T3's dedup-on-write key,

@@ -20,12 +20,23 @@ import graft.operators.Joins
   */
 object IdempotentWriter {
 
+  /** Filesystem-agnostic existence check (local, HDFS, S3A, ...): the sink
+    * path is resolved through Hadoop's FileSystem, not java.io.File — a
+    * local-only check silently skips the anti-join on any remote store and
+    * re-appends duplicates on replay.
+    */
+  def sinkExists(spark: org.apache.spark.sql.SparkSession, sinkPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(sinkPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.exists(p)
+  }
+
   /** foreachBatch body: append only rows whose `keys` aren't in the sink. */
   def appendNew(sinkPath: String, keys: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val deduped = batch.dropDuplicates(keys)
     val fresh =
-      if (new java.io.File(sinkPath).exists())
+      if (sinkExists(spark, sinkPath))
         Joins.antiJoinNew(deduped, spark.read.parquet(sinkPath), keys)
       else deduped
     fresh.write.mode(SaveMode.Append).parquet(sinkPath)

@@ -50,10 +50,14 @@ object Pipelines {
     * (producer_news.py:29-36) then URL dedup (sent_urls set + consumer
     * existence check collapse into one dedup + the sink anti-join).
     */
-  def newsFlow(raw: DataFrame): DataFrame =
+  def newsFlow(raw: DataFrame, watermark: String = "1 hour"): DataFrame =
     KafkaJson.parseNews(raw)
       .filter(col("url").isNotNull && KafkaJson.validNewsUrl(col("url")))
-      .dropDuplicates("url")
+      // Watermarked dedup keeps state bounded in continuous mode (same
+      // posture as priceFlow); the IdempotentWriter anti-join stays the
+      // cross-batch backstop for URLs recrawled beyond the watermark.
+      .withWatermark("created_date", watermark)
+      .dropDuplicatesWithinWatermark("url")
 
   val klineKeys: Seq[String] = Seq("symbol", "interval", "open_time")
   val newsKeys: Seq[String] = Seq("url")

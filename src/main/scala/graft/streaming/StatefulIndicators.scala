@@ -19,7 +19,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   */
 object StatefulIndicators {
 
-  case class KlinePoint(symbol_id: Int, interval_id: Int, close_time: Long, close_price: Double)
+  /** `seq` is a unique within-key tiebreaker (e.g. event_id): duplicate
+    * (key, close_time) rows otherwise make the fold order — and therefore
+    * every indicator value — nondeterministic, exactly like an SQL window
+    * ordered only by timestamp.
+    */
+  case class KlinePoint(symbol_id: Int, interval_id: Int, close_time: Long,
+      close_price: Double, seq: Long = 0L)
 
   case class SeriesState(closes: Vector[Double], gains: Vector[Double], losses: Vector[Double])
 
@@ -63,7 +69,7 @@ object StatefulIndicators {
     var st = state.getOption.getOrElse(SeriesState(Vector.empty, Vector.empty, Vector.empty))
     // Deterministic within-batch order; late rows across batches are the
     // batch-recompute job's concern (T8), as in the reference.
-    val out = rows.toSeq.sortBy(_.close_time).map { p =>
+    val out = rows.toSeq.sortBy(p => (p.close_time, p.seq)).map { p =>
       val (next, (sma, rsi, up, down)) = step(n, st, p.close_price)
       st = next
       IndicatorPoint(p.symbol_id, p.interval_id, p.close_time, sma, rsi, up, down)
@@ -80,14 +86,20 @@ object StatefulIndicators {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(updateGroup(n))
   }
 
-  /** Convenience: DataFrame adapter with the kline-fact column names. */
-  def fromDataFrame(df: DataFrame, n: Int = 14): DataFrame = {
+  /** Convenience: DataFrame adapter with the kline-fact column names.
+    * `tiebreakCol` names a unique per-row column (event/kline id) used to
+    * order duplicate timestamps deterministically; absent one, ties fold in
+    * arbitrary order.
+    */
+  def fromDataFrame(df: DataFrame, n: Int = 14, tiebreakCol: Option[String] = None): DataFrame = {
     import df.sparkSession.implicits._
+    val seqCol = tiebreakCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
     val typed = df.select(
       col("symbol_id").cast("int"),
       col("interval_id").cast("int"),
       col("close_time").cast("long"),
-      col("close_price").cast("double")).as[KlinePoint]
+      col("close_price").cast("double"),
+      seqCol.as("seq")).as[KlinePoint]
     transform(typed, n).toDF()
   }
 }

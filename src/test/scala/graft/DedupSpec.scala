@@ -42,9 +42,14 @@ class DedupSpec extends SparkTestBase {
     assert(pairs.contains((0L, 101L)))
     assert(pairs.contains((1L, 102L)))
     assert(pairs.contains((0L, 103L)))
-    // planted copies are also similar to each other; nothing crosses bases
+    // planted copies are also similar to each other; nothing crosses bases:
+    // every reported pair lies entirely inside one planted cluster
+    val cluster0 = Set(0L, 100L, 101L, 103L)
+    val cluster1 = Set(1L, 102L)
     assert(pairs.forall { case (a, b) =>
-      Set(0L, 100L, 101L, 103L).map(x => (a == x || b == x)).nonEmpty })
+      (cluster0(a) && cluster0(b)) || (cluster1(a) && cluster1(b)) },
+      s"cross-cluster false positives: ${pairs.filterNot { case (a, b) =>
+        (cluster0(a) && cluster0(b)) || (cluster1(a) && cluster1(b)) }}")
   }
 
   test("minhash-LSH output equals exact jaccard output (verified candidates)") {
@@ -63,6 +68,18 @@ class DedupSpec extends SparkTestBase {
     assert(ham(0L, 103L) == 0)
     assert(ham(0L, 100L) <= 12)
     assert(ham(0L, 5L) > 20, s"unrelated docs too close: ${ham(0L, 5L)}")
+  }
+
+  test("docs shorter than the shingle width yield zero shingles, not errors") {
+    val tiny = Seq((1L, ""), (2L, "one"), (3L, "one two"),
+      (4L, "alpha beta gamma delta")).toDF("doc_id", "text")
+    val postings = Dedup.shinglePostings(tiny, "doc_id", "text", n = 3)
+    assert(postings.filter($"id" =!= 4L).count() == 0)
+    assert(postings.filter($"id" === 4L).count() == 2)
+    // the full ladder runs clean over a corpus containing short docs
+    assert(Dedup.jaccardPairs(tiny, "doc_id", "text", n = 3, threshold = 0.5).count() == 0)
+    assert(Dedup.minhashNearDup(tiny, "doc_id", "text", n = 3).count() == 0)
+    Dedup.simhash(tiny, "doc_id", "text").collect()
   }
 
   test("simhashNearDup reports only verified-close pairs") {

@@ -26,12 +26,12 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(extra.isEmpty, s"oracles without queries: $extra")
   }
 
-  test("every query has an oracle except the documented rows-only set") {
-    // hash-function-dependent (SimHash) or imperative (VADER) outputs
-    val documentedRowsOnly = Set("q_simhash_neardup", "q_sentiment")
+  test("every query has an oracle — full coverage, no rows-only set") {
+    // Round 2 closed the last two gaps: SimHash runs on the portable md5
+    // 60-bit hash (oracle replays the fingerprints), and the VADER scorer
+    // is replayed in SQL. Any new query must ship with its oracle.
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    assert(missing == documentedRowsOnly,
-      s"undocumented rows-only queries: ${missing -- documentedRowsOnly}")
+    assert(missing.isEmpty, s"queries without oracles: $missing")
   }
 
   test("golden pin: the e2e pipeline result is byte-stable across rounds") {
