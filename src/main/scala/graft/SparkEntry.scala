@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -67,7 +67,18 @@ object SparkEntry {
     "q_range_join" -> (CoreQueries.rangeJoin _),
     "q_set_ops" -> (CoreQueries.setOps _),
     "q_vector_stats" -> (CoreQueries.vectorStats _),
-    "q_pivot" -> (CoreQueries.pivotAgg _)
+    "q_pivot" -> (CoreQueries.pivotAgg _),
+    "q_cube" -> (ExtQueries.cubeAgg _),
+    "q_window_rank" -> (ExtQueries.windowRank _),
+    "q_range_frame" -> (ExtQueries.rangeFrame _),
+    "q_date_arith" -> (ExtQueries.dateArith _),
+    "q_fuzzy_match" -> (ExtQueries.fuzzyMatch _),
+    "q_heavy_hitters" -> (ExtQueries.heavyHitters _),
+    "q_approx_distinct" -> (ExtQueries.approxDistinct _),
+    "q_asof_forward" -> (ExtQueries.asofForward _),
+    "q_salted_agg" -> (ExtQueries.saltedAgg _),
+    "q_stream_dedup" -> (ExtQueries.streamDedup _),
+    "q_unpivot" -> (ExtQueries.unpivotMetrics _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -297,6 +308,18 @@ object SparkEntry {
         |FROM events GROUP BY user_id""".stripMargin,
 
     "q_simhash_neardup" -> LlmQueries.simhashNearDupOracle,
-    "q_sentiment" -> LlmQueries.sentimentOracle
+    "q_sentiment" -> LlmQueries.sentimentOracle,
+
+    "q_cube" -> ExtQueries.cubeOracle,
+    "q_window_rank" -> ExtQueries.windowRankOracle,
+    "q_range_frame" -> ExtQueries.rangeFrameOracle,
+    "q_date_arith" -> ExtQueries.dateArithOracle,
+    "q_fuzzy_match" -> ExtQueries.fuzzyMatchOracle,
+    "q_heavy_hitters" -> ExtQueries.heavyHittersOracle,
+    "q_approx_distinct" -> ExtQueries.approxDistinctOracle,
+    "q_asof_forward" -> ExtQueries.asofForwardOracle,
+    "q_salted_agg" -> ExtQueries.saltedAggOracle,
+    "q_stream_dedup" -> ExtQueries.streamDedupOracle,
+    "q_unpivot" -> ExtQueries.unpivotOracle
   )
 }

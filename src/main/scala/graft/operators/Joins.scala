@@ -122,6 +122,49 @@ object Joins {
         rightVals.map("asof_" + _)).map(col): _*)
   }
 
+  /** Forward AS-OF join: every left row gets the EARLIEST right row with
+    * `rightTime >= leftTime` per key (the mirror of [[asOfJoin]]). Same
+    * single-shuffle union rewrite, with the carry running backward:
+    * first_value(ignoreNulls) over (current row -> unbounded following),
+    * left rows ordered before right rows at equal time so a same-timestamp
+    * right row is eligible.
+    */
+  def asOfJoinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String],
+      tiebreak: String): DataFrame = {
+    val leftCols = left.columns
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(0))
+      .withColumn("_tb", lit(null).cast("long"))
+      .withColumns(rightVals.map(v => s"_rv_$v" -> lit(null).cast(
+        right.schema(v).dataType)).toMap)
+      .select((keys ++ Seq("_t", "_side", "_tb") ++ rightVals.map("_rv_" + _)).map(col) ++
+        leftCols.filterNot(keys.contains).map(col): _*)
+    val r = right
+      .withColumn("_t", col(rightTime))
+      .withColumn("_side", lit(1))
+      .withColumn("_tb", col(tiebreak).cast("long"))
+      .withColumns(rightVals.map(v => s"_rv_$v" -> col(v)).toMap)
+      .select((keys ++ Seq("_t", "_side", "_tb") ++ rightVals.map("_rv_" + _)).map(col): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"), col("_tb"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = rightVals.foldLeft(unioned) { (df, v) =>
+      df.withColumn(s"next_$v", first(col(s"_rv_$v"), ignoreNulls = true).over(w))
+    }
+    carried
+      .filter(col("_side") === 0)
+      .select((keys ++ leftCols.filterNot(keys.contains) ++
+        rightVals.map("next_" + _)).map(col): _*)
+  }
+
   /** Top-k rows per group, ordered by orderCols descending — the window
     * `row_number` pattern used throughout the engine (e.g. similarity top-k).
     */

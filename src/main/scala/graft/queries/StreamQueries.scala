@@ -23,7 +23,7 @@ object StreamQueries {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  private[queries] def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The file stream source replays a DIRECTORY; stage the single table file
     // into a temp dir (simulating an arriving-files landing zone). Register

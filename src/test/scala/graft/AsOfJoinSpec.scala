@@ -45,4 +45,33 @@ class AsOfJoinSpec extends SparkTestBase {
       .select("asof_v").as[Double].head()
     assert(out == 2.0)
   }
+
+  // --- forward variant -------------------------------------------------------
+
+  private def runFwd() =
+    Joins.asOfJoinForward(left, right, Seq("k"), "t", "t", Seq("v", "rid"), "rid")
+      .select("k", "name", "next_v", "next_rid")
+      .collect()
+      .map(r => r.getString(1) -> (Option(r.get(2)), Option(r.get(3)))).toMap
+
+  test("forward: inclusive >= at equal timestamps") {
+    assert(runFwd()("c1") == (Some(10.0), Some(1L)))
+  }
+
+  test("forward: earliest following right row wins") {
+    assert(runFwd()("c0") == (Some(10.0), Some(1L)))
+    assert(runFwd()("c3") == (Some(99.0), Some(3L)))
+  }
+
+  test("forward: left row after the last right row gets nulls") {
+    assert(runFwd()("c2") == (None, None))
+  }
+
+  test("forward: same-time right rows pick the lowest tiebreak") {
+    val r2 = Seq(("u1", 100L, 1.0, 1L), ("u1", 100L, 2.0, 2L)).toDF("k", "t", "v", "rid")
+    val l2 = Seq(("u1", 100L, "x")).toDF("k", "t", "name")
+    val out = Joins.asOfJoinForward(l2, r2, Seq("k"), "t", "t", Seq("v"), "rid")
+      .select("next_v").as[Double].head()
+    assert(out == 1.0)
+  }
 }

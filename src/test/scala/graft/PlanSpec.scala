@@ -98,6 +98,43 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("range-frame window: one shuffle, one window pass, pruned scan") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.ExtQueries.rangeFrame(spark, sf))
+      assert(plan.collect { case s: ShuffleExchangeExec => s }.size == 1)
+      assert(plan.collect { case w: WindowExec => w }.size == 1)
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      val readCols = scans.head.requiredSchema.fieldNames.toSet
+      assert(readCols == Set("event_id", "ts", "user_id", "value"),
+        s"scan reads: $readCols")
+    }
+  }
+
+  test("cube: partial aggregation under the grouping-set expand") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.ExtQueries.cubeAgg(spark, sf))
+      assert(plan.collect { case e: org.apache.spark.sql.execution.ExpandExec => e }.nonEmpty,
+        "no Expand — grouping sets not planned as one pass")
+      val aggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggs.size >= 2, "no partial aggregation before the shuffle")
+      assert(plan.collect { case s: ShuffleExchangeExec => s }.size == 1,
+        "cube should shuffle exactly once")
+    }
+  }
+
+  test("salted aggregation: both phases keep map-side partial aggregation") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.ExtQueries.saltedAgg(spark, sf))
+      // partial+final for phase 1 (key, salt) and phase 2 (key) = 4 nodes
+      val aggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggs.size >= 4, s"expected 2 partial/final pairs, got ${aggs.size}")
+    }
+  }
+
   test("minhash signature aggregation happens map-side before the shuffle") {
     withStaticPlans {
       val df = graft.operators.Dedup.minhashSignatures(
