@@ -78,7 +78,8 @@ object SparkEntry {
     "q_asof_forward" -> (ExtQueries.asofForward _),
     "q_salted_agg" -> (ExtQueries.saltedAgg _),
     "q_stream_dedup" -> (ExtQueries.streamDedup _),
-    "q_unpivot" -> (ExtQueries.unpivotMetrics _)
+    "q_unpivot" -> (ExtQueries.unpivotMetrics _),
+    "q_source_v2" -> (ExtQueries.sourceV2 _)
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -320,6 +321,7 @@ object SparkEntry {
     "q_asof_forward" -> ExtQueries.asofForwardOracle,
     "q_salted_agg" -> ExtQueries.saltedAggOracle,
     "q_stream_dedup" -> ExtQueries.streamDedupOracle,
-    "q_unpivot" -> ExtQueries.unpivotOracle
+    "q_unpivot" -> ExtQueries.unpivotOracle,
+    "q_source_v2" -> ExtQueries.sourceV2Oracle
   )
 }

@@ -279,6 +279,45 @@ object ExtQueries {
   val streamDedupOracle: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  // --- DataSourceV2 kline landing zone ---------------------------------------
+
+  /** The S1 scale path end-to-end: stage the captured wire fixtures as a
+    * `<symbol>-<interval>.jsonl` landing zone, scan it through the custom
+    * DataSourceV2 (`graft-klines`: partition-per-key, filter pushdown =
+    * partition pruning), decode with the production codec, and emit the
+    * q_parse_prices shape — so the DSv2 read path is held to the same DuckDB
+    * oracle as the literal-fixture decode.
+    */
+  def sourceV2(s: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("graft-klines-zone")
+    staged.toFile.deleteOnExit()
+    // key extraction mirrors the producer's "SYMBOL-interval" message key
+    // (producer_prices.py:38,63), interval defaulting to 1h like E15
+    WireQueries.priceFixtures.groupBy { f =>
+      val sym = "\"symbol\":\"([A-Z]+)\"".r.findFirstMatchIn(f).get.group(1)
+      val itv = "\"interval\":\"([a-z0-9]+)\"".r.findFirstMatchIn(f)
+        .map(_.group(1)).getOrElse("1h")
+      s"$sym-$itv"
+    }.foreach { case (key, msgs) =>
+      val p = staged.resolve(s"$key.jsonl")
+      java.nio.file.Files.write(p, msgs.mkString("\n").getBytes("UTF-8"))
+      p.toFile.deleteOnExit()
+    }
+    val raw = s.read.format("graft-klines")
+      .option("path", staged.toString).load()
+    graft.sources.KafkaJson.parsePrices(raw.select(col("value")))
+      .select(
+        col("symbol"), col("interval"),
+        unix_timestamp(col("open_time")).as("open_sec"),
+        unix_timestamp(col("close_time")).as("close_sec"),
+        col("open_price").cast("string").as("open_price"),
+        col("close_price").cast("string").as("close_price"),
+        col("volume").cast("string").as("volume"))
+  }
+
+  // oracle: identical to q_parse_prices — same fixtures, same decode contract
+  val sourceV2Oracle: String = WireQueries.parsePricesOracle
+
   // --- UNPIVOT ---------------------------------------------------------------
 
   /** Wide-to-long unpivot of the lineitem measures (the inverse of q_pivot).
