@@ -79,8 +79,23 @@ object SparkEntry {
     "q_salted_agg" -> (ExtQueries.saltedAgg _),
     "q_stream_dedup" -> (ExtQueries.streamDedup _),
     "q_unpivot" -> (ExtQueries.unpivotMetrics _),
-    "q_source_v2" -> (ExtQueries.sourceV2 _)
+    "q_source_v2" -> (ExtQueries.sourceV2 _),
+    "q_asof_native" -> (ExtQueries.asofNative _)
   )
+
+  /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
+    * union-rewrite (q_asof_join) and the native-exec (q_asof_native)
+    * formulations.
+    */
+  private val asofOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type FROM events
+      |), l AS (SELECT * FROM e WHERE event_type = 'click'),
+      |   r AS (SELECT * FROM e WHERE event_type = 'purchase')
+      |SELECT l.user_id, l.event_id, l.ts_us,
+      |  r.value AS asof_value, r.event_id AS asof_event_id
+      |FROM l ASOF LEFT JOIN r
+      |  ON l.user_id = r.user_id AND r.ts_us <= l.ts_us""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -247,15 +262,9 @@ object SparkEntry {
     "q_pipeline_e2e" -> graft.queries.PipelineE2E.oracle,
     "q_stateful_indicators" -> StreamQueries.statefulIndicatorsOracle,
 
-    "q_asof_join" ->
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us, value, event_type FROM events
-        |), l AS (SELECT * FROM e WHERE event_type = 'click'),
-        |   r AS (SELECT * FROM e WHERE event_type = 'purchase')
-        |SELECT l.user_id, l.event_id, l.ts_us,
-        |  r.value AS asof_value, r.event_id AS asof_event_id
-        |FROM l ASOF LEFT JOIN r
-        |  ON l.user_id = r.user_id AND r.ts_us <= l.ts_us""".stripMargin,
+    "q_asof_join" -> asofOracle,
+    // the native-exec formulation answers to the SAME oracle
+    "q_asof_native" -> asofOracle,
 
     "q_distinct_agg" ->
       """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events

@@ -79,8 +79,13 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, hashShingles: Boolean = true): DataFrame = {
-    val sh = if (hashShingles) hashedPostings(df, idCol, textCol, n)
-      else shinglePostings(df, idCol, textCol, n)
+    // The postings feed three consumers (sizes + both sides of the
+    // self-join); persisting materializes the tokenize+hash pipeline ONCE
+    // instead of three times (the dominant cost at sf0.1). persist — not
+    // localCheckpoint — so partitions lost at scale recompute from lineage.
+    val sh = (if (hashShingles) hashedPostings(df, idCol, textCol, n)
+      else shinglePostings(df, idCol, textCol, n))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
@@ -138,8 +143,13 @@ object Dedup {
   def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, k: Int = 128, bands: Int = 64,
       broadcastDocTables: Boolean = true): DataFrame = {
-    val postings = hashedPostings(df, idCol, textCol, n)
-    val sigs = minhashSignatures(postings, k)
+    // postings feed signatures + exact-verify sets; signatures feed banding
+    // + both estimate joins — persist both so the expensive tokenize/hash/
+    // aggregate stages run once each (see jaccardPairs on persist-vs-
+    // checkpoint at scale).
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val postings = hashedPostings(df, idCol, textCol, n).persist(lvl)
+    val sigs = minhashSignatures(postings, k).persist(lvl)
     val cands = lshCandidates(sigs, bands)
     def maybeBroadcast(d: DataFrame): DataFrame =
       if (broadcastDocTables) broadcast(d) else d

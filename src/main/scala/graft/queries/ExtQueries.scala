@@ -233,6 +233,21 @@ object ExtQueries {
       |  ORDER BY r.ts_us, r.event_id LIMIT 1
       |) nxt ON TRUE""".stripMargin
 
+  /** The same backward AS-OF as q_asof_join, but planned through the NATIVE
+    * operator (custom LogicalPlan -> SparkStrategy -> sort-merge exec) —
+    * three independent formulations of one semantics now gate each other:
+    * the union-rewrite, this exec node, and DuckDB's built-in ASOF JOIN.
+    */
+  def asofNative(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir).select("user_id", "event_id", "ts_us", "value", "event_type")
+    val clicks = ev.filter(col("event_type") === "click").drop("event_type")
+    val purchases = ev.filter(col("event_type") === "purchase").drop("event_type")
+    graft.plans.AsOfJoinNative.join(clicks, purchases, Seq("user_id"),
+        "ts_us", "ts_us", rightVals = Seq("value", "event_id"), tiebreak = "event_id")
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        col("asof_value"), col("asof_event_id"))
+  }
+
   // --- salted aggregation parity ---------------------------------------------
 
   /** Two-phase salted aggregation == plain aggregation: the skew-mitigation

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+import graft.operators.Joins
+import graft.plans.{AsOfJoinExec, AsOfJoinNative}
+
+/** The native sort-merge AS-OF operator: result-equal to the union-rewrite
+  * on randomized data, correct on the pinned edges, and planned with two
+  * per-side exchanges + the custom exec node (no window, no union).
+  */
+class AsOfNativeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def randomSides(seed: Int, nLeft: Int, nRight: Int) = {
+    val rnd = new scala.util.Random(seed)
+    val left = (1 to nLeft).map { i =>
+      (rnd.nextInt(8).toLong, i.toLong, rnd.nextInt(1000).toLong)
+    }.toDF("k", "lid", "t")
+    val right = (1 to nRight).map { i =>
+      (rnd.nextInt(8).toLong, i.toLong, rnd.nextInt(1000).toLong, rnd.nextDouble())
+    }.toDF("k", "rid", "t", "v")
+    (left, right)
+  }
+
+  test("native result == union-rewrite result on randomized data") {
+    for (seed <- Seq(1, 2, 3)) {
+      val (left, right) = randomSides(seed, 300, 200)
+      val native = AsOfJoinNative.join(left, right, Seq("k"), "t", "t",
+          Seq("v", "rid"), "rid")
+        .select("k", "lid", "t", "asof_v", "asof_rid")
+        .collect().map(_.toSeq).toSet
+      val rewrite = Joins.asOfJoin(left, right, Seq("k"), "t", "t",
+          Seq("v", "rid"), "rid")
+        .select("k", "lid", "t", "asof_v", "asof_rid")
+        .collect().map(_.toSeq).toSet
+      assert(native == rewrite, s"seed $seed diverged")
+    }
+  }
+
+  test("edges: inclusive <=, latest-tiebreak, null before first right row") {
+    val left = Seq((1L, 10L, 100L), (1L, 11L, 50L), (2L, 12L, 100L))
+      .toDF("k", "lid", "t")
+    val right = Seq(
+      (1L, 100L, 1L, 1.0), (1L, 100L, 2L, 2.0), // tie at t=100: rid 2 wins
+      (2L, 999L, 3L, 9.0)) // after k=2's left row
+      .toDF("k", "t", "rid", "v")
+    val out = AsOfJoinNative.join(left, right, Seq("k"), "t", "t",
+        Seq("v"), "rid")
+      .select("lid", "asof_v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(10L) == Some(2.0)) // inclusive + highest tiebreak at equal t
+    assert(out(11L) == None) // left before any right
+    assert(out(12L) == None) // right only after
+  }
+
+  test("empty right side null-extends every left row") {
+    val left = Seq((1L, 1L, 10L)).toDF("k", "lid", "t")
+    val right = Seq.empty[(Long, Long, Long, Double)].toDF("k", "t", "rid", "v")
+    val out = AsOfJoinNative.join(left, right, Seq("k"), "t", "t",
+      Seq("v"), "rid").collect()
+    assert(out.length == 1 && out(0).isNullAt(3))
+  }
+
+  test("self-join inputs (shared expression ids) plan and run") {
+    val ev = Seq((1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "a"))
+      .toDF("k", "id", "t", "tag")
+    val l = ev.filter($"tag" === "a").select("k", "id", "t")
+    val r = ev.filter($"tag" === "b").select("k", "id", "t")
+    val out = AsOfJoinNative.join(l, r, Seq("k"), "t", "t", Seq("id"), "id")
+      .select("id", "asof_id").as[(Long, Option[Long])].collect().toMap
+    assert(out(1L).isEmpty && out(3L).contains(2L))
+  }
+
+  test("plan shape: custom exec, two per-side exchanges, no window/union") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val (left, right) = randomSides(7, 50, 50)
+      val df = AsOfJoinNative.join(left, right, Seq("k"), "t", "t", Seq("v"), "rid")
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case e: AsOfJoinExec => e }.size == 1)
+      assert(plan.collect { case s: ShuffleExchangeExec => s }.size == 2)
+      assert(plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }.isEmpty)
+      assert(plan.collect {
+        case u: org.apache.spark.sql.execution.UnionExec => u }.isEmpty)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+}
