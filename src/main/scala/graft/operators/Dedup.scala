@@ -203,9 +203,13 @@ object Dedup {
     val edges = pairs.select(col("id_1").as("src"), col("id_2").as("dst"))
       .unionByName(pairs.select(col("id_2").as("src"), col("id_1").as("dst")))
       .localCheckpoint()
-    var labels = nodes.select(col(idCol).cast("long").as("node"),
-      col(idCol).cast("long").as("label")).localCheckpoint()
-    var converged = false
+    // Propagate over EDGE-TOUCHING nodes only: in a near-dup corpus the
+    // overwhelming majority of docs are singletons — shuffling them through
+    // every round multiplies each iteration's cost for rows whose label can
+    // never change. Singletons rejoin (self-labeled) once, at the end.
+    val active = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    var labels = active.withColumn("label", col("node")).localCheckpoint()
+    var converged = active.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
       // candidate labels flowing along edges: neighbor's current label
@@ -223,7 +227,10 @@ object Dedup {
       labels = next
       iter += 1
     }
-    labels
+    val singletons = nodes.select(col(idCol).cast("long").as("node"))
+      .join(active, Seq("node"), "left_anti")
+      .withColumn("label", col("node"))
+    labels.unionByName(singletons)
   }
 
   // --- SimHash ---------------------------------------------------------------
