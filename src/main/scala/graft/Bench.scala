@@ -31,7 +31,13 @@ object Bench {
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
         return -1.0
       }
-      (System.nanoTime() - t0) / 1e9
+      val t = (System.nanoTime() - t0) / 1e9
+      // The dedup family persists intermediates; left cached across queries
+      // they build heap pressure that shows up as multi-second GC spikes in
+      // UNRELATED later queries (observed: q_rollup 1.5 s -> 15 s). Each
+      // query is measured cold, so drop the cache outside the timed section.
+      spark.catalog.clearCache()
+      t
     }
 
     // warmup: JIT + parquet footer caches (untimed)

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -80,7 +80,14 @@ object SparkEntry {
     "q_stream_dedup" -> (ExtQueries.streamDedup _),
     "q_unpivot" -> (ExtQueries.unpivotMetrics _),
     "q_source_v2" -> (ExtQueries.sourceV2 _),
-    "q_asof_native" -> (ExtQueries.asofNative _)
+    "q_asof_native" -> (ExtQueries.asofNative _),
+    "q_tfidf" -> (Ext2Queries.tfidf _),
+    "q_salted_join" -> (Ext2Queries.saltedJoin _),
+    "q_full_outer" -> (Ext2Queries.fullOuter _),
+    "q_semi_join" -> (Ext2Queries.semiJoin _),
+    "q_approx_quantile" -> (Ext2Queries.approxQuantile _),
+    "q_window_positional" -> (Ext2Queries.windowPositional _),
+    "q_stream_join" -> (Ext2Queries.streamJoin _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -331,6 +338,14 @@ object SparkEntry {
     "q_salted_agg" -> ExtQueries.saltedAggOracle,
     "q_stream_dedup" -> ExtQueries.streamDedupOracle,
     "q_unpivot" -> ExtQueries.unpivotOracle,
-    "q_source_v2" -> ExtQueries.sourceV2Oracle
+    "q_source_v2" -> ExtQueries.sourceV2Oracle,
+
+    "q_tfidf" -> Ext2Queries.tfidfOracle,
+    "q_salted_join" -> Ext2Queries.saltedJoinOracle,
+    "q_full_outer" -> Ext2Queries.fullOuterOracle,
+    "q_semi_join" -> Ext2Queries.semiJoinOracle,
+    "q_approx_quantile" -> Ext2Queries.approxQuantileOracle,
+    "q_window_positional" -> Ext2Queries.windowPositionalOracle,
+    "q_stream_join" -> Ext2Queries.streamJoinOracle
   )
 }

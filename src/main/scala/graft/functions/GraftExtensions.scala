@@ -43,5 +43,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("match_fraction"),
       info("match_fraction", "match_fraction(a, b) - fraction of equal positions in two long arrays"),
       (args: Seq[Expression]) => LongArrayMatchFraction(args(0), args(1))))
+    // the native as-of operator plans through this strategy; config-driven
+    // sessions (spark.sql.extensions=graft.functions.GraftExtensions) get it
+    // without touching spark.experimental
+    ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
   }
 }

@@ -1,0 +1,234 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Scale
+import graft.sources.Tables
+
+/** Round-2 batch two: corpus TF-IDF, salted-join parity, the remaining join
+  * flavors (full outer, left semi), approximate-quantile tolerance gating,
+  * and positional window values. All DuckDB-oracled.
+  */
+object Ext2Queries {
+
+  // --- TF-IDF ----------------------------------------------------------------
+
+  /** Top-3 TF-IDF terms per document (the training-data relevance/keyword
+    * primitive): tf = in-doc term count, idf = ln((N+1)/(df+1)) smoothed,
+    * df over the FULL corpus; output bounded to doc_id < 100. One explode,
+    * two aggregations, one window — every stage map-side-combinable.
+    */
+  def tfidf(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val n = docs.count()
+    val terms = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .filter(col("term") =!= "")
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = terms.select("doc_id", "term").distinct()
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("tfidf",
+        round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 6))
+      .filter(col("doc_id") < 100)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("term"), col("tfidf"), col("rk"))
+  }
+
+  val tfidfOracle: String =
+    """WITH terms AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+      |), nz AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+      |n AS (SELECT COUNT(*) AS n FROM documents),
+      |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM nz GROUP BY 1, 2),
+      |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM nz GROUP BY 1),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.term,
+      |    ROUND(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 6) AS tfidf
+      |  FROM tf JOIN df USING (term) CROSS JOIN n
+      |  WHERE tf.doc_id < 100
+      |)
+      |SELECT doc_id, term, tfidf,
+      |  row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk
+      |FROM scored
+      |QUALIFY rk <= 3""".stripMargin
+
+  // --- salted join parity ----------------------------------------------------
+
+  /** Salted equi-join == plain equi-join: the skew rewrite (deterministic
+    * per-row salt on the big side, exploded small side) must be invisible in
+    * the result. The small side here is a per-type aggregate of the fact
+    * itself — the classic hot-key dimension shape.
+    */
+  def saltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dim = ev.groupBy("event_type")
+      .agg(count(lit(1)).as("type_total"))
+    Scale.saltedJoin(ev.filter(col("user_id") < 20), dim,
+        Seq("event_type"), saltSrc = "event_id", salts = 8)
+      .select(col("event_id"), col("event_type"), col("type_total"))
+  }
+
+  val saltedJoinOracle: String =
+    """WITH dim AS (
+      |  SELECT event_type, COUNT(*) AS type_total FROM events GROUP BY 1
+      |)
+      |SELECT e.event_id, e.event_type, d.type_total
+      |FROM events e JOIN dim d USING (event_type)
+      |WHERE e.user_id < 20""".stripMargin
+
+  // --- full outer / semi joins -----------------------------------------------
+
+  /** FULL OUTER over two independently-aggregated sides — users missing on
+    * either side survive null-extended.
+    */
+  def fullOuter(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id").agg(count(lit(1)).as("n_clicks"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id").agg(count(lit(1)).as("n_purchases"))
+    clicks.join(purchases, Seq("user_id"), "full_outer")
+  }
+
+  val fullOuterOracle: String =
+    """WITH c AS (
+      |  SELECT user_id, COUNT(*) AS n_clicks FROM events
+      |  WHERE event_type = 'click' GROUP BY 1
+      |), p AS (
+      |  SELECT user_id, COUNT(*) AS n_purchases FROM events
+      |  WHERE event_type = 'purchase' GROUP BY 1
+      |)
+      |SELECT COALESCE(c.user_id, p.user_id) AS user_id, c.n_clicks, p.n_purchases
+      |FROM c FULL OUTER JOIN p ON c.user_id = p.user_id""".stripMargin
+
+  /** LEFT SEMI: customers having at least one high-value order — existence,
+    * not multiplication (no fan-out, build side key-only).
+    */
+  def semiJoin(s: SparkSession, dir: String): DataFrame = {
+    val bigOrders = Tables.orders(s, dir).filter(col("o_totalprice") > 200000)
+    Tables.customer(s, dir)
+      .join(bigOrders, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+  }
+
+  val semiJoinOracle: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE c_custkey IN (
+      |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000)""".stripMargin
+
+  // --- approximate quantiles with tolerance gate -----------------------------
+
+  /** approx_percentile (t-digest-style mergeable sketch) gated against the
+    * exact interpolated quantile: emit the exact p50 and a within-2%% flag
+    * for the approximation; the oracle asserts 1 per group (the same
+    * convention as q_approx_distinct).
+    */
+  def approxQuantile(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        expr("percentile(l_extendedprice, 0.5D)").as("p50_exact"),
+        expr("approx_percentile(l_extendedprice, 0.5D, 10000)").as("p50_approx"))
+      .select(col("l_returnflag"), round(col("p50_exact"), 6).as("p50_exact"),
+        (abs(col("p50_approx") - col("p50_exact")) <=
+          col("p50_exact") * 0.02).cast("int").as("within_2pct"))
+
+  val approxQuantileOracle: String =
+    """SELECT l_returnflag,
+      |  ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50_exact,
+      |  1 AS within_2pct
+      |FROM lineitem GROUP BY l_returnflag""".stripMargin
+
+  // --- stream-stream join drain ----------------------------------------------
+
+  /** A REAL stream-stream inner join (two file-replay streams, per-side
+    * watermarks, time-range predicate — the priceNewsJoin shape) drained
+    * with AvailableNow: every click joined to same-user purchases in the
+    * following hour. The drained result must equal the batch range join —
+    * the oracle is plain SQL over the same table.
+    */
+  def streamJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    def side(tpe: String) = StreamQueries.eventsStream(s, dir)
+      .filter(col("event_type") === tpe)
+      .select(col("event_id"), col("user_id"), col("ts_t"),
+        expr("ts div 1000").as("ts_us"))
+      .withWatermark("ts_t", "1 hour")
+    val clicks = side("click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_t").as("click_t"), col("ts_us").as("click_us"))
+    val purchases = side("purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"),
+        col("ts_t").as("purchase_t"), col("ts_us").as("purchase_us"))
+    val joined = clicks.join(purchases,
+      clicks("user_id") === purchases("user_id") &&
+        purchases("purchase_t") >= clicks("click_t") &&
+        purchases("purchase_t") <= clicks("click_t") + expr("INTERVAL 1 HOUR"))
+    val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // Stream-stream joins keep 4 state stores per shuffle partition; at the
+    // drain's data volume the per-store fixed cost dominates, so run the
+    // drain at a narrow shuffle width (the partitioning does not change the
+    // join result). Restored after the drain completes.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = joined
+        .select(col("click_id"), col("purchase_id"), col("click_us"), col("purchase_us"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000L)) q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    s.table(name)
+  }
+
+  val streamJoinOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type FROM events
+      |)
+      |SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+      |  c.ts_us AS click_us, p.ts_us AS purchase_us
+      |FROM e c JOIN e p
+      |  ON c.user_id = p.user_id
+      | AND c.event_type = 'click' AND p.event_type = 'purchase'
+      | AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 3600000000""".stripMargin
+
+  // --- positional window values ----------------------------------------------
+
+  /** first/last/nth_value over the full partition frame plus defaulted
+    * lag/lead — the positional analytics the reference's single lag (W3)
+    * only hints at. Deterministic ordering via the event_id tiebreak.
+    */
+  def windowPositional(s: SparkSession, dir: String): DataFrame = {
+    val frame = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val seq = Window.partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    Tables.events(s, dir)
+      .filter(col("user_id") < 20)
+      .select(
+        col("user_id"), col("event_id"),
+        first(col("value")).over(frame).as("first_v"),
+        last(col("value")).over(frame).as("last_v"),
+        nth_value(col("value"), 2).over(frame).as("second_v"),
+        lag(col("value"), 1, -1.0).over(seq).as("prev_v"),
+        lead(col("value"), 1, -1.0).over(seq).as("next_v"))
+  }
+
+  val windowPositionalOracle: String =
+    """SELECT user_id, event_id,
+      |  first_value(value) OVER frame AS first_v,
+      |  last_value(value) OVER frame AS last_v,
+      |  nth_value(value, 2) OVER frame AS second_v,
+      |  lag(value, 1, -1.0) OVER seq AS prev_v,
+      |  lead(value, 1, -1.0) OVER seq AS next_v
+      |FROM events WHERE user_id < 20
+      |WINDOW frame AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+      |       seq AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)""".stripMargin
+}
