@@ -87,7 +87,8 @@ object SparkEntry {
     "q_semi_join" -> (Ext2Queries.semiJoin _),
     "q_approx_quantile" -> (Ext2Queries.approxQuantile _),
     "q_window_positional" -> (Ext2Queries.windowPositional _),
-    "q_stream_join" -> (Ext2Queries.streamJoin _)
+    "q_stream_join" -> (Ext2Queries.streamJoin _),
+    "q_udtf_tokenize" -> (Ext2Queries.udtfTokenize _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -346,6 +347,7 @@ object SparkEntry {
     "q_semi_join" -> Ext2Queries.semiJoinOracle,
     "q_approx_quantile" -> Ext2Queries.approxQuantileOracle,
     "q_window_positional" -> Ext2Queries.windowPositionalOracle,
-    "q_stream_join" -> Ext2Queries.streamJoinOracle
+    "q_stream_join" -> Ext2Queries.streamJoinOracle,
+    "q_udtf_tokenize" -> Ext2Queries.udtfTokenizeOracle
   )
 }

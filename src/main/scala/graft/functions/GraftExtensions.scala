@@ -25,6 +25,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("match_fraction",
       (args: Seq[Expression]) => LongArrayMatchFraction(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("graft_tokenize",
+      (args: Seq[Expression]) => RegexTokenize(args(0), args(1)), "scala_udf")
   }
 }
 
@@ -43,6 +45,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("match_fraction"),
       info("match_fraction", "match_fraction(a, b) - fraction of equal positions in two long arrays"),
       (args: Seq[Expression]) => LongArrayMatchFraction(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_tokenize"),
+      info("graft_tokenize", "graft_tokenize(text, pattern) - generates (pos, token) rows"),
+      (args: Seq[Expression]) => RegexTokenize(args(0), args(1))))
     // the native as-of operator plans through this strategy; config-driven
     // sessions (spark.sql.extensions=graft.functions.GraftExtensions) get it
     // without touching spark.experimental

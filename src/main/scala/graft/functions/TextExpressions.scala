@@ -50,8 +50,75 @@ case class PolyHash(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Regex tokenizer as a native Catalyst Generator (the engine's UDTF tier —
+  * SURVEY §2.9 reserves "a tokenizer Generator" as our addition alongside the
+  * sentiment UDF and the Count-Min-Sketch Aggregator). Splits `child` on the
+  * foldable `pattern`, drops empty tokens, and generates one
+  * (pos, token) row per surviving token, 0-indexed in document order —
+  * usable from SQL as `LATERAL VIEW graft_tokenize(text, ' ')` or directly
+  * in a select list, planned through GenerateExec like explode.
+  */
+case class RegexTokenize(child: Expression, pattern: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+
+  override def children: Seq[Expression] = Seq(child, pattern)
+
+  override def prettyName: String = "graft_tokenize"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType != StringType || pattern.dataType != StringType)
+      TypeCheckResult.TypeCheckFailure("graft_tokenize(text, pattern) takes two strings")
+    else if (!pattern.foldable)
+      TypeCheckResult.TypeCheckFailure("pattern must be a constant")
+    else TypeCheckResult.TypeCheckSuccess
+  }
+
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("pos", IntegerType, nullable = false),
+    StructField("token", StringType, nullable = false)))
+
+  // pattern is foldable — compile once per executor instance, not per row
+  @transient private lazy val compiled: java.util.regex.Pattern =
+    java.util.regex.Pattern.compile(
+      pattern.eval(null).asInstanceOf[UTF8String].toString)
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val text = child.eval(input)
+    if (text == null) Nil
+    else {
+      val parts = compiled.split(text.asInstanceOf[UTF8String].toString, -1)
+      val out = new scala.collection.mutable.ArrayBuffer[InternalRow](parts.length)
+      var pos = 0
+      var i = 0
+      while (i < parts.length) {
+        if (parts(i).nonEmpty) {
+          out += InternalRow(pos, UTF8String.fromString(parts(i)))
+          pos += 1
+        }
+        i += 1
+      }
+      out
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): RegexTokenize =
+    copy(child = newChildren(0), pattern = newChildren(1))
+}
+
 object TextFunctions {
   /** Codegen'd polynomial rolling hash (mod 1e9+7) over a string column. */
   def poly_hash(c: Column): Column =
     GraftColumnBridge.column(PolyHash(GraftColumnBridge.expression(c)))
+
+  /** Generator column: (pos, token) rows per input row (see [[RegexTokenize]]). */
+  def tokenize(text: Column, pattern: String): Column =
+    GraftColumnBridge.column(RegexTokenize(GraftColumnBridge.expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(pattern)))
 }

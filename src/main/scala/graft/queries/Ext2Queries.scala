@@ -145,6 +145,28 @@ object Ext2Queries {
       |  1 AS within_2pct
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // --- UDTF tokenizer --------------------------------------------------------
+
+  /** The native Generator (UDTF tier) end-to-end: (pos, token) rows per doc
+    * from the codegen-planned GenerateExec, numbered over non-empty tokens.
+    */
+  def udtfTokenize(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenize(col("text"), " "))
+
+  val udtfTokenizeOracle: String =
+    """WITH raw AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS token,
+      |         generate_subscripts(string_split(text, ' '), 1) AS p
+      |  FROM documents WHERE doc_id < 50
+      |)
+      |SELECT doc_id,
+      |  CAST(row_number() OVER (PARTITION BY doc_id ORDER BY p) - 1 AS INT) AS pos,
+      |  token
+      |FROM raw WHERE token <> ''""".stripMargin
+
   // --- stream-stream join drain ----------------------------------------------
 
   /** A REAL stream-stream inner join (two file-replay streams, per-side

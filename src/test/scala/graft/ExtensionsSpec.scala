@@ -2,6 +2,7 @@ package graft
 
 /** The native expressions are callable from pure SQL once registered. */
 class ExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
 
   test("cosine_sim and match_fraction are callable from spark.sql") {
     graft.functions.GraftExtensions.register(spark)
@@ -13,6 +14,22 @@ class ExtensionsSpec extends SparkTestBase {
       "SELECT match_fraction(array(1L, 2L, 3L, 4L), array(1L, 9L, 3L, 9L))")
       .head().getDouble(0)
     assert(mf == 0.5)
+  }
+
+  test("graft_tokenize generator works from SQL (LATERAL VIEW) and the Column API") {
+    graft.functions.GraftExtensions.register(spark)
+    Seq((1L, "a  b c"), (2L, ""), (3L, "solo")).toDF("id", "text")
+      .createOrReplaceTempView("tok_ext_test")
+    val viaSql = spark.sql(
+      """SELECT id, pos, token FROM tok_ext_test
+        |LATERAL VIEW graft_tokenize(text, ' ') t AS pos, token""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaSql == Set((1L, 0, "a"), (1L, 1, "b"), (1L, 2, "c"), (3L, 0, "solo")))
+    import org.apache.spark.sql.functions.col
+    val viaApi = Seq((1L, "a  b c")).toDF("id", "text")
+      .select(col("id"), graft.functions.TextFunctions.tokenize(col("text"), " "))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(viaApi == Set((1L, 0, "a"), (1L, 1, "b"), (1L, 2, "c")))
   }
 
   test("SQL cosine agrees with the Column API on real embeddings") {
