@@ -88,7 +88,8 @@ object SparkEntry {
     "q_approx_quantile" -> (Ext2Queries.approxQuantile _),
     "q_window_positional" -> (Ext2Queries.windowPositional _),
     "q_stream_join" -> (Ext2Queries.streamJoin _),
-    "q_udtf_tokenize" -> (Ext2Queries.udtfTokenize _)
+    "q_udtf_tokenize" -> (Ext2Queries.udtfTokenize _),
+    "q_lsh_ann" -> (Ext2Queries.lshAnn _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -348,6 +349,7 @@ object SparkEntry {
     "q_approx_quantile" -> Ext2Queries.approxQuantileOracle,
     "q_window_positional" -> Ext2Queries.windowPositionalOracle,
     "q_stream_join" -> Ext2Queries.streamJoinOracle,
-    "q_udtf_tokenize" -> Ext2Queries.udtfTokenizeOracle
+    "q_udtf_tokenize" -> Ext2Queries.udtfTokenizeOracle,
+    "q_lsh_ann" -> Ext2Queries.lshAnnOracle
   )
 }

@@ -120,4 +120,76 @@ object Similarity {
       .filter(col("cos") >= threshold)
       .select(col("id_1"), col("id_2"), col("cos"))
   }
+
+  // --- random-hyperplane LSH (the bucketed ANN scale path) -------------------
+
+  /** Deterministic, engine-portable hyperplane coefficient: 60-bit md5
+    * prefix of "j:d" mapped to [-1000, 1000]. An external SQL engine
+    * recomputes the identical planes (`'0x' || substr(md5(j||':'||d),1,15)`).
+    */
+  def planeCoef(j: Int, d: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$j:$d".getBytes("UTF-8"))
+    val hex = md.take(8).map(b => f"$b%02x").mkString.substring(0, 15)
+    java.lang.Long.parseLong(hex, 16) % 2001L - 1000L
+  }
+
+  /** Banded random-hyperplane LSH near-dup: `bands` hash tables of
+    * `bitsPerBand` sign bits each; vectors sharing any (band, chunk) bucket
+    * become candidates, then exact cosine verifies. Recall per true pair at
+    * angle theta is 1 - (1 - p^r)^B with p = 1 - theta/pi — the standard
+    * banding amplification; bitsPerBand should grow with log(corpus size)
+    * to keep buckets selective (4 bits suits the test SFs; ~16-24 at 100 TB
+    * embedding counts).
+    *
+    * The signature uses INTEGER arithmetic end to end — vectors quantized
+    * with floor(x*1000), md5-derived integer plane coefficients
+    * ([[planeCoef]]) — so every dot-product sign is exact and
+    * order-independent: two engines (or two partition layouts) can never
+    * disagree on a bucket by float-summation order, which is what lets the
+    * SQL oracle replay the whole index.
+    *
+    * Scale posture vs the crossjoin verifier: shuffle on the (band, chunk)
+    * key; candidate volume ~ B * sum over buckets |bucket|^2 — the classic
+    * sub-quadratic ANN trade.
+    */
+  def lshNearDup(vectors: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, bands: Int = 8, bitsPerBand: Int = 6): DataFrame = {
+    require(bitsPerBand <= 62, "band chunk packs into a long")
+    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+    val nPlanes = bands * bitsPerBand
+    val planes = (0 until nPlanes).map(j => (0 until dim).map(planeCoef(j, _)).toArray)
+    val qv = transform(col("v").cast("array<double>"),
+      x => floor(x * 1000).cast("long"))
+    val chunks = (0 until bands).map { b =>
+      (0 until bitsPerBand).map { i =>
+        val j = b * bitsPerBand + i
+        val dotJ = aggregate(
+          zip_with(col("_qv"), typedLit(planes(j)), (x, c) => x * c),
+          lit(0L), (acc, x) => acc + x)
+        when(dotJ >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce((a, b2) => a.bitwiseOR(b2))
+    }
+    // signatures carry ONLY (id, band, chunk): the candidate self-join and
+    // its dedup shuffle ids, not vectors — the embeddings rejoin once per
+    // side after dedup (measured 5x on the drain: 1.5M candidate pairs
+    // each dragging two 64-float payloads through the distinct).
+    val sig = vectors
+      .select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("_qv", qv)
+      .select(col("id"), posexplode(array(chunks: _*)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
+    val cands = sig.as("a").join(sig.as("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"))
+      .distinct()
+    val vecs = vectors.select(col(idCol).as("id"), col(vecCol).as("v"))
+    cands
+      .join(vecs.as("va"), col("id_1") === col("va.id"))
+      .join(vecs.as("vb"), col("id_2") === col("vb.id"))
+      .select(col("id_1"), col("id_2"),
+        cosine(col("va.v"), col("vb.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
 }

@@ -145,6 +145,59 @@ object Ext2Queries {
       |  1 AS within_2pct
       |FROM lineitem GROUP BY l_returnflag""".stripMargin
 
+  // --- hyperplane-LSH ANN ----------------------------------------------------
+
+  /** The LSH-bucketed ANN scale path (complement of the IVF index): 8 bands of 6
+    * random-hyperplane sign bits bucket the vectors, same-bucket pairs are
+    * exact-verified at the q_embed_neardup threshold. Planes and quantized
+    * dot products are INTEGER arithmetic from an md5-derived seed, so the
+    * oracle recomputes the identical buckets in SQL — the full approximate
+    * index is replayed, not just sampled.
+    */
+  def lshAnn(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Similarity.lshNearDup(
+        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
+      .select(col("id_1"), col("id_2"), round(col("cos"), 6).as("cos"))
+
+  val lshAnnOracle: String = {
+    val cosSql: (String, String) => String = (a, b) =>
+      s"""list_sum(list_transform(range(1, len($a) + 1),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+         |  / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+         |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+         |   * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+         |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+    s"""WITH dims AS (SELECT CAST(r.range AS INT) AS d FROM range(64) r),
+       |planes AS (
+       |  SELECT CAST(j.range AS INT) AS j, dims.d,
+       |    CAST(CAST('0x' || substr(md5(j.range || ':' || dims.d), 1, 15) AS UBIGINT)
+       |         AS BIGINT) % 2001 - 1000 AS c
+       |  FROM range(48) j, dims
+       |), q AS (
+       |  SELECT vec_id, dims.d,
+       |    CAST(floor(CAST(embedding[dims.d + 1] AS DOUBLE) * 1000) AS BIGINT) AS qx
+       |  FROM embeddings, dims
+       |), dots AS (
+       |  SELECT q.vec_id, p.j, SUM(q.qx * p.c) AS dot
+       |  FROM q JOIN planes p USING (d) GROUP BY q.vec_id, p.j
+       |), sig AS (
+       |  SELECT vec_id, j // 6 AS band,
+       |    CAST(SUM(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << (j % 6)) ELSE 0 END)
+       |         AS BIGINT) AS chunk
+       |  FROM dots GROUP BY vec_id, j // 6
+       |), cand AS (
+       |  SELECT DISTINCT a.vec_id AS id_1, b.vec_id AS id_2
+       |  FROM sig a JOIN sig b
+       |    ON a.band = b.band AND a.chunk = b.chunk AND a.vec_id < b.vec_id
+       |)
+       |SELECT c.id_1, c.id_2,
+       |  ROUND(${cosSql("ea.embedding", "eb.embedding")}, 6) AS cos
+       |FROM cand c
+       |JOIN embeddings ea ON ea.vec_id = c.id_1
+       |JOIN embeddings eb ON eb.vec_id = c.id_2
+       |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45""".stripMargin
+  }
+
   // --- UDTF tokenizer --------------------------------------------------------
 
   /** The native Generator (UDTF tier) end-to-end: (pos, token) rows per doc

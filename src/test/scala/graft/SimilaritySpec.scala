@@ -66,4 +66,27 @@ class SimilaritySpec extends SparkTestBase {
     val ids = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ids.contains((0L, 1L)) && ids.contains((2L, 3L)))
   }
+
+  test("lshNearDup: subset of exact output, near-identical vectors always collide") {
+    val exact = Similarity.cosineNearDup(vecs, "vec_id", "embedding", 0.9)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshNearDup(vecs, "vec_id", "embedding", 0.9,
+        bands = 4, bitsPerBand = 2)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-exact pairs: ${lsh -- exact}")
+    // an identical-vector pair has P(collision) = 1 — must always be found
+    val dup = Seq((10L, Array(1.0f, 2.0f, 3.0f)), (11L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val found = Similarity.lshNearDup(dup, "vec_id", "embedding", 0.99,
+        bands = 4, bitsPerBand = 2)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(found == Set((10L, 11L)))
+  }
+
+  test("plane coefficients are deterministic and bounded") {
+    val c = for (j <- 0 until 16; d <- 0 until 64) yield Similarity.planeCoef(j, d)
+    assert(c.forall(v => v >= -1000 && v <= 1000))
+    assert(c.toSet.size > 100) // spread, not collapsed
+    assert(Similarity.planeCoef(3, 7) == Similarity.planeCoef(3, 7))
+  }
 }
