@@ -25,19 +25,21 @@ object Bench {
 
     def materialize(name: String): Double = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        return -1.0
+        -1.0
+      } finally {
+        // The dedup family persists intermediates; left cached across
+        // queries they build heap pressure that shows up as multi-second GC
+        // spikes in UNRELATED later queries (observed: q_rollup 1.5 s ->
+        // 15 s). Each query is measured cold — drop the cache outside the
+        // timed section, on the failure path too.
+        spark.catalog.clearCache()
       }
-      val t = (System.nanoTime() - t0) / 1e9
-      // The dedup family persists intermediates; left cached across queries
-      // they build heap pressure that shows up as multi-second GC spikes in
-      // UNRELATED later queries (observed: q_rollup 1.5 s -> 15 s). Each
-      // query is measured cold, so drop the cache outside the timed section.
-      spark.catalog.clearCache()
-      t
     }
 
     // warmup: JIT + parquet footer caches (untimed)

@@ -93,41 +93,71 @@ object Joins {
       leftTime: String,
       rightTime: String,
       rightVals: Seq[String],
-      tiebreak: String): DataFrame = {
+      tiebreak: String): DataFrame =
+    asOfCarry(left, right, keys, leftTime, rightTime, rightVals, tiebreak,
+      forward = false, prefix = "asof_")
+
+  /** Shared union-and-carry implementation for both AS-OF directions.
+    *
+    * The carried right-side columns travel as ONE struct, not per-column
+    * windows: per-column `last(ignoreNulls)` would tear rows apart whenever
+    * the matched right row holds a NULL in one carried column (the window
+    * would skip past it to an OLDER row for that column only), producing a
+    * combination that never existed. A right row's struct is never null
+    * (even if every field is), so ignoreNulls skips exactly the left rows.
+    *
+    * Both directions run O(n) running frames: backward carries
+    * last(ignoreNulls) over an ASCENDING (time, side, tiebreak) sort;
+    * forward uses the same running frame over the DESCENDING sort — a
+    * (currentRow, unboundedFollowing) frame would be recomputed from
+    * scratch per row (quadratic in the hot key's partition).
+    */
+  private def asOfCarry(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      rightVals: Seq[String],
+      tiebreak: String,
+      forward: Boolean,
+      prefix: String): DataFrame = {
     val leftCols = left.columns
+    val rvStructType = org.apache.spark.sql.types.StructType(
+      rightVals.map(v => org.apache.spark.sql.types.StructField(
+        v, right.schema(v).dataType, nullable = true)))
     val l = left
       .withColumn("_t", col(leftTime))
-      .withColumn("_side", lit(1))
+      .withColumn("_side", lit(if (forward) 0 else 1))
       .withColumn("_tb", lit(null).cast("long"))
-      .withColumns(rightVals.map(v => s"_rv_$v" -> lit(null).cast(
-        right.schema(v).dataType)).toMap)
-      .select((keys ++ Seq("_t", "_side", "_tb") ++ rightVals.map("_rv_" + _)).map(col) ++
+      .withColumn("_rv", lit(null).cast(rvStructType))
+      .select((keys ++ Seq("_t", "_side", "_tb", "_rv")).map(col) ++
         leftCols.filterNot(keys.contains).map(col): _*)
     val r = right
       .withColumn("_t", col(rightTime))
-      .withColumn("_side", lit(0))
+      .withColumn("_side", lit(if (forward) 1 else 0))
       .withColumn("_tb", col(tiebreak).cast("long"))
-      .withColumns(rightVals.map(v => s"_rv_$v" -> col(v)).toMap)
-      .select((keys ++ Seq("_t", "_side", "_tb") ++ rightVals.map("_rv_" + _)).map(col): _*)
+      .withColumn("_rv", struct(rightVals.map(col): _*))
+      .select((keys ++ Seq("_t", "_side", "_tb", "_rv")).map(col): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    val order =
+      if (forward) Seq(col("_t").desc, col("_side").desc, col("_tb").desc)
+      else Seq(col("_t").asc, col("_side").asc, col("_tb").asc)
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_side"), col("_tb"))
+      .orderBy(order: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(unioned) { (df, v) =>
-      df.withColumn(s"asof_$v", last(col(s"_rv_$v"), ignoreNulls = true).over(w))
-    }
-    carried
-      .filter(col("_side") === 1)
-      .select((keys ++ leftCols.filterNot(keys.contains) ++
-        rightVals.map("asof_" + _)).map(col): _*)
+    unioned
+      .withColumn("_carried", last(col("_rv"), ignoreNulls = true).over(w))
+      .filter(col("_side") === (if (forward) 0 else 1))
+      .select((keys ++ leftCols.filterNot(keys.contains)).map(col) ++
+        rightVals.map(v => col(s"_carried.$v").as(prefix + v)): _*)
   }
 
   /** Forward AS-OF join: every left row gets the EARLIEST right row with
-    * `rightTime >= leftTime` per key (the mirror of [[asOfJoin]]). Same
-    * single-shuffle union rewrite, with the carry running backward:
-    * first_value(ignoreNulls) over (current row -> unbounded following),
-    * left rows ordered before right rows at equal time so a same-timestamp
-    * right row is eligible.
+    * `rightTime >= leftTime` per key (the mirror of [[asOfJoin]]; at equal
+    * right times the LOWEST tiebreak wins). Same single-shuffle union
+    * rewrite, run over the descending sort so the carry stays a running
+    * frame (see [[asOfCarry]]).
     */
   def asOfJoinForward(
       left: DataFrame,
@@ -136,34 +166,9 @@ object Joins {
       leftTime: String,
       rightTime: String,
       rightVals: Seq[String],
-      tiebreak: String): DataFrame = {
-    val leftCols = left.columns
-    val l = left
-      .withColumn("_t", col(leftTime))
-      .withColumn("_side", lit(0))
-      .withColumn("_tb", lit(null).cast("long"))
-      .withColumns(rightVals.map(v => s"_rv_$v" -> lit(null).cast(
-        right.schema(v).dataType)).toMap)
-      .select((keys ++ Seq("_t", "_side", "_tb") ++ rightVals.map("_rv_" + _)).map(col) ++
-        leftCols.filterNot(keys.contains).map(col): _*)
-    val r = right
-      .withColumn("_t", col(rightTime))
-      .withColumn("_side", lit(1))
-      .withColumn("_tb", col(tiebreak).cast("long"))
-      .withColumns(rightVals.map(v => s"_rv_$v" -> col(v)).toMap)
-      .select((keys ++ Seq("_t", "_side", "_tb") ++ rightVals.map("_rv_" + _)).map(col): _*)
-    val unioned = l.unionByName(r, allowMissingColumns = true)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("_t"), col("_side"), col("_tb"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    val carried = rightVals.foldLeft(unioned) { (df, v) =>
-      df.withColumn(s"next_$v", first(col(s"_rv_$v"), ignoreNulls = true).over(w))
-    }
-    carried
-      .filter(col("_side") === 0)
-      .select((keys ++ leftCols.filterNot(keys.contains) ++
-        rightVals.map("next_" + _)).map(col): _*)
-  }
+      tiebreak: String): DataFrame =
+    asOfCarry(left, right, keys, leftTime, rightTime, rightVals, tiebreak,
+      forward = true, prefix = "next_")
 
   /** Top-k rows per group, ordered by orderCols descending — the window
     * `row_number` pattern used throughout the engine (e.g. similarity top-k).

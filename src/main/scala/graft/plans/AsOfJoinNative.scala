@@ -123,17 +123,32 @@ case class AsOfJoinExec(
         private var matchKey: InternalRow = _
         advanceRight()
 
-        private def advanceRight(): Unit =
-          if (rIter.hasNext) {
-            rRow = rIter.next()
-            rKey = rKeyProj(rRow).copy()
-          } else { rRow = null; rKey = null }
+        // Right rows with a NULL key can never match (SQL equi-join
+        // semantics: NULL != NULL) — skip them on arrival; they sort first
+        // (NULLS FIRST), so this also keeps the merge pointer aligned.
+        private def advanceRight(): Unit = {
+          var skipping = true
+          while (skipping) {
+            if (rIter.hasNext) {
+              rRow = rIter.next()
+              rKey = rKeyProj(rRow).copy()
+              skipping = rKey.anyNull
+            } else { rRow = null; rKey = null; skipping = false }
+          }
+        }
 
         override def hasNext: Boolean = lIter.hasNext
 
         override def next(): InternalRow = {
           val l = lIter.next()
           val lKey = lKeyProj(l).copy()
+          // NULL-keyed left rows null-extend without consulting the right
+          // side — RowOrdering compares nulls as EQUAL, which would
+          // otherwise match NULL keys against each other.
+          if (lKey.anyNull) {
+            matchKey = null; matchCarry = null
+            return resultProj(joined(l, nullCarry))
+          }
           val lTime = lTimeProj(l).getLong(0)
           if (matchKey != null && keyOrd.compare(matchKey, lKey) != 0) {
             matchKey = null; matchCarry = null

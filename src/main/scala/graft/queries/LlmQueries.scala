@@ -406,15 +406,19 @@ object LlmQueries {
       .map { case (w, b) => s"('$w', $b)" }.mkString(", ")
     val negVals = graft.operators.Sentiment.negations.toSeq.sorted
       .map(w => s"('$w')").mkString(", ")
-    val newsVals = Seq(
-      ("https://www.coindesk.com/markets-bitcoin-tops-42k", "Bitcoin rose above 42000 on Monday."),
-      ("https://www.newsbtc.com/analysis/eth-outlook", ""),
-      ("https://www.coindesk.com/policy-regulation-watch", "Regulators weigh new crypto rules; markets shrug."))
-      .map { case (u, t) => s"('$u', '${t.replace("'", "''")}')" }.mkString(", ")
+    // derive the news corpus from the SAME fixture literals the query
+    // parses (one source of truth — editing WireQueries.newsFixtures can
+    // never desync the oracle)
+    val newsRaw = WireQueries.newsFixtures
+      .map(f => "('" + f.replace("'", "''") + "')").mkString(", ")
     s"""WITH lex(word, val) AS (VALUES $lexVals),
        |boost(word, b) AS (VALUES $boostVals),
        |neg(word) AS (VALUES $negVals),
-       |news(id, text) AS (VALUES $newsVals),
+       |newsraw(value) AS (VALUES $newsRaw),
+       |news(id, text) AS (
+       |  SELECT json_extract_string(value, '$$.url'),
+       |         json_extract_string(value, '$$.content')
+       |  FROM newsraw),
        |corpus AS (
        |  SELECT id, text FROM news
        |  UNION ALL

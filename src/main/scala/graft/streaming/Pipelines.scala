@@ -54,10 +54,17 @@ object Pipelines {
     KafkaJson.parseNews(raw)
       .filter(col("url").isNotNull && KafkaJson.validNewsUrl(col("url")))
       // Watermarked dedup keeps state bounded in continuous mode (same
-      // posture as priceFlow); the IdempotentWriter anti-join stays the
-      // cross-batch backstop for URLs recrawled beyond the watermark.
-      .withWatermark("created_date", watermark)
+      // posture as priceFlow) — but the watermark rides on INGEST time, not
+      // created_date: article publish dates are arbitrarily old (RSS
+      // backfills), and an event-time watermark would silently DROP a
+      // never-before-seen old article as late data. Ingest time is
+      // monotonic, so nothing is ever late; state still expires after the
+      // horizon. The IdempotentWriter anti-join stays the cross-batch
+      // backstop for URLs recrawled beyond it.
+      .withColumn("_ingest_t", current_timestamp())
+      .withWatermark("_ingest_t", watermark)
       .dropDuplicatesWithinWatermark("url")
+      .drop("_ingest_t")
 
   val klineKeys: Seq[String] = Seq("symbol", "interval", "open_time")
   val newsKeys: Seq[String] = Seq("url")

@@ -74,4 +74,25 @@ class AsOfJoinSpec extends SparkTestBase {
       .select("next_v").as[Double].head()
     assert(out == 1.0)
   }
+
+  test("carried columns are row-atomic: a NULL field never tears the match") {
+    // matched right row has v = NULL; per-column carries would splice the
+    // OLDER row's v (backward) / the LATER row's v (forward) onto this
+    // row's rid — a right row that never existed
+    val r3 = Seq(
+      ("u1", 100L, Some(7.0), 1L),
+      ("u1", 200L, None, 2L), // latest preceding for l@250; v is NULL
+      ("u1", 300L, Some(9.0), 3L)
+    ).toDF("k", "t", "v", "rid")
+    val l3 = Seq(("u1", 250L, "x")).toDF("k", "t", "name")
+    val back = Joins.asOfJoin(l3, r3, Seq("k"), "t", "t", Seq("v", "rid"), "rid")
+      .select("asof_v", "asof_rid").head()
+    assert(back.isNullAt(0) && back.getLong(1) == 2L,
+      s"backward tore the row: $back")
+    val l4 = Seq(("u1", 150L, "y")).toDF("k", "t", "name")
+    val fwd = Joins.asOfJoinForward(l4, r3, Seq("k"), "t", "t", Seq("v", "rid"), "rid")
+      .select("next_v", "next_rid").head()
+    assert(fwd.isNullAt(0) && fwd.getLong(1) == 2L,
+      s"forward tore the row: $fwd")
+  }
 }

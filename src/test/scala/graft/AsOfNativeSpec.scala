@@ -72,6 +72,19 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(out(1L).isEmpty && out(3L).contains(2L))
   }
 
+  test("NULL join keys never match (SQL equi-join semantics)") {
+    val left = Seq((Some(1L), 10L, 100L), (None, 11L, 100L))
+      .toDF("k", "lid", "t")
+    val right = Seq((Some(1L), 50L, 5L, 1.0), (None, 50L, 2L, 9.0))
+      .toDF("k", "t", "rid", "v")
+    val out = AsOfJoinNative.join(left, right, Seq("k"), "t", "t",
+        Seq("v"), "rid")
+      .select("lid", "asof_v").collect()
+      .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(out(10L) == Some(1.0)) // non-null key matches normally
+    assert(out(11L) == None, "NULL key matched a NULL-keyed right row")
+  }
+
   test("plan shape: custom exec, two per-side exchanges, no window/union") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {

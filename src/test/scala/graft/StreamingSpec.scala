@@ -65,6 +65,27 @@ class StreamingSpec extends SparkTestBase {
     assert(out.filter($"url".contains("evil")).count() == 0)
   }
 
+  test("news flow: a NEW article with an arbitrarily old created_date still lands") {
+    // the dedup watermark rides on ingest time, not created_date — an
+    // event-time watermark would drop an old-dated backfill article as
+    // late data before the sink ever saw it
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val flow = Pipelines.newsFlow(mem.toDF())
+    val sink = tmp("graft-news-old") + "/news"
+    val q = Pipelines.start(flow, sink, tmp("graft-news-old-ckpt"), Pipelines.newsKeys,
+      availableNow = false, cadence = "1 second")
+    try {
+      mem.addData(WireQueries.newsFixtures.head) // fresh article, advances ingest clock
+      q.processAllAvailable()
+      mem.addData("""{"title":"ancient","url":"https://www.coindesk.com/from-the-archive","created_date":"2019-06-01 00:00:00+00:00","tag":null,"content":"old but new to us","sentiment_score":0}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(sink)
+    assert(out.filter($"url".contains("from-the-archive")).count() == 1,
+      "old-dated but never-seen article was dropped")
+  }
+
   test("AvailableNow drain produces the same sink as batch processing (T6/T7)") {
     implicit val sqlCtx = spark.sqlContext
     // file-source replay: write fixtures as a text 'value' table
