@@ -89,7 +89,8 @@ object SparkEntry {
     "q_window_positional" -> (Ext2Queries.windowPositional _),
     "q_stream_join" -> (Ext2Queries.streamJoin _),
     "q_udtf_tokenize" -> (Ext2Queries.udtfTokenize _),
-    "q_lsh_ann" -> (Ext2Queries.lshAnn _)
+    "q_lsh_ann" -> (Ext2Queries.lshAnn _),
+    "q_frame_sample" -> (Ext2Queries.frameSample _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -350,6 +351,7 @@ object SparkEntry {
     "q_window_positional" -> Ext2Queries.windowPositionalOracle,
     "q_stream_join" -> Ext2Queries.streamJoinOracle,
     "q_udtf_tokenize" -> Ext2Queries.udtfTokenizeOracle,
-    "q_lsh_ann" -> Ext2Queries.lshAnnOracle
+    "q_lsh_ann" -> Ext2Queries.lshAnnOracle,
+    "q_frame_sample" -> Ext2Queries.frameSampleOracle
   )
 }

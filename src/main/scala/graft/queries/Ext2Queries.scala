@@ -198,6 +198,36 @@ object Ext2Queries {
        |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45""".stripMargin
   }
 
+  // --- multimodal frame sampling ---------------------------------------------
+
+  /** Video frame sampling over binary payloads (every 4th fixed-size frame),
+    * gated by frame content: the oracle recomputes each sampled frame's md5
+    * from the same byte ranges (payloads are utf8 text bytes, so SQL substr
+    * + md5 sees identical bytes). Extends the multimodal gate from metadata
+    * parity to actual payload-slicing parity.
+    */
+  def frameSample(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Multimodal.packPayload(
+      Tables.documents(s, dir), "doc_id", "text")
+    graft.operators.Multimodal.sampleFrames(
+        media.filter(col("kind") === "video"), frameBytes = 64, stride = 4)
+      .select(col("media_id"), col("frame_idx"),
+        md5(col("frame")).as("md5_frame"))
+  }
+
+  val frameSampleOracle: String =
+    """WITH vids AS (
+      |  SELECT doc_id, text, length(text) AS nb FROM documents
+      |  WHERE doc_id % 3 = 2
+      |), idx AS (
+      |  SELECT doc_id, text,
+      |    unnest(range(0, GREATEST(CAST(nb // 64 AS INT) - 1, 0) + 1)) AS frame_idx
+      |  FROM vids
+      |)
+      |SELECT doc_id AS media_id, frame_idx,
+      |  md5(substr(text, CAST(frame_idx * 64 + 1 AS INT), 64)) AS md5_frame
+      |FROM idx WHERE frame_idx % 4 = 0""".stripMargin
+
   // --- UDTF tokenizer --------------------------------------------------------
 
   /** The native Generator (UDTF tier) end-to-end: (pos, token) rows per doc
