@@ -118,6 +118,70 @@ case class LongArrayMatchFraction(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All `bands * bitsPerBand` hyperplane sign bits of a quantized vector in
+  * ONE codegen pass: input array<long> (the floor(x*1000) quantization),
+  * output array<long> of `bands` packed chunks. The HOF formulation (one
+  * aggregate(zip_with) per plane) dispatches interpreted lambdas 48x per
+  * row; this is a tight two-level integer loop inside whole-stage codegen.
+  * Integer arithmetic keeps the result bit-identical to both the HOF path
+  * and the SQL oracle.
+  */
+case class HyperplaneChunks(child: Expression, planes: Array[Array[Long]],
+    bitsPerBand: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  private val bands = planes.length / bitsPerBand
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.LongType, containsNull = false)
+
+  override def prettyName: String = "hyperplane_chunks"
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val chunks = new Array[Long](bands)
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val n = math.min(v.numElements(), p.length)
+      var dot = 0L
+      var d = 0
+      while (d < n) { dot += v.getLong(d) * p(d); d += 1 }
+      if (dot >= 0) chunks(j / bitsPerBand) |= 1L << (j % bitsPerBand)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(chunks)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val planesRef = ctx.addReferenceObj("planes", planes, "long[][]")
+      val chunks = ctx.freshName("chunks")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val p = ctx.freshName("p")
+      s"""
+         |long[] $chunks = new long[$bands];
+         |for (int $j = 0; $j < ${planes.length}; $j++) {
+         |  long[] $p = $planesRef[$j];
+         |  int $n = java.lang.Math.min($v.numElements(), $p.length);
+         |  long $dot = 0L;
+         |  for (int $d = 0; $d < $n; $d++) {
+         |    $dot += $v.getLong($d) * $p[$d];
+         |  }
+         |  if ($dot >= 0) $chunks[$j / $bitsPerBand] |= 1L << ($j % $bitsPerBand);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($chunks);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneChunks =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
   /** Codegen'd cosine similarity over two array<float> columns. */
   def cosine_sim(a: Column, b: Column): Column =
@@ -128,4 +192,9 @@ object VectorFunctions {
   def match_fraction(a: Column, b: Column): Column =
     GraftColumnBridge.column(LongArrayMatchFraction(GraftColumnBridge.expression(a),
       GraftColumnBridge.expression(b)))
+
+  /** Codegen'd banded hyperplane signature over an array<long> column. */
+  def hyperplane_chunks(v: Column, planes: Array[Array[Long]], bitsPerBand: Int): Column =
+    GraftColumnBridge.column(HyperplaneChunks(GraftColumnBridge.expression(v),
+      planes, bitsPerBand))
 }

@@ -161,23 +161,18 @@ object Similarity {
     val planes = (0 until nPlanes).map(j => (0 until dim).map(planeCoef(j, _)).toArray)
     val qv = transform(col("v").cast("array<double>"),
       x => floor(x * 1000).cast("long"))
-    val chunks = (0 until bands).map { b =>
-      (0 until bitsPerBand).map { i =>
-        val j = b * bitsPerBand + i
-        val dotJ = aggregate(
-          zip_with(col("_qv"), typedLit(planes(j)), (x, c) => x * c),
-          lit(0L), (acc, x) => acc + x)
-        when(dotJ >= 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce((a, b2) => a.bitwiseOR(b2))
-    }
     // signatures carry ONLY (id, band, chunk): the candidate self-join and
     // its dedup shuffle ids, not vectors — the embeddings rejoin once per
     // side after dedup (measured 5x on the drain: 1.5M candidate pairs
-    // each dragging two 64-float payloads through the distinct).
+    // each dragging two 64-float payloads through the distinct). All
+    // bands*bitsPerBand sign bits come from ONE codegen pass
+    // (hyperplane_chunks) instead of a zip_with/aggregate lambda per plane.
     val sig = vectors
       .select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("_qv", qv)
-      .select(col("id"), posexplode(array(chunks: _*)))
+      .select(col("id"), posexplode(
+        graft.functions.VectorFunctions.hyperplane_chunks(
+          col("_qv"), planes.toArray, bitsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     val cands = sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
