@@ -90,7 +90,9 @@ object SparkEntry {
     "q_stream_join" -> (Ext2Queries.streamJoin _),
     "q_udtf_tokenize" -> (Ext2Queries.udtfTokenize _),
     "q_lsh_ann" -> (Ext2Queries.lshAnn _),
-    "q_frame_sample" -> (Ext2Queries.frameSample _)
+    "q_frame_sample" -> (Ext2Queries.frameSample _),
+    "q_correlated_sub" -> (Ext2Queries.correlatedSub _),
+    "q_exists_sub" -> (Ext2Queries.existsSub _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -352,6 +354,8 @@ object SparkEntry {
     "q_stream_join" -> Ext2Queries.streamJoinOracle,
     "q_udtf_tokenize" -> Ext2Queries.udtfTokenizeOracle,
     "q_lsh_ann" -> Ext2Queries.lshAnnOracle,
-    "q_frame_sample" -> Ext2Queries.frameSampleOracle
+    "q_frame_sample" -> Ext2Queries.frameSampleOracle,
+    "q_correlated_sub" -> Ext2Queries.correlatedSubOracle,
+    "q_exists_sub" -> Ext2Queries.existsSubOracle
   )
 }

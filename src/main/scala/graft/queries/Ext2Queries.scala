@@ -198,6 +198,45 @@ object Ext2Queries {
        |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45""".stripMargin
   }
 
+  // --- correlated subqueries (SQL surface + decorrelation) -------------------
+
+  /** Correlated scalar subquery through the pure-SQL surface: orders beating
+    * 1.5x their own customer's average. Catalyst decorrelates this into an
+    * aggregate + join (no per-row re-execution) — the one optimizer rewrite
+    * family no other query exercises. Identical SQL runs on both engines.
+    */
+  def correlatedSub(s: SparkSession, dir: String): DataFrame = {
+    Tables.orders(s, dir).createOrReplaceTempView("orders_cs")
+    s.sql(
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders_cs o
+        |WHERE o_totalprice > (
+        |  SELECT 1.5 * AVG(o2.o_totalprice) FROM orders_cs o2
+        |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin)
+  }
+
+  val correlatedSubOracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE o_totalprice > (
+      |  SELECT 1.5 * AVG(o2.o_totalprice) FROM orders o2
+      |  WHERE o2.o_custkey = o.o_custkey)""".stripMargin
+
+  /** Correlated EXISTS through SQL (decorrelates to a semi join). */
+  def existsSub(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_es")
+    Tables.orders(s, dir).createOrReplaceTempView("orders_es")
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer_es c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders_es o
+        |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin)
+  }
+
+  val existsSubOracle: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (
+      |  SELECT 1 FROM orders o
+      |  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)""".stripMargin
+
   // --- multimodal frame sampling ---------------------------------------------
 
   /** Video frame sampling over binary payloads (every 4th fixed-size frame),
