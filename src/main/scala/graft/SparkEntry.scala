@@ -92,7 +92,8 @@ object SparkEntry {
     "q_lsh_ann" -> (Ext2Queries.lshAnn _),
     "q_frame_sample" -> (Ext2Queries.frameSample _),
     "q_correlated_sub" -> (Ext2Queries.correlatedSub _),
-    "q_exists_sub" -> (Ext2Queries.existsSub _)
+    "q_exists_sub" -> (Ext2Queries.existsSub _),
+    "q_resize_plan" -> (Ext2Queries.resizePlan _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -356,6 +357,7 @@ object SparkEntry {
     "q_lsh_ann" -> Ext2Queries.lshAnnOracle,
     "q_frame_sample" -> Ext2Queries.frameSampleOracle,
     "q_correlated_sub" -> Ext2Queries.correlatedSubOracle,
-    "q_exists_sub" -> Ext2Queries.existsSubOracle
+    "q_exists_sub" -> Ext2Queries.existsSubOracle,
+    "q_resize_plan" -> Ext2Queries.resizePlanOracle
   )
 }

@@ -87,6 +87,23 @@ object Multimodal {
       }
   }
 
+  /** Resize planning over decoded dimensions: aspect-preserving fit to a
+    * `maxEdge` bounding box with INTEGER arithmetic (w*maxEdge div
+    * max(w,h)), already-fitting media pass through unchanged. The pixel
+    * resample itself is the codec's job behind the same batch seam as
+    * [[decodeFeatures]] (STUB here); the dimension plan is what the
+    * distributed pipeline schedules and stores.
+    */
+  def resizePlan(decoded: DataFrame, maxEdge: Int = 256): DataFrame = {
+    val longest = greatest(col("width"), col("height"))
+    decoded.select(
+      col("media_id"), col("kind"), col("width"), col("height"),
+      when(longest <= maxEdge, col("width"))
+        .otherwise((col("width") * maxEdge) / longest).cast("int").as("out_w"),
+      when(longest <= maxEdge, col("height"))
+        .otherwise((col("height") * maxEdge) / longest).cast("int").as("out_h"))
+  }
+
   /** Frame sampling for video payloads: every `stride`-th fixed-size frame,
     * as (media_id, frame_idx, frame_bytes) — pure expressions (slice over a
     * byte array), partition-preserving, no decode required for the slicing.

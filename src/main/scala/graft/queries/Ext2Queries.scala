@@ -198,6 +198,42 @@ object Ext2Queries {
        |WHERE ${cosSql("ea.embedding", "eb.embedding")} >= 0.45""".stripMargin
   }
 
+  // --- multimodal resize planning --------------------------------------------
+
+  /** Decode -> resize-plan over the media table: aspect-preserving integer
+    * fit of every decoded frame into a 256px box. The oracle replays the
+    * stub decoder's dimension hash AND the integer resize arithmetic.
+    */
+  def resizePlan(s: SparkSession, dir: String): DataFrame = {
+    val media = graft.operators.Multimodal.packPayload(
+      Tables.documents(s, dir), "doc_id", "text")
+    graft.operators.Multimodal.resizePlan(
+      graft.operators.Multimodal.decodeFeatures(media).toDF(), maxEdge = 256)
+  }
+
+  val resizePlanOracle: String =
+    """WITH bytes AS (
+      |  SELECT doc_id,
+      |    list_extract(['image', 'audio', 'video'], CAST(doc_id % 3 AS INT) + 1) AS kind,
+      |    list_reduce(
+      |      list_concat([CAST(17 AS BIGINT)],
+      |        list_transform(range(1, length(text) + 1),
+      |                       i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT))),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007) AS h
+      |  FROM documents
+      |), dims AS (
+      |  SELECT doc_id AS media_id, kind,
+      |    CAST(64 + h % 448 AS INT) AS width,
+      |    CAST(64 + (h // 448) % 448 AS INT) AS height
+      |  FROM bytes
+      |)
+      |SELECT media_id, kind, width, height,
+      |  CAST(CASE WHEN GREATEST(width, height) <= 256 THEN width
+      |       ELSE width * 256 // GREATEST(width, height) END AS INT) AS out_w,
+      |  CAST(CASE WHEN GREATEST(width, height) <= 256 THEN height
+      |       ELSE height * 256 // GREATEST(width, height) END AS INT) AS out_h
+      |FROM dims""".stripMargin
+
   // --- correlated subqueries (SQL surface + decorrelation) -------------------
 
   /** Correlated scalar subquery through the pure-SQL surface: orders beating

@@ -376,8 +376,8 @@ object LlmQueries {
   // --- sentiment (F1) --------------------------------------------------------
 
   /** VADER-style compound score over captured news contents plus a slice of
-    * documents. Imperative scoring -> rows-only gate; goldens in
-    * SentimentSpec pin the algorithm.
+    * documents; fully gated against [[sentimentOracle]]'s SQL replay, with
+    * goldens in SentimentSpec pinning the algorithm.
     */
   def sentimentNews(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
