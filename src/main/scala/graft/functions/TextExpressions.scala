@@ -76,7 +76,16 @@ case class RegexTokenize(child: Expression, pattern: Expression)
       TypeCheckResult.TypeCheckFailure("graft_tokenize(text, pattern) takes two strings")
     else if (!pattern.foldable)
       TypeCheckResult.TypeCheckFailure("pattern must be a constant")
-    else TypeCheckResult.TypeCheckSuccess
+    else pattern.eval(null) match {
+      // validate HERE, at analysis time — a null or malformed constant
+      // would otherwise surface as an executor-side NPE/PatternSyntax
+      // exception on the first row
+      case null => TypeCheckResult.TypeCheckFailure("pattern must not be NULL")
+      case p =>
+        try { java.util.regex.Pattern.compile(p.toString); TypeCheckResult.TypeCheckSuccess }
+        catch { case e: java.util.regex.PatternSyntaxException =>
+          TypeCheckResult.TypeCheckFailure(s"invalid pattern: ${e.getMessage}") }
+    }
   }
 
   override def elementSchema: StructType = StructType(Seq(

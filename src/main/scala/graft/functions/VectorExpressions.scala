@@ -126,11 +126,21 @@ case class LongArrayMatchFraction(left: Expression, right: Expression)
   * Integer arithmetic keeps the result bit-identical to both the HOF path
   * and the SQL oracle.
   */
-case class HyperplaneChunks(child: Expression, planes: Array[Array[Long]],
+case class HyperplaneChunks(child: Expression, planeRows: Seq[Seq[Long]],
     bitsPerBand: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  private val bands = planes.length / bitsPerBand
+  require(planeRows.nonEmpty && planeRows.length % bitsPerBand == 0,
+    "plane count must be a positive multiple of bitsPerBand")
+
+  // Seq fields keep case-class equality STRUCTURAL (Array fields compare by
+  // reference, defeating Catalyst semanticEquals/CSE); the hot loop runs on
+  // this materialized array form.
+  @transient private lazy val planes: Array[Array[Long]] =
+    planeRows.map(_.toArray).toArray
+
+  private val bands = planeRows.length / bitsPerBand
+  private val nPlanes = planeRows.length
 
   override def dataType: DataType =
     org.apache.spark.sql.types.ArrayType(
@@ -194,7 +204,7 @@ object VectorFunctions {
       GraftColumnBridge.expression(b)))
 
   /** Codegen'd banded hyperplane signature over an array<long> column. */
-  def hyperplane_chunks(v: Column, planes: Array[Array[Long]], bitsPerBand: Int): Column =
+  def hyperplane_chunks(v: Column, planes: Seq[Seq[Long]], bitsPerBand: Int): Column =
     GraftColumnBridge.column(HyperplaneChunks(GraftColumnBridge.expression(v),
       planes, bitsPerBand))
 }

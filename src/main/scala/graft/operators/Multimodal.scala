@@ -98,10 +98,12 @@ object Multimodal {
     val longest = greatest(col("width"), col("height"))
     decoded.select(
       col("media_id"), col("kind"), col("width"), col("height"),
-      when(longest <= maxEdge, col("width"))
-        .otherwise((col("width") * maxEdge) / longest).cast("int").as("out_w"),
-      when(longest <= maxEdge, col("height"))
-        .otherwise((col("height") * maxEdge) / longest).cast("int").as("out_h"))
+      // clamp to >= 1: extreme aspect ratios (1 x 600 into a 256 box) must
+      // not plan a 0-pixel edge
+      greatest(lit(1), when(longest <= maxEdge, col("width"))
+        .otherwise((col("width") * maxEdge) / longest).cast("int")).as("out_w"),
+      greatest(lit(1), when(longest <= maxEdge, col("height"))
+        .otherwise((col("height") * maxEdge) / longest).cast("int")).as("out_h"))
   }
 
   /** Frame sampling for video payloads: every `stride`-th fixed-size frame,

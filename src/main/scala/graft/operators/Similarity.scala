@@ -156,9 +156,20 @@ object Similarity {
   def lshNearDup(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double, bands: Int = 8, bitsPerBand: Int = 6): DataFrame = {
     require(bitsPerBand <= 62, "band chunk packs into a long")
-    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+    // dimension probe tolerates empty input / null vectors (mirror
+    // cosineNearDup's empty-in-empty-out behavior instead of throwing)
+    val dimRow = vectors
+      .filter(col(vecCol).isNotNull)
+      .select(size(col(vecCol)).as("d")).take(1)
+    if (dimRow.isEmpty) {
+      return vectors.sparkSession.emptyDataFrame
+        .select(lit(0L).as("id_1"), lit(0L).as("id_2"), lit(0.0).as("cos"))
+        .limit(0)
+    }
+    val dim = dimRow(0).getInt(0)
     val nPlanes = bands * bitsPerBand
-    val planes = (0 until nPlanes).map(j => (0 until dim).map(planeCoef(j, _)).toArray)
+    val planes: Seq[Seq[Long]] =
+      (0 until nPlanes).map(j => (0 until dim).map(planeCoef(j, _)))
     val qv = transform(col("v").cast("array<double>"),
       x => floor(x * 1000).cast("long"))
     // signatures carry ONLY (id, band, chunk): the candidate self-join and
@@ -172,7 +183,7 @@ object Similarity {
       .withColumn("_qv", qv)
       .select(col("id"), posexplode(
         graft.functions.VectorFunctions.hyperplane_chunks(
-          col("_qv"), planes.toArray, bitsPerBand)))
+          col("_qv"), planes, bitsPerBand)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "chunk")
     val cands = sig.as("a").join(sig.as("b"),
         col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&

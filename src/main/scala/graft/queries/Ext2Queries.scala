@@ -228,10 +228,10 @@ object Ext2Queries {
       |  FROM bytes
       |)
       |SELECT media_id, kind, width, height,
-      |  CAST(CASE WHEN GREATEST(width, height) <= 256 THEN width
-      |       ELSE width * 256 // GREATEST(width, height) END AS INT) AS out_w,
-      |  CAST(CASE WHEN GREATEST(width, height) <= 256 THEN height
-      |       ELSE height * 256 // GREATEST(width, height) END AS INT) AS out_h
+      |  GREATEST(1, CAST(CASE WHEN GREATEST(width, height) <= 256 THEN width
+      |       ELSE width * 256 // GREATEST(width, height) END AS INT)) AS out_w,
+      |  GREATEST(1, CAST(CASE WHEN GREATEST(width, height) <= 256 THEN height
+      |       ELSE height * 256 // GREATEST(width, height) END AS INT)) AS out_h
       |FROM dims""".stripMargin
 
   // --- correlated subqueries (SQL surface + decorrelation) -------------------
@@ -284,8 +284,7 @@ object Ext2Queries {
   def frameSample(s: SparkSession, dir: String): DataFrame = {
     val media = graft.operators.Multimodal.packPayload(
       Tables.documents(s, dir), "doc_id", "text")
-    graft.operators.Multimodal.sampleFrames(
-        media.filter(col("kind") === "video"), frameBytes = 64, stride = 4)
+    graft.operators.Multimodal.sampleFrames(media, frameBytes = 64, stride = 4)
       .select(col("media_id"), col("frame_idx"),
         md5(col("frame")).as("md5_frame"))
   }
