@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -93,7 +93,12 @@ object SparkEntry {
     "q_frame_sample" -> (Ext2Queries.frameSample _),
     "q_correlated_sub" -> (Ext2Queries.correlatedSub _),
     "q_exists_sub" -> (Ext2Queries.existsSub _),
-    "q_resize_plan" -> (Ext2Queries.resizePlan _)
+    "q_resize_plan" -> (Ext2Queries.resizePlan _),
+    "q_grouping_sets" -> (Ext3Queries.groupingSets _),
+    "q_agg_filter" -> (Ext3Queries.aggFilter _),
+    "q_array_funcs" -> (Ext3Queries.arrayFuncs _),
+    "q_string_funcs" -> (Ext3Queries.stringFuncs _),
+    "q_null_semantics" -> (Ext3Queries.nullSemantics _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -358,6 +363,11 @@ object SparkEntry {
     "q_frame_sample" -> Ext2Queries.frameSampleOracle,
     "q_correlated_sub" -> Ext2Queries.correlatedSubOracle,
     "q_exists_sub" -> Ext2Queries.existsSubOracle,
-    "q_resize_plan" -> Ext2Queries.resizePlanOracle
+    "q_resize_plan" -> Ext2Queries.resizePlanOracle,
+    "q_grouping_sets" -> Ext3Queries.groupingSetsOracle,
+    "q_agg_filter" -> Ext3Queries.aggFilterOracle,
+    "q_array_funcs" -> Ext3Queries.arrayFuncsOracle,
+    "q_string_funcs" -> Ext3Queries.stringFuncsOracle,
+    "q_null_semantics" -> Ext3Queries.nullSemanticsOracle
   )
 }
