@@ -98,7 +98,8 @@ object SparkEntry {
     "q_agg_filter" -> (Ext3Queries.aggFilter _),
     "q_array_funcs" -> (Ext3Queries.arrayFuncs _),
     "q_string_funcs" -> (Ext3Queries.stringFuncs _),
-    "q_null_semantics" -> (Ext3Queries.nullSemantics _)
+    "q_null_semantics" -> (Ext3Queries.nullSemantics _),
+    "q_regex_extract_all" -> (Ext3Queries.regexExtractAll _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -368,6 +369,7 @@ object SparkEntry {
     "q_agg_filter" -> Ext3Queries.aggFilterOracle,
     "q_array_funcs" -> Ext3Queries.arrayFuncsOracle,
     "q_string_funcs" -> Ext3Queries.stringFuncsOracle,
-    "q_null_semantics" -> Ext3Queries.nullSemanticsOracle
+    "q_null_semantics" -> Ext3Queries.nullSemanticsOracle,
+    "q_regex_extract_all" -> Ext3Queries.regexExtractAllOracle
   )
 }

@@ -101,6 +101,23 @@ object Ext3Queries {
       |  translate(p_type, 'aeiou', 'AEIOU') AS vowels_up
       |FROM part WHERE p_partkey < 100""".stripMargin
 
+  /** regexp_extract_all over the wire-ish props column: pull every digit
+    * run per row (the multi-match extraction a log/text pipeline leans on;
+    * single-match extraction is q_json_extract). Match lists leave as
+    * joined strings for stable cross-engine rendering.
+    */
+  def regexExtractAll(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"),
+        concat_ws("|", expr("regexp_extract_all(props, '\\\\d+', 0)")).as("numbers"),
+        size(expr("regexp_extract_all(props, '\\\\d+', 0)")).as("n_matches"))
+
+  val regexExtractAllOracle: String =
+    """SELECT event_id,
+      |  array_to_string(regexp_extract_all(props, '\d+'), '|') AS numbers,
+      |  len(regexp_extract_all(props, '\d+')) AS n_matches
+      |FROM events""".stripMargin
+
   /** Null-handling semantics: NULLIF, null-safe equality (<=> / IS NOT
     * DISTINCT FROM), and coalesce chains — the semantics layer idempotent
     * merges depend on.
