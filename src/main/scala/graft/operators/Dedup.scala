@@ -219,11 +219,16 @@ object Dedup {
       val next = labels.unionByName(viaEdges)
         .groupBy("node").agg(min(col("label")).as("label"))
         .localCheckpoint()
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .limit(1).count()
-      converged = changed == 0
+      // The convergence probe is its own Spark job; at small per-round data
+      // the fixed job cost rivals the propagation itself. Probe every OTHER
+      // round (worst case: one redundant propagation after the fixpoint).
+      if (iter % 2 == 1 || iter == maxIter - 1) {
+        val changed = next.as("n")
+          .join(labels.as("o"), col("n.node") === col("o.node"))
+          .filter(col("n.label") =!= col("o.label"))
+          .limit(1).count()
+        converged = changed == 0
+      }
       labels = next
       iter += 1
     }
