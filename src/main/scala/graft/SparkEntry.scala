@@ -99,7 +99,8 @@ object SparkEntry {
     "q_array_funcs" -> (Ext3Queries.arrayFuncs _),
     "q_string_funcs" -> (Ext3Queries.stringFuncs _),
     "q_null_semantics" -> (Ext3Queries.nullSemantics _),
-    "q_regex_extract_all" -> (Ext3Queries.regexExtractAll _)
+    "q_regex_extract_all" -> (Ext3Queries.regexExtractAll _),
+    "q_bucketed_join" -> (Ext3Queries.bucketedJoin _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -370,6 +371,7 @@ object SparkEntry {
     "q_array_funcs" -> Ext3Queries.arrayFuncsOracle,
     "q_string_funcs" -> Ext3Queries.stringFuncsOracle,
     "q_null_semantics" -> Ext3Queries.nullSemanticsOracle,
-    "q_regex_extract_all" -> Ext3Queries.regexExtractAllOracle
+    "q_regex_extract_all" -> Ext3Queries.regexExtractAllOracle,
+    "q_bucketed_join" -> Ext3Queries.bucketedJoinOracle
   )
 }

@@ -101,6 +101,49 @@ object Ext3Queries {
       |  translate(p_type, 'aeiou', 'AEIOU') AS vowels_up
       |FROM part WHERE p_partkey < 100""".stripMargin
 
+  /** Bucketed co-located join driven end-to-end: both sides written as
+    * bucketed+sorted tables on the join key (the one-time shuffle), then
+    * joined shuffle-free (ScaleSpec proves the exchange-free plan; this
+    * gates the RESULT of the write->read->join round trip against the plain
+    * join). The warehouse tables are per-run overwrites.
+    */
+  def bucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    // a fresh metastore session doesn't know about tables whose warehouse
+    // directories survived an earlier run — drop BOTH the catalog entry and
+    // the location or the managed-table create fails LOCATION_ALREADY_EXISTS
+    def freshTable(name: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val p = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), name)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    freshTable("bjoin_events")
+    freshTable("bjoin_users")
+    val ev = Tables.events(s, dir)
+      .select("event_id", "user_id", "event_type", "value")
+    val perUser = ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).as("sum_v"))
+    graft.operators.Scale.writeBucketed(ev, "bjoin_events", 8, Seq("user_id"))
+    graft.operators.Scale.writeBucketed(perUser, "bjoin_users", 8, Seq("user_id"))
+    graft.operators.Scale.bucketedJoin(s, "bjoin_events", "bjoin_users", Seq("user_id"))
+      .filter(col("user_id") < 20)
+      .select(col("event_id"), col("user_id"), col("n_events"),
+        col("sum_v").cast("double").as("sum_value"))
+  }
+
+  val bucketedJoinOracle: String =
+    """WITH pu AS (
+      |  SELECT user_id, COUNT(*) AS n_events,
+      |    SUM(CAST(value AS DECIMAL(18,2))) AS sum_v
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT e.event_id, e.user_id, pu.n_events,
+      |  CAST(pu.sum_v AS DOUBLE) AS sum_value
+      |FROM events e JOIN pu USING (user_id)
+      |WHERE e.user_id < 20""".stripMargin
+
   /** regexp_extract_all over the wire-ish props column: pull every digit
     * run per row (the multi-match extraction a log/text pipeline leans on;
     * single-match extraction is q_json_extract). Match lists leave as
