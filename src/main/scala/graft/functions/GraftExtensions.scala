@@ -53,5 +53,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // sessions (spark.sql.extensions=graft.functions.GraftExtensions) get it
     // without touching spark.experimental
     ext.injectPlannerStrategy(_ => graft.plans.GraftStrategies)
+    ext.injectOptimizerRule(_ => graft.plans.PushFiltersThroughAsOf)
   }
 }

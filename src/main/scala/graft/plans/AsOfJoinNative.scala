@@ -49,6 +49,54 @@ case class AsOfJoinPlan(
     copy(left = newLeft, right = newRight)
 }
 
+/** Optimizer rule: push deterministic filters through [[AsOfJoinPlan]].
+  * Catalyst's PushDownPredicates does not know the custom node, so without
+  * this rule every predicate written above an as-of join runs post-join —
+  * the scans read everything. Two legality tiers:
+  *
+  *   - conjuncts over LEFT-side columns push to the left child (the join
+  *     emits exactly one row per left row, so filtering left rows before or
+  *     after the join is identical);
+  *   - conjuncts over only the left JOIN KEYS additionally mirror to the
+  *     right child with the key attributes rewritten positionally: a right
+  *     row can only ever match left rows with EQUAL keys, so right rows
+  *     failing the key predicate could only have matched already-filtered
+  *     left rows.
+  *
+  * At 100 TB this is the difference between scanning a key's slice of both
+  * sides and scanning both tables fully.
+  */
+object PushFiltersThroughAsOf
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+  import org.apache.spark.sql.catalyst.expressions.And
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, j: AsOfJoinPlan)
+        if j.leftKeys.forall(_.isInstanceOf[Attribute]) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val (leftPush, keep) = conjuncts.partition(c =>
+        c.deterministic && c.references.subsetOf(j.left.outputSet))
+      if (leftPush.isEmpty) f
+      else {
+        val keySet = AttributeSet(j.leftKeys.map(_.asInstanceOf[Attribute]))
+        val keyMap = j.leftKeys.zip(j.rightKeys).collect {
+          case (l: Attribute, r) => l.exprId -> r
+        }.toMap
+        val mirrored = leftPush
+          .filter(_.references.subsetOf(keySet))
+          .map(_.transform { case a: Attribute if keyMap.contains(a.exprId) =>
+            keyMap(a.exprId) })
+        val newLeft = Filter(leftPush.reduce(And), j.left)
+        val newRight =
+          if (mirrored.isEmpty) j.right else Filter(mirrored.reduce(And), j.right)
+        val pushed = j.copy(left = newLeft, right = newRight)
+        keep.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}
+
 /** Plans [[AsOfJoinPlan]] as [[AsOfJoinExec]]. Register via
   * `spark.experimental.extraStrategies` ([[AsOfJoinNative.ensureRegistered]])
   * or `SparkSessionExtensions.injectPlannerStrategy`.
@@ -179,11 +227,17 @@ case class AsOfJoinExec(
 /** DataFrame-level entry point for the native AS-OF join. */
 object AsOfJoinNative {
 
-  /** Idempotently add the planner strategy to a running session. */
-  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+  /** Idempotently add the planner strategy + pushdown rule to a running
+    * session.
+    */
+  def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit = {
     if (!spark.experimental.extraStrategies.contains(GraftStrategies))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ GraftStrategies
+    if (!spark.experimental.extraOptimizations.contains(PushFiltersThroughAsOf))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ PushFiltersThroughAsOf
+  }
 
   /** As [[graft.operators.Joins.asOfJoin]] but planned natively: carried
     * right columns appear as `asof_<name>`, nullable. Time and tiebreak

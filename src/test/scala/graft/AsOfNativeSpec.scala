@@ -85,6 +85,37 @@ class AsOfNativeSpec extends SparkTestBase {
     assert(out(11L) == None, "NULL key matched a NULL-keyed right row")
   }
 
+  test("key filters above the join push through to BOTH sides' scans") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+        .select("user_id", "event_id", "ts_us", "value", "event_type")
+      val clicks = ev.filter($"event_type" === "click").drop("event_type")
+      val purchases = ev.filter($"event_type" === "purchase").drop("event_type")
+      val joined = AsOfJoinNative.join(clicks, purchases, Seq("user_id"),
+          "ts_us", "ts_us", Seq("value"), "event_id")
+        .filter($"user_id" < 5)
+      val scans = joined.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }
+      assert(scans.size == 2)
+      scans.foreach { s =>
+        assert(s.metadata("PushedFilters").contains("LessThan(user_id,5)"),
+          s"filter not pushed into scan: ${s.metadata("PushedFilters")}")
+      }
+      // and the pushed plan still returns exactly the rewrite's answer
+      val viaRewrite = Joins.asOfJoin(clicks, purchases, Seq("user_id"),
+          "ts_us", "ts_us", Seq("value"), "event_id")
+        .filter($"user_id" < 5)
+        .select("user_id", "event_id", "ts_us", "asof_value")
+        .collect().map(_.toSeq).toSet
+      val viaNative = joined
+        .select("user_id", "event_id", "ts_us", "asof_value")
+        .collect().map(_.toSeq).toSet
+      assert(viaNative == viaRewrite)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("plan shape: custom exec, two per-side exchanges, no window/union") {
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
