@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -100,7 +100,15 @@ object SparkEntry {
     "q_string_funcs" -> (Ext3Queries.stringFuncs _),
     "q_null_semantics" -> (Ext3Queries.nullSemantics _),
     "q_regex_extract_all" -> (Ext3Queries.regexExtractAll _),
-    "q_bucketed_join" -> (Ext3Queries.bucketedJoin _)
+    "q_bucketed_join" -> (Ext3Queries.bucketedJoin _),
+    "q_window_ntile" -> (Ext4Queries.windowNtile _),
+    "q_min_max_by" -> (Ext4Queries.minMaxBy _),
+    "q_hash_sample" -> (Ext4Queries.hashSample _),
+    "q_scd2" -> (Ext4Queries.scd2 _),
+    "q_merge_upsert" -> (Ext4Queries.mergeUpsert _),
+    "q_histogram" -> (Ext4Queries.histogram _),
+    "q_map_funcs" -> (Ext4Queries.mapFuncs _),
+    "q_bpe_tokenize" -> (Ext4Queries.bpeTokenize _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -372,6 +380,14 @@ object SparkEntry {
     "q_string_funcs" -> Ext3Queries.stringFuncsOracle,
     "q_null_semantics" -> Ext3Queries.nullSemanticsOracle,
     "q_regex_extract_all" -> Ext3Queries.regexExtractAllOracle,
-    "q_bucketed_join" -> Ext3Queries.bucketedJoinOracle
+    "q_bucketed_join" -> Ext3Queries.bucketedJoinOracle,
+    "q_window_ntile" -> Ext4Queries.windowNtileOracle,
+    "q_min_max_by" -> Ext4Queries.minMaxByOracle,
+    "q_hash_sample" -> Ext4Queries.hashSampleOracle,
+    "q_scd2" -> Ext4Queries.scd2Oracle,
+    "q_merge_upsert" -> Ext4Queries.mergeUpsertOracle,
+    "q_histogram" -> Ext4Queries.histogramOracle,
+    "q_map_funcs" -> Ext4Queries.mapFuncsOracle,
+    "q_bpe_tokenize" -> Ext4Queries.bpeTokenizeOracle
   )
 }
