@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -108,7 +108,14 @@ object SparkEntry {
     "q_merge_upsert" -> (Ext4Queries.mergeUpsert _),
     "q_histogram" -> (Ext4Queries.histogram _),
     "q_map_funcs" -> (Ext4Queries.mapFuncs _),
-    "q_bpe_tokenize" -> (Ext4Queries.bpeTokenize _)
+    "q_bpe_tokenize" -> (Ext4Queries.bpeTokenize _),
+    "q_zorder" -> (Ext5Queries.zorderCluster _),
+    "q_binned_range_join" -> (Ext5Queries.binnedRangeJoin _),
+    "q_sketch_merge" -> (Ext5Queries.sketchMerge _),
+    "q_audio_chunks" -> (Ext5Queries.audioChunks _),
+    "q_json_struct" -> (Ext5Queries.jsonStruct _),
+    "q_char_entropy" -> (Ext5Queries.charEntropy _),
+    "q_tws_totals" -> (Ext5Queries.twsTotals _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -388,6 +395,13 @@ object SparkEntry {
     "q_merge_upsert" -> Ext4Queries.mergeUpsertOracle,
     "q_histogram" -> Ext4Queries.histogramOracle,
     "q_map_funcs" -> Ext4Queries.mapFuncsOracle,
-    "q_bpe_tokenize" -> Ext4Queries.bpeTokenizeOracle
+    "q_bpe_tokenize" -> Ext4Queries.bpeTokenizeOracle,
+    "q_zorder" -> Ext5Queries.zorderClusterOracle,
+    "q_binned_range_join" -> Ext5Queries.binnedRangeJoinOracle,
+    "q_sketch_merge" -> Ext5Queries.sketchMergeOracle,
+    "q_audio_chunks" -> Ext5Queries.audioChunksOracle,
+    "q_json_struct" -> Ext5Queries.jsonStructOracle,
+    "q_char_entropy" -> Ext5Queries.charEntropyOracle,
+    "q_tws_totals" -> Ext5Queries.twsTotalsOracle
   )
 }
