@@ -115,7 +115,9 @@ object SparkEntry {
     "q_audio_chunks" -> (Ext5Queries.audioChunks _),
     "q_json_struct" -> (Ext5Queries.jsonStruct _),
     "q_char_entropy" -> (Ext5Queries.charEntropy _),
-    "q_tws_totals" -> (Ext5Queries.twsTotals _)
+    "q_tws_totals" -> (Ext5Queries.twsTotals _),
+    "q_forward_fill" -> (Ext5Queries.forwardFill _),
+    "q_calendar_spine" -> (Ext5Queries.calendarSpine _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -402,6 +404,8 @@ object SparkEntry {
     "q_audio_chunks" -> Ext5Queries.audioChunksOracle,
     "q_json_struct" -> Ext5Queries.jsonStructOracle,
     "q_char_entropy" -> Ext5Queries.charEntropyOracle,
-    "q_tws_totals" -> Ext5Queries.twsTotalsOracle
+    "q_tws_totals" -> Ext5Queries.twsTotalsOracle,
+    "q_forward_fill" -> Ext5Queries.forwardFillOracle,
+    "q_calendar_spine" -> Ext5Queries.calendarSpineOracle
   )
 }

@@ -121,6 +121,101 @@ case class RegexTokenize(child: Expression, pattern: Expression)
     copy(child = newChildren(0), pattern = newChildren(1))
 }
 
+/** Byte-histogram statistics of a string in one codegen'd O(len) pass over a
+  * 256-slot array — no explode, no shuffle. `CharDistinct` counts occupied
+  * slots; `CharEntropy` computes Shannon entropy as
+  * log2(n) - sum(c*log2(c))/n over the exact integer counts (the same
+  * formulation the SQL oracle groups out of substr+UNNEST). Byte == char for
+  * the ASCII corpus; like [[PolyHash]], multi-byte text would diverge and the
+  * exploded formulation stays the reference for it.
+  */
+case class CharEntropy(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.DoubleType
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "char_entropy"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val counts = new Array[Int](256)
+    var i = 0
+    while (i < bytes.length) { counts(bytes(i) & 0xff) += 1; i += 1 }
+    var acc = 0.0
+    var j = 0
+    while (j < 256) {
+      val c = counts(j)
+      if (c > 0) acc += c * (Math.log(c) / Math.log(2.0))
+      j += 1
+    }
+    val n = bytes.length
+    if (n == 0) 0.0 else Math.log(n) / Math.log(2.0) - acc / n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bytes = ctx.freshName("bytes")
+      val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val acc = ctx.freshName("acc")
+      val c = ctx.freshName("c")
+      s"""
+         |byte[] $bytes = $s.getBytes();
+         |int[] $counts = new int[256];
+         |for (int $i = 0; $i < $bytes.length; $i++) $counts[$bytes[$i] & 0xff]++;
+         |double $acc = 0.0;
+         |for (int $j = 0; $j < 256; $j++) {
+         |  int $c = $counts[$j];
+         |  if ($c > 0) $acc += $c * (Math.log($c) / Math.log(2.0));
+         |}
+         |${ev.value} = $bytes.length == 0 ? 0.0
+         |  : Math.log($bytes.length) / Math.log(2.0) - $acc / $bytes.length;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Count of distinct bytes in a string — see [[CharEntropy]]. */
+case class CharDistinct(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.IntegerType
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "char_distinct"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val seen = new Array[Boolean](256)
+    var i = 0
+    while (i < bytes.length) { seen(bytes(i) & 0xff) = true; i += 1 }
+    var n = 0
+    var j = 0
+    while (j < 256) { if (seen(j)) n += 1; j += 1 }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val bytes = ctx.freshName("bytes")
+      val seen = ctx.freshName("seen")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val n = ctx.freshName("n")
+      s"""
+         |byte[] $bytes = $s.getBytes();
+         |boolean[] $seen = new boolean[256];
+         |for (int $i = 0; $i < $bytes.length; $i++) $seen[$bytes[$i] & 0xff] = true;
+         |int $n = 0;
+         |for (int $j = 0; $j < 256; $j++) if ($seen[$j]) $n++;
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Codegen'd polynomial rolling hash (mod 1e9+7) over a string column. */
   def poly_hash(c: Column): Column =
@@ -130,4 +225,12 @@ object TextFunctions {
   def tokenize(text: Column, pattern: String): Column =
     GraftColumnBridge.column(RegexTokenize(GraftColumnBridge.expression(text),
       org.apache.spark.sql.catalyst.expressions.Literal(pattern)))
+
+  /** Codegen'd byte-level Shannon entropy (see [[CharEntropy]]). */
+  def char_entropy(c: Column): Column =
+    GraftColumnBridge.column(CharEntropy(GraftColumnBridge.expression(c)))
+
+  /** Codegen'd distinct-byte count (see [[CharDistinct]]). */
+  def char_distinct(c: Column): Column =
+    GraftColumnBridge.column(CharDistinct(GraftColumnBridge.expression(c)))
 }

@@ -162,22 +162,18 @@ object Ext5Queries {
 
   /** Character-level Shannon entropy per document — the compressibility
     * signal quality filters cut on (gibberish and boilerplate both sit at
-    * entropy extremes). Formulated as log2(N) - sum(c*log2(c))/N over exact
-    * integer counts so both engines feed identical values into the float
-    * sum.
+    * entropy extremes). One codegen'd O(len) histogram pass per row
+    * ([[graft.functions.CharEntropy]]), zero shuffle; the oracle derives the
+    * same log2(N) - sum(c*log2(c))/N from exact integer counts via
+    * substr+UNNEST grouping.
     */
-  def charEntropy(s: SparkSession, dir: String): DataFrame = {
-    val chars = Tables.documents(s, dir)
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(1), length(col("text")))).as("i"))
-      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
-    chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_distinct_chars"),
-        round(log2(sum("c")) - sum(expr("c * log2(c)")) / sum("c"), 6)
-          .as("entropy"))
-  }
+  def charEntropy(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir).select(
+      col("doc_id"),
+      graft.functions.TextFunctions.char_distinct(col("text"))
+        .cast("long").as("n_distinct_chars"),
+      round(graft.functions.TextFunctions.char_entropy(col("text")), 6)
+        .as("entropy"))
 
   val charEntropyOracle: String =
     """WITH ch AS (
@@ -189,6 +185,62 @@ object Ext5Queries {
       |SELECT doc_id, COUNT(*) AS n_distinct_chars,
       |  ROUND(log2(SUM(c)) - SUM(c * log2(c)) / SUM(c), 6) AS entropy
       |FROM c GROUP BY doc_id""".stripMargin
+
+  /** Forward-fill imputation: non-purchase rows carry the user's most recent
+    * purchase value (last_value IGNORE NULLS over the event-time frame) —
+    * the gap-filling pass a feature pipeline runs before training joins.
+    * Single shuffle on user_id, same window partitioning every other
+    * per-user pass shares.
+    */
+  def forwardFill(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(s, dir)
+      .withColumn("purchase_v",
+        when(col("event_type") === "purchase", col("value")))
+      .select(col("user_id"), col("event_id"), col("ts_us"),
+        last(col("purchase_v"), ignoreNulls = true).over(w).as("last_purchase"))
+  }
+
+  val forwardFillOracle: String =
+    """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+      |  last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_purchase
+      |FROM events""".stripMargin
+
+  /** Calendar-spine gap fill: a generated day spine LEFT JOINs the per-day
+    * order counts so quiet days surface as explicit zeros — the dense
+    * time-series contract downstream models need. The spine is a pure
+    * sequence (no scan); the fact aggregation is one shuffle.
+    */
+  def calendarSpine(s: SparkSession, dir: String): DataFrame = {
+    val orders = Tables.orders(s, dir)
+    val bounds = orders.agg(
+      to_date(min("o_orderdate")).as("d0"), to_date(max("o_orderdate")).as("d1"))
+    val spine = bounds
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+    val perDay = orders.groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"))
+    spine.join(perDay, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+  }
+
+  val calendarSpineOracle: String =
+    """WITH b AS (
+      |  SELECT CAST(MIN(o_orderdate) AS DATE) AS d0,
+      |         CAST(MAX(o_orderdate) AS DATE) AS d1 FROM orders
+      |), spine AS (
+      |  SELECT CAST(UNNEST(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM b
+      |), per_day AS (
+      |  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders
+      |  FROM orders GROUP BY 1
+      |)
+      |SELECT strftime(s.day, '%Y-%m-%d') AS day,
+      |  COALESCE(p.n_orders, 0) AS n_orders
+      |FROM spine s LEFT JOIN per_day p ON s.day = p.day""".stripMargin
 
   /** transformWithState running totals drained over the events landing zone:
     * the single-batch drain of the incremental per-key state equals the

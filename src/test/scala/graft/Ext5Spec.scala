@@ -62,6 +62,34 @@ class Ext5Spec extends SparkTestBase with AdaptiveSparkPlanHelper {
     assert(got == want)
   }
 
+  test("codegen char_entropy equals the exploded-histogram formulation") {
+    import graft.functions.TextFunctions
+    val docs = graft.sources.Tables.documents(spark, sf).limit(50)
+    val viaExpr = docs.select(col("doc_id"),
+        TextFunctions.char_distinct(col("text")).cast("long").as("nd"),
+        TextFunctions.char_entropy(col("text")).as("ent"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    val exploded = docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(1), length(col("text")))).as("i"))
+      .select(col("doc_id"), expr("substring(text, i, 1)").as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nd"),
+        (log2(sum("c")) - sum(expr("c * log2(c)")) / sum("c")).as("ent"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+    assert(viaExpr.keySet == exploded.keySet)
+    viaExpr.foreach { case (id, (nd, ent)) =>
+      assert(nd == exploded(id)._1, s"doc $id distinct chars")
+      assert(math.abs(ent - exploded(id)._2) < 1e-9, s"doc $id entropy")
+    }
+    // edge cases: empty -> 0.0, single repeated char -> 0.0, two equal -> 1.0
+    import spark.implicits._
+    val edges = Seq("", "aaaa", "abab").toDF("t")
+      .select(TextFunctions.char_entropy(col("t"))).collect().map(_.getDouble(0))
+    assert(edges(0) == 0.0 && edges(1) == 0.0 && math.abs(edges(2) - 1.0) < 1e-12)
+  }
+
   test("audio chunks cover every audio payload byte exactly once") {
     val docs = graft.sources.Tables.documents(spark, sf)
     val audioBytes = docs.filter(pmod(col("doc_id"), lit(3)) === 1)
