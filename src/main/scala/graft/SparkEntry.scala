@@ -117,7 +117,10 @@ object SparkEntry {
     "q_char_entropy" -> (Ext5Queries.charEntropy _),
     "q_tws_totals" -> (Ext5Queries.twsTotals _),
     "q_forward_fill" -> (Ext5Queries.forwardFill _),
-    "q_calendar_spine" -> (Ext5Queries.calendarSpine _)
+    "q_calendar_spine" -> (Ext5Queries.calendarSpine _),
+    "q_stream_session" -> (Ext5Queries.streamSession _),
+    "q_order_limit" -> (Ext5Queries.orderLimit _),
+    "q_set_ops_all" -> (Ext5Queries.setOpsAll _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -406,6 +409,9 @@ object SparkEntry {
     "q_char_entropy" -> Ext5Queries.charEntropyOracle,
     "q_tws_totals" -> Ext5Queries.twsTotalsOracle,
     "q_forward_fill" -> Ext5Queries.forwardFillOracle,
-    "q_calendar_spine" -> Ext5Queries.calendarSpineOracle
+    "q_calendar_spine" -> Ext5Queries.calendarSpineOracle,
+    "q_stream_session" -> Ext5Queries.streamSessionOracle,
+    "q_order_limit" -> Ext5Queries.orderLimitOracle,
+    "q_set_ops_all" -> Ext5Queries.setOpsAllOracle
   )
 }

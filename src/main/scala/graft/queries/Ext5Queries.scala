@@ -242,6 +242,91 @@ object Ext5Queries {
       |  COALESCE(p.n_orders, 0) AS n_orders
       |FROM spine s LEFT JOIN per_day p ON s.day = p.day""".stripMargin
 
+  /** Event-time SESSION windows in streaming mode (45-minute gap, complete
+    * drain): the dynamic-gap state merging Structured Streaming does for
+    * session_window, held to the same gaps-and-islands SQL oracle as the
+    * batch q_session_window (which uses a 30-minute gap — both formulations
+    * stay gated independently).
+    */
+  def streamSession(s: SparkSession, dir: String): DataFrame = {
+    val agg = StreamQueries.eventsStream(s, dir)
+      .withWatermark("ts_t", "1 hour")
+      .groupBy(session_window(col("ts_t"), "45 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        // window.end = last event + gap; expose the last-event time instead
+        (unix_micros(col("session_window.end")) - lit(2700000000L)).as("session_last_us"),
+        col("n"))
+    val name = "stream_session_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000L)) q.stop()
+    s.table(name)
+  }
+
+  val streamSessionOracle: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS ts_us FROM events
+      |), brk AS (
+      |  SELECT user_id, ts_us,
+      |    CASE WHEN lag(ts_us) OVER w IS NULL
+      |           OR ts_us - lag(ts_us) OVER w >= 2700000000 THEN 1 ELSE 0 END AS is_new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us)
+      |), sess AS (
+      |  SELECT user_id, ts_us,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+      |                      ROWS UNBOUNDED PRECEDING) AS sess_id
+      |  FROM brk
+      |)
+      |SELECT user_id, MIN(ts_us) AS session_start_us, MAX(ts_us) AS session_last_us,
+      |  COUNT(*) AS n
+      |FROM sess GROUP BY user_id, sess_id""".stripMargin
+
+  /** Global top-k through ORDER BY + LIMIT: Spark plans
+    * TakeOrderedAndProject — per-partition heaps + a k-row driver merge, no
+    * global sort, no single-partition shuffle of the full table (the only
+    * formulation that survives 100 TB).
+    */
+  def orderLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+
+  val orderLimitOracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** Multiset set operations (INTERSECT ALL / EXCEPT ALL) — bag semantics
+    * with per-row multiplicity, the variant q_set_ops' DISTINCT forms don't
+    * cover.
+    */
+  def setOpsAll(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_soa")
+    s.sql(
+      """SELECT nk FROM (
+        |  SELECT c_nationkey AS nk FROM customer_soa WHERE c_acctbal > 3000
+        |  INTERSECT ALL
+        |  SELECT c_nationkey FROM customer_soa WHERE c_acctbal < 8000
+        |)
+        |EXCEPT ALL
+        |SELECT c_nationkey FROM customer_soa WHERE c_mktsegment = 'BUILDING'""".stripMargin)
+  }
+
+  val setOpsAllOracle: String =
+    """SELECT nk FROM (
+      |  SELECT c_nationkey AS nk FROM customer WHERE c_acctbal > 3000
+      |  INTERSECT ALL
+      |  SELECT c_nationkey FROM customer WHERE c_acctbal < 8000
+      |)
+      |EXCEPT ALL
+      |SELECT c_nationkey FROM customer WHERE c_mktsegment = 'BUILDING'""".stripMargin
+
   /** transformWithState running totals drained over the events landing zone:
     * the single-batch drain of the incremental per-key state equals the
     * batch groupBy aggregate (the same drain==batch contract every other
