@@ -42,9 +42,18 @@ object Bench {
       }
     }
 
-    // warmup: JIT + parquet footer caches (untimed)
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
+    // warmup: JIT + parquet footer / OS page caches (untimed). The flagship
+    // only touches events; touch every corpus table too, otherwise whichever
+    // query happens to run first per table pays its cold file reads while
+    // the rest run warm — unfair to the alphabetically-early queries.
+    try {
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+      Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+        "region", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.format("noop").mode("overwrite").save()
+      }
+    } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

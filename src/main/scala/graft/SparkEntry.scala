@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -120,7 +120,11 @@ object SparkEntry {
     "q_calendar_spine" -> (Ext5Queries.calendarSpine _),
     "q_stream_session" -> (Ext5Queries.streamSession _),
     "q_order_limit" -> (Ext5Queries.orderLimit _),
-    "q_set_ops_all" -> (Ext5Queries.setOpsAll _)
+    "q_set_ops_all" -> (Ext5Queries.setOpsAll _),
+    "q_regr_stats" -> (Ext6Queries.regrStats _),
+    "q_bitwise_agg" -> (Ext6Queries.bitwiseAgg _),
+    "q_listagg" -> (Ext6Queries.listAgg _),
+    "q_safe_arith" -> (Ext6Queries.safeArith _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -412,6 +416,10 @@ object SparkEntry {
     "q_calendar_spine" -> Ext5Queries.calendarSpineOracle,
     "q_stream_session" -> Ext5Queries.streamSessionOracle,
     "q_order_limit" -> Ext5Queries.orderLimitOracle,
-    "q_set_ops_all" -> Ext5Queries.setOpsAllOracle
+    "q_set_ops_all" -> Ext5Queries.setOpsAllOracle,
+    "q_regr_stats" -> Ext6Queries.regrStatsOracle,
+    "q_bitwise_agg" -> Ext6Queries.bitwiseAggOracle,
+    "q_listagg" -> Ext6Queries.listAggOracle,
+    "q_safe_arith" -> Ext6Queries.safeArithOracle
   )
 }

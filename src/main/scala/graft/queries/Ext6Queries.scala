@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-3 breadth batch 3: bivariate statistical aggregates, order-
+  * independent bitwise/boolean aggregates, ordered string aggregation, and
+  * the try_* error-safe arithmetic surface (the ANSI-mode escape hatches a
+  * pipeline over untrusted data needs). All DuckDB-oracled.
+  */
+object Ext6Queries {
+
+  /** Bivariate statistics per group: correlation, sample covariance, OLS
+    * slope/intercept of value over hour-of-day — one aggregation pass (the
+    * moment accumulators are all mergeable map-side partials). Rounded to 6:
+    * the moment sums are order-sensitive in the last ulps.
+    */
+  def regrStats(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("x", expr("CAST(ts_us % 86400000000 AS DOUBLE) / 3600000000.0"))
+      .groupBy("event_type")
+      .agg(
+        round(corr(col("x"), col("value")), 6).as("r"),
+        round(covar_samp(col("x"), col("value")), 6).as("cov"),
+        round(regr_slope(col("value"), col("x")), 6).as("slope"),
+        round(regr_intercept(col("value"), col("x")), 6).as("intercept"),
+        count(lit(1)).as("n"))
+
+  val regrStatsOracle: String =
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |    CAST(epoch_us(ts) % 86400000000 AS DOUBLE) / 3600000000.0 AS x
+      |  FROM events
+      |)
+      |SELECT event_type,
+      |  ROUND(corr(x, value), 6) AS r,
+      |  ROUND(covar_samp(x, value), 6) AS cov,
+      |  ROUND(regr_slope(value, x), 6) AS slope,
+      |  ROUND(regr_intercept(value, x), 6) AS intercept,
+      |  COUNT(*) AS n
+      |FROM e GROUP BY event_type""".stripMargin
+
+  /** Order-independent bitwise/boolean aggregates: bit_and/or/xor over the
+    * JSON payload field, every/any predicates per group — commutative
+    * monoids, so partial aggregation is exact and shuffle-width independent.
+    */
+  def bitwiseAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k",
+        expr("CAST(regexp_extract(props, '\"k\":\\\\s*(\\\\d+)', 1) AS BIGINT)"))
+      .groupBy("event_type")
+      .agg(
+        bit_and(col("k")).as("k_and"),
+        bit_or(col("k")).as("k_or"),
+        bit_xor(col("k")).as("k_xor"),
+        bool_and(col("value") > 0).as("all_positive"),
+        bool_or(col("k") > 90).as("any_k_gt90"))
+
+  val bitwiseAggOracle: String =
+    """WITH e AS (
+      |  SELECT event_type, value,
+      |    CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT) AS k
+      |  FROM events
+      |)
+      |SELECT event_type,
+      |  bit_and(k) AS k_and, bit_or(k) AS k_or, bit_xor(k) AS k_xor,
+      |  bool_and(value > 0) AS all_positive,
+      |  bool_or(k > 90) AS any_k_gt90
+      |FROM e GROUP BY event_type""".stripMargin
+
+  /** Ordered string aggregation (listagg WITHIN GROUP): the top-3 sources
+    * per language concatenated in deterministic order — the report-shaping
+    * aggregate warehouses lean on.
+    */
+  def listAgg(s: SparkSession, dir: String): DataFrame = {
+    Tables.documents(s, dir).createOrReplaceTempView("documents_la")
+    s.sql(
+      """WITH per_src AS (
+        |  SELECT lang, source, COUNT(*) AS n
+        |  FROM documents_la GROUP BY lang, source
+        |)
+        |SELECT lang,
+        |  listagg(source || ':' || n, ',') WITHIN GROUP (ORDER BY n DESC, source) AS srcs,
+        |  SUM(n) AS n_docs
+        |FROM per_src GROUP BY lang""".stripMargin)
+  }
+
+  val listAggOracle: String =
+    """WITH per_src AS (
+      |  SELECT lang, source, COUNT(*) AS n
+      |  FROM documents GROUP BY lang, source
+      |)
+      |SELECT lang,
+      |  string_agg(source || ':' || n, ',' ORDER BY n DESC, source) AS srcs,
+      |  SUM(n) AS n_docs
+      |FROM per_src GROUP BY lang""".stripMargin
+
+  /** try_* error-safe arithmetic under ANSI mode: division by zero, overflow
+    * and bad casts come back NULL instead of failing the job — the posture a
+    * pipeline over untrusted wire data runs with (the strict forms throw,
+    * pinned in EdgeCasesSpec).
+    */
+  def safeArith(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(
+        col("event_id"),
+        expr("try_divide(value, CAST(event_id % 3 AS DOUBLE))").as("div3"),
+        // overflow is the RARE path by construction: a thrown-per-row
+        // ArithmeticException inside try_add costs ~25 us each (measured:
+        // 50% overflow made this projection 3 s at sf0.1)
+        expr("try_add(9223372036854775807L, CASE WHEN event_id % 500 = 0 THEN 1 ELSE 0 END)")
+          .as("add_edge"),
+        expr("try_cast(event_type AS INT)").as("not_a_number"),
+        round(expr("try_divide(1.0, value - floor(value))"), 6).as("frac_inv"))
+
+  val safeArithOracle: String =
+    """SELECT event_id,
+      |  value / NULLIF(CAST(event_id % 3 AS DOUBLE), 0.0) AS div3,
+      |  CASE WHEN event_id % 500 <> 0 THEN 9223372036854775807 END AS add_edge,
+      |  try_cast(event_type AS INT) AS not_a_number,
+      |  ROUND(1.0 / NULLIF(value - floor(value), 0.0), 6) AS frac_inv
+      |FROM events""".stripMargin
+}
