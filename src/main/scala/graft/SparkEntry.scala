@@ -124,7 +124,9 @@ object SparkEntry {
     "q_regr_stats" -> (Ext6Queries.regrStats _),
     "q_bitwise_agg" -> (Ext6Queries.bitwiseAgg _),
     "q_listagg" -> (Ext6Queries.listAgg _),
-    "q_safe_arith" -> (Ext6Queries.safeArith _)
+    "q_safe_arith" -> (Ext6Queries.safeArith _),
+    "q_partitioned_scan" -> (Ext6Queries.partitionedScan _),
+    "q_latest_snapshot" -> (Ext6Queries.latestSnapshot _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -420,6 +422,8 @@ object SparkEntry {
     "q_regr_stats" -> Ext6Queries.regrStatsOracle,
     "q_bitwise_agg" -> Ext6Queries.bitwiseAggOracle,
     "q_listagg" -> Ext6Queries.listAggOracle,
-    "q_safe_arith" -> Ext6Queries.safeArithOracle
+    "q_safe_arith" -> Ext6Queries.safeArithOracle,
+    "q_partitioned_scan" -> Ext6Queries.partitionedScanOracle,
+    "q_latest_snapshot" -> Ext6Queries.latestSnapshotOracle
   )
 }

@@ -1,0 +1,67 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** k-permutation MinHash signature as ONE typed [[Aggregator]] pass: the
+  * buffer is a single k-slot long array updated in a tight loop, replacing k
+  * separate `min(xxhash64(i, shingle))` aggregate expressions (k aggregation
+  * buffers, k framework dispatches per row — measured 2-3x slower at k=128).
+  * Merge is elementwise min — associative and commutative, so map-side
+  * partial aggregation stays exact under any partition layout.
+  *
+  * Per-permutation values derive from the 64-bit shingle hash with a
+  * SplitMix64-style finalizer over per-slot seeds (public constants from the
+  * SplitMix64/MurmurHash3 finalizer literature) — deterministic across runs,
+  * no RNG state.
+  */
+class MinHashAgg(k: Int = 128)
+    extends Aggregator[Long, Array[Long], Array[Long]] with Serializable {
+
+  // one fixed seed per permutation, itself SplitMix64-generated from i
+  private val seeds: Array[Long] = {
+    val out = new Array[Long](k)
+    var i = 0
+    while (i < k) {
+      var z = (i + 1).toLong * 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      out(i) = z ^ (z >>> 31)
+      i += 1
+    }
+    out
+  }
+
+  @inline private def mix(v: Long): Long = {
+    var z = v
+    z = (z ^ (z >>> 33)) * 0xff51afd7ed558ccdL
+    z = (z ^ (z >>> 33)) * 0xc4ceb9fe1a85ec53L
+    z ^ (z >>> 33)
+  }
+
+  override def zero: Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+    var i = 0
+    while (i < k) {
+      val v = mix(h ^ seeds(i))
+      if (v < buf(i)) buf(i) = v
+      i += 1
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < a.length) { if (b(i) < a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def finish(buf: Array[Long]): Array[Long] = buf
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+
+  override def outputEncoder: Encoder[Array[Long]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+}

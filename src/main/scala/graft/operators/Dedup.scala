@@ -102,12 +102,22 @@ object Dedup {
 
   // --- MinHash + LSH ---------------------------------------------------------
 
-  /** k minhash values per doc: sig[i] = min over shingles of xxhash64(i, s).
-    * One aggregate, k codegen'd min exprs — no UDF, no per-row allocation.
+  /** k minhash values per doc in ONE typed-aggregate pass
+    * ([[graft.functions.MinHashAgg]]: a k-slot min array per group), not k
+    * separate `min(xxhash64(i, s))` aggregate expressions — k aggregation
+    * buffers and k framework dispatches per posting made the signature stage
+    * the dedup family's bottleneck at k=128. String shingles (the unhashed
+    * formulation) are xxhash64'd to longs first.
     */
-  def minhashSignatures(postings: DataFrame, k: Int): DataFrame =
-    postings.groupBy(col("id")).agg(
-      array((0 until k).map(i => min(xxhash64(lit(i), col("shingle")))): _*).as("sig"))
+  def minhashSignatures(postings: DataFrame, k: Int): DataFrame = {
+    val h =
+      if (postings.schema("shingle").dataType ==
+        org.apache.spark.sql.types.StringType) xxhash64(col("shingle"))
+      else col("shingle")
+    val sig = org.apache.spark.sql.functions.udaf(
+      new graft.functions.MinHashAgg(k), org.apache.spark.sql.Encoders.scalaLong)
+    postings.groupBy(col("id")).agg(sig(h).as("sig"))
+  }
 
   /** LSH candidate pairs: split the signature into `bands` bands of
     * k/bands rows each; docs sharing any (band index, band hash) bucket

@@ -97,6 +97,57 @@ object Ext6Queries {
       |  SUM(n) AS n_docs
       |FROM per_src GROUP BY lang""".stripMargin
 
+  /** Hive-style partitioned write + pruned read-back: events land
+    * partitioned by event_type, the read-back filter becomes a PARTITION
+    * filter (directories never listed, rows never read — the coarse-grained
+    * data skipping layer under everything else at 100 TB; Ext6Spec asserts
+    * the pruned scan). Gated against the plain filtered aggregate.
+    */
+  def partitionedScan(s: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("graft-pscan")
+    staged.toFile.deleteOnExit()
+    Tables.events(s, dir)
+      .write.partitionBy("event_type").mode("overwrite")
+      .parquet(staged.toString)
+    prunedClickAgg(s.read.parquet(staged.toString))
+  }
+
+  /** The aggregate both the partitioned and unpartitioned paths share. */
+  private[queries] def prunedClickAgg(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+
+  val partitionedScanOracle: String =
+    """SELECT user_id, COUNT(*) AS n_clicks,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type = 'click' GROUP BY user_id""".stripMargin
+
+  /** Latest-snapshot compaction: keep each (user, event_type) key's newest
+    * row — the CDC upsert-compaction every mutable-table-over-immutable-files
+    * design (Hudi/Delta-style) runs on read or on compact. One shuffle on
+    * the key; Spark 3.5+'s WindowGroupLimit pushes the rank filter into a
+    * per-partition top-1 pass before the full sort.
+    */
+  def latestSnapshot(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type")
+      .orderBy(col("ts_us").desc, col("event_id").desc)
+    Tables.events(s, dir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts_us", "value")
+  }
+
+  val latestSnapshotOracle: String =
+    """SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us, value
+      |FROM events
+      |QUALIFY row_number() OVER (
+      |  PARTITION BY user_id, event_type
+      |  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin
+
   /** try_* error-safe arithmetic under ANSI mode: division by zero, overflow
     * and bad casts come back NULL instead of failing the job — the posture a
     * pipeline over untrusted wire data runs with (the strict forms throw,
