@@ -126,7 +126,9 @@ object SparkEntry {
     "q_listagg" -> (Ext6Queries.listAgg _),
     "q_safe_arith" -> (Ext6Queries.safeArith _),
     "q_partitioned_scan" -> (Ext6Queries.partitionedScan _),
-    "q_latest_snapshot" -> (Ext6Queries.latestSnapshot _)
+    "q_latest_snapshot" -> (Ext6Queries.latestSnapshot _),
+    "q_recursive_cte" -> (Ext6Queries.recursiveCte _),
+    "q_lateral_join" -> (Ext6Queries.lateralJoin _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -424,6 +426,8 @@ object SparkEntry {
     "q_listagg" -> Ext6Queries.listAggOracle,
     "q_safe_arith" -> Ext6Queries.safeArithOracle,
     "q_partitioned_scan" -> Ext6Queries.partitionedScanOracle,
-    "q_latest_snapshot" -> Ext6Queries.latestSnapshotOracle
+    "q_latest_snapshot" -> Ext6Queries.latestSnapshotOracle,
+    "q_recursive_cte" -> Ext6Queries.recursiveCteOracle,
+    "q_lateral_join" -> Ext6Queries.lateralJoinOracle
   )
 }

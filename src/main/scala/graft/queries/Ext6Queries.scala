@@ -148,6 +148,67 @@ object Ext6Queries {
       |  PARTITION BY user_id, event_type
       |  ORDER BY epoch_us(ts) DESC, event_id DESC) = 1""".stripMargin
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): BFS depth labelling over the
+    * implicit binary-tree hierarchy parent(u) = u div 2 on the user key
+    * space — the iterative-until-fixpoint class (org charts, BOM explosions,
+    * reachability) that needed driver-side loops before recursive CTEs
+    * landed in the engine.
+    */
+  def recursiveCte(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_rc")
+    s.sql(
+      """WITH RECURSIVE users AS (
+        |  SELECT DISTINCT user_id FROM events_rc
+        |), h(node, depth) AS (
+        |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+        |  UNION ALL
+        |  SELECT u.user_id, h.depth + 1
+        |  FROM users u JOIN h ON u.user_id > 0 AND u.user_id div 2 = h.node
+        |)
+        |SELECT depth, COUNT(*) AS n_nodes,
+        |  MIN(node) AS min_node, MAX(node) AS max_node
+        |FROM h GROUP BY depth""".stripMargin)
+  }
+
+  val recursiveCteOracle: String =
+    """WITH RECURSIVE users AS (
+      |  SELECT DISTINCT user_id FROM events
+      |), h(node, depth) AS (
+      |  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+      |  UNION ALL
+      |  SELECT u.user_id, h.depth + 1
+      |  FROM users u JOIN h ON u.user_id > 0 AND u.user_id // 2 = h.node
+      |)
+      |SELECT depth, COUNT(*) AS n_nodes,
+      |  MIN(node) AS min_node, MAX(node) AS max_node
+      |FROM h GROUP BY depth""".stripMargin
+
+  /** LATERAL correlated subquery with ORDER BY + LIMIT: the top account per
+    * nation — the per-row-subplan surface (Catalyst decorrelates it into a
+    * ranked join; the scalar/EXISTS forms are q_correlated_sub/q_exists_sub).
+    */
+  def lateralJoin(s: SparkSession, dir: String): DataFrame = {
+    Tables.customer(s, dir).createOrReplaceTempView("customer_lat")
+    Tables.nation(s, dir).createOrReplaceTempView("nation_lat")
+    s.sql(
+      """SELECT n.n_name, t.c_name, t.c_acctbal
+        |FROM nation_lat n,
+        |LATERAL (
+        |  SELECT c_name, c_acctbal FROM customer_lat
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 1
+        |) t""".stripMargin)
+  }
+
+  val lateralJoinOracle: String =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+      |FROM nation n,
+      |LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_custkey LIMIT 1
+      |) t""".stripMargin
+
   /** try_* error-safe arithmetic under ANSI mode: division by zero, overflow
     * and bad casts come back NULL instead of failing the job — the posture a
     * pipeline over untrusted wire data runs with (the strict forms throw,
