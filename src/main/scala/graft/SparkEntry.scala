@@ -128,7 +128,8 @@ object SparkEntry {
     "q_partitioned_scan" -> (Ext6Queries.partitionedScan _),
     "q_latest_snapshot" -> (Ext6Queries.latestSnapshot _),
     "q_recursive_cte" -> (Ext6Queries.recursiveCte _),
-    "q_lateral_join" -> (Ext6Queries.lateralJoin _)
+    "q_lateral_join" -> (Ext6Queries.lateralJoin _),
+    "q_variant_json" -> (Ext6Queries.variantJson _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -428,6 +429,7 @@ object SparkEntry {
     "q_partitioned_scan" -> Ext6Queries.partitionedScanOracle,
     "q_latest_snapshot" -> Ext6Queries.latestSnapshotOracle,
     "q_recursive_cte" -> Ext6Queries.recursiveCteOracle,
-    "q_lateral_join" -> Ext6Queries.lateralJoinOracle
+    "q_lateral_join" -> Ext6Queries.lateralJoinOracle,
+    "q_variant_json" -> Ext6Queries.variantJsonOracle
   )
 }

@@ -209,6 +209,29 @@ object Ext6Queries {
       |  ORDER BY c_acctbal DESC, c_custkey LIMIT 1
       |) t""".stripMargin
 
+  /** Spark 4 VARIANT semi-structured type: parse_json into the binary
+    * variant encoding, typed path extraction with variant_get, and a
+    * to_json round trip — the schema-flexible column kind (open JSON
+    * payloads at 100 TB keep their structure queryable without a declared
+    * schema, unlike from_json's fixed StructType in q_json_struct).
+    */
+  def variantJson(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_var")
+    s.sql(
+      """SELECT event_id,
+        |  variant_get(parse_json(props), '$.k', 'bigint') AS k,
+        |  variant_get(parse_json(props), '$.missing', 'bigint') AS missing,
+        |  to_json(parse_json(props)) AS roundtrip
+        |FROM events_var""".stripMargin)
+  }
+
+  val variantJsonOracle: String =
+    """SELECT event_id,
+      |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+      |  CAST(NULL AS BIGINT) AS missing,
+      |  '{"k":' || json_extract_string(props, '$.k') || '}' AS roundtrip
+      |FROM events""".stripMargin
+
   /** try_* error-safe arithmetic under ANSI mode: division by zero, overflow
     * and bad casts come back NULL instead of failing the job — the posture a
     * pipeline over untrusted wire data runs with (the strict forms throw,
