@@ -55,7 +55,11 @@ object Bench {
       }
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> materialize(n))
+    // Optional dev-only filter (the driver passes no args): any arg keeps
+    // only queries whose name contains it — single-query perf iteration.
+    val names0 = SparkEntry.queries.keys.toSeq.sorted
+    val names = if (args.isEmpty) names0 else names0.filter(n => args.exists(n.contains))
+    val results = names.map(n => n -> materialize(n))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")

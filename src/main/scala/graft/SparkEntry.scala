@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -129,7 +129,19 @@ object SparkEntry {
     "q_latest_snapshot" -> (Ext6Queries.latestSnapshot _),
     "q_recursive_cte" -> (Ext6Queries.recursiveCte _),
     "q_lateral_join" -> (Ext6Queries.lateralJoin _),
-    "q_variant_json" -> (Ext6Queries.variantJson _)
+    "q_variant_json" -> (Ext6Queries.variantJson _),
+    "q_pii_redact" -> (Ext7Queries.piiRedact _),
+    "q_url_domains" -> (Ext7Queries.urlDomains _),
+    "q_dup_spans" -> (Ext7Queries.dupSpans _),
+    "q_embed_quantize" -> (Ext7Queries.embedQuantize _),
+    "q_stream_static" -> (Ext7Queries.streamStatic _),
+    "q_decontaminate" -> (Ext7Queries.decontaminate _),
+    "q_stratified_sample" -> (Ext7Queries.stratifiedSample _),
+    "q_csv_roundtrip" -> (Ext7Queries.csvRoundtrip _),
+    "q_json_roundtrip" -> (Ext7Queries.jsonRoundtrip _),
+    "q_from_xml" -> (Ext8Queries.fromXml _),
+    "q_crosstab" -> (Ext8Queries.crosstab _),
+    "q_user_growth" -> (Ext8Queries.userGrowth _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -430,6 +442,18 @@ object SparkEntry {
     "q_latest_snapshot" -> Ext6Queries.latestSnapshotOracle,
     "q_recursive_cte" -> Ext6Queries.recursiveCteOracle,
     "q_lateral_join" -> Ext6Queries.lateralJoinOracle,
-    "q_variant_json" -> Ext6Queries.variantJsonOracle
+    "q_variant_json" -> Ext6Queries.variantJsonOracle,
+    "q_pii_redact" -> Ext7Queries.piiRedactOracle,
+    "q_url_domains" -> Ext7Queries.urlDomainsOracle,
+    "q_dup_spans" -> Ext7Queries.dupSpansOracle,
+    "q_embed_quantize" -> Ext7Queries.embedQuantizeOracle,
+    "q_stream_static" -> Ext7Queries.streamStaticOracle,
+    "q_decontaminate" -> Ext7Queries.decontaminateOracle,
+    "q_stratified_sample" -> Ext7Queries.stratifiedSampleOracle,
+    "q_csv_roundtrip" -> Ext7Queries.csvRoundtripOracle,
+    "q_json_roundtrip" -> Ext7Queries.jsonRoundtripOracle,
+    "q_from_xml" -> Ext8Queries.fromXmlOracle,
+    "q_crosstab" -> Ext8Queries.crosstabOracle,
+    "q_user_growth" -> Ext8Queries.userGrowthOracle
   )
 }

@@ -222,24 +222,23 @@ object Dedup {
     var converged = active.isEmpty
     var iter = 0
     while (!converged && iter < maxIter) {
-      // candidate labels flowing along edges: neighbor's current label
+      // candidate labels flowing along edges: neighbor's current label. The
+      // self rows carry the node's OWN current label through the aggregate
+      // (each node has exactly one, so min ignoring the edge rows' nulls
+      // recovers it) — the convergence probe then becomes a scan-only filter
+      // over the freshly checkpointed output instead of a join+shuffle job,
+      // cheap enough to run EVERY round and exit exactly at the fixpoint.
       val viaEdges = edges
         .join(labels.withColumnRenamed("node", "src"), Seq("src"))
-        .select(col("dst").as("node"), col("label"))
-      val next = labels.unionByName(viaEdges)
-        .groupBy("node").agg(min(col("label")).as("label"))
+        .select(col("dst").as("node"), col("label"), lit(null).cast("long").as("own"))
+      val next = labels
+        .select(col("node"), col("label"), col("label").as("own"))
+        .unionByName(viaEdges)
+        .groupBy("node")
+        .agg(min(col("label")).as("label"), min(col("own")).as("own"))
         .localCheckpoint()
-      // The convergence probe is its own Spark job; at small per-round data
-      // the fixed job cost rivals the propagation itself. Probe every OTHER
-      // round (worst case: one redundant propagation after the fixpoint).
-      if (iter % 2 == 1 || iter == maxIter - 1) {
-        val changed = next.as("n")
-          .join(labels.as("o"), col("n.node") === col("o.node"))
-          .filter(col("n.label") =!= col("o.label"))
-          .limit(1).count()
-        converged = changed == 0
-      }
-      labels = next
+      converged = next.filter(col("label") < col("own")).isEmpty
+      labels = next.select("node", "label")
       iter += 1
     }
     val singletons = nodes.select(col(idCol).cast("long").as("node"))

@@ -1,0 +1,109 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.Tables
+
+/** Round-3 breadth batch 5: native XML decode, contingency-table reshaping,
+  * and the DAU/new/cumulative-user growth rollup — plus nothing that needs a
+  * global single-partition pass (the cumulative window runs over the tiny
+  * per-day spine, not the event stream). All DuckDB-oracled.
+  */
+object Ext8Queries {
+
+  /** Native from_xml decode (Spark 4 ships the XML data source in-box): an
+    * RSS-item-shaped payload is synthesized per doc, decoded through the
+    * schema-explicit XML parser, and the recovered fields are aggregated.
+    * The vocabulary contains no XML metacharacters, so no escaping layer is
+    * under test — the parse surface is. Complements the hand-rolled RSS
+    * tier (sources.Rss) with the engine-native path; oracle re-extracts
+    * with regexes.
+    */
+  def fromXml(s: SparkSession, dir: String): DataFrame = {
+    val schema = StructType.fromDDL("id BIGINT, lang STRING, src STRING")
+    Tables.documents(s, dir)
+      .withColumn("xml", concat(
+        lit("<item><id>"), col("doc_id").cast("string"),
+        lit("</id><lang>"), col("lang"),
+        lit("</lang><src>"), col("source"), lit("</src></item>")))
+      .withColumn("it", from_xml(col("xml"), schema))
+      .groupBy(col("it.lang").as("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("it.id") === col("doc_id"), 1L).otherwise(0L)).as("n_id_ok"),
+        countDistinct(col("it.src")).as("n_sources"))
+  }
+
+  val fromXmlOracle: String =
+    """WITH x AS (
+      |  SELECT doc_id,
+      |    '<item><id>' || CAST(doc_id AS VARCHAR) || '</id><lang>' || lang ||
+      |    '</lang><src>' || source || '</src></item>' AS xml
+      |  FROM documents
+      |), p AS (
+      |  SELECT doc_id,
+      |    CAST(regexp_extract(xml, '<id>([^<]*)</id>', 1) AS BIGINT) AS id,
+      |    regexp_extract(xml, '<lang>([^<]*)</lang>', 1) AS lang,
+      |    regexp_extract(xml, '<src>([^<]*)</src>', 1) AS src
+      |  FROM x
+      |)
+      |SELECT lang, COUNT(*) AS n,
+      |  CAST(SUM(CASE WHEN id = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_id_ok,
+      |  COUNT(DISTINCT src) AS n_sources
+      |FROM p GROUP BY lang""".stripMargin
+
+  /** Contingency table via df.stat.crosstab: event_type x user-bucket counts
+    * pivoted to one column per bucket — the two-variable frequency reshape.
+    * Implemented as groupBy+pivot under the hood: one shuffle, bucket
+    * cardinality bounded by construction (see q_pivot for the general
+    * pivot surface).
+    */
+  def crosstab(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("bucket", (col("user_id") % 3).cast("string"))
+      .stat.crosstab("event_type", "bucket")
+
+  val crosstabOracle: String =
+    """SELECT event_type AS event_type_bucket,
+      |  CAST(SUM(CASE WHEN user_id % 3 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS "0",
+      |  CAST(SUM(CASE WHEN user_id % 3 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS "1",
+      |  CAST(SUM(CASE WHEN user_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS "2"
+      |FROM events GROUP BY event_type""".stripMargin
+
+  /** Growth rollup: daily active users, first-seen (new) users, and the
+    * cumulative user count. The only unpartitioned window runs over the
+    * per-day spine (365 rows at any corpus size), never the event stream —
+    * the scale-safe formulation of "cumulative distinct".
+    */
+  def userGrowth(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(to_date(timestamp_micros(col("ts_us"))).as("day"), col("user_id"))
+    val dau = ev.groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val firstSeen = ev.groupBy("user_id").agg(min("day").as("day"))
+      .groupBy("day").agg(count(lit(1)).as("new_users"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("day")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    dau.join(firstSeen, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum("new_users").over(w))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("new_users"), col("cum_users"))
+  }
+
+  val userGrowthOracle: String =
+    """WITH ev AS (
+      |  SELECT CAST(ts AS DATE) AS day, user_id FROM events
+      |), dau AS (
+      |  SELECT day, COUNT(DISTINCT user_id) AS dau FROM ev GROUP BY day
+      |), fs AS (
+      |  SELECT MIN(day) AS day, user_id FROM ev GROUP BY user_id
+      |), nu AS (
+      |  SELECT day, COUNT(*) AS new_users FROM fs GROUP BY day
+      |)
+      |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau,
+      |  COALESCE(nu.new_users, 0) AS new_users,
+      |  SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY dau.day
+      |    ROWS UNBOUNDED PRECEDING) AS cum_users
+      |FROM dau LEFT JOIN nu ON dau.day = nu.day""".stripMargin
+}

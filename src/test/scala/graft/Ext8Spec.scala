@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Ext8Queries
+
+class Ext8Spec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("from_xml recovers every synthesized field") {
+    val out = Ext8Queries.fromXml(spark, sf).collect()
+    assert(out.nonEmpty)
+    // every row's id parsed back equal to its doc_id
+    out.foreach(r => assert(r.getLong(2) == r.getLong(1),
+      s"lang ${r.getString(0)}: ${r.getLong(2)} of ${r.getLong(1)} ids parsed"))
+    val nDocs = graft.sources.Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == nDocs)
+  }
+
+  test("crosstab cells partition the event count") {
+    val ct = Ext8Queries.crosstab(spark, sf)
+    val buckets = ct.columns.filter(_ != "event_type_bucket")
+    assert(buckets.sorted.sameElements(Array("0", "1", "2")))
+    val cellSum = ct.select(buckets.map(b => sum(col(s"`$b`"))): _*)
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).sum
+    assert(cellSum == graft.sources.Tables.events(spark, sf).count())
+  }
+
+  test("user growth: cumulative count converges to total distinct users") {
+    val g = Ext8Queries.userGrowth(spark, sf).orderBy("day").collect()
+    val cums = g.map(_.getLong(3))
+    assert(cums.zip(cums.tail).forall { case (a, b) => a <= b }, "cum not monotone")
+    val total = graft.sources.Tables.events(spark, sf)
+      .select("user_id").distinct().count()
+    assert(cums.last == total)
+    assert(g.map(_.getLong(2)).sum == total, "new_users must sum to total users")
+    // dau never exceeds cumulative-to-date
+    assert(g.forall(r => r.getLong(1) <= r.getLong(3)))
+  }
+}

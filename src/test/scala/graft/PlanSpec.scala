@@ -135,6 +135,32 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("runtime bloom filter prunes the probe side of a selective SMJ") {
+    withStaticPlans {
+      // thresholds sized for the test corpus: creation side must be small
+      // (filtered orders is), application side must be "big" (force with 0)
+      val confs = Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+      val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      try {
+        val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        val sel = spark.read.parquet(s"$sf/orders.parquet")
+          .filter(org.apache.spark.sql.functions.col("o_totalprice") > 400000.0)
+        val joined = li.join(sel, li("l_orderkey") === sel("o_orderkey"))
+        val plan = planOf(joined)
+        assert(plan.toString.contains("might_contain"),
+          s"expected an injected bloom-filter probe on lineitem:\n$plan")
+      } finally saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("minhash signature aggregation happens map-side before the shuffle") {
     withStaticPlans {
       val df = graft.operators.Dedup.minhashSignatures(
