@@ -141,6 +141,7 @@ object SparkEntry {
     "q_json_roundtrip" -> (Ext7Queries.jsonRoundtrip _),
     "q_from_xml" -> (Ext8Queries.fromXml _),
     "q_crosstab" -> (Ext8Queries.crosstab _),
+    "q_approx_top_k" -> (Ext8Queries.approxTopK _),
     "q_user_growth" -> (Ext8Queries.userGrowth _)
   )
 
@@ -454,6 +455,7 @@ object SparkEntry {
     "q_json_roundtrip" -> Ext7Queries.jsonRoundtripOracle,
     "q_from_xml" -> Ext8Queries.fromXmlOracle,
     "q_crosstab" -> Ext8Queries.crosstabOracle,
+    "q_approx_top_k" -> Ext8Queries.approxTopKOracle,
     "q_user_growth" -> Ext8Queries.userGrowthOracle
   )
 }

@@ -71,6 +71,25 @@ object Ext8Queries {
       |  CAST(SUM(CASE WHEN user_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS "2"
       |FROM events GROUP BY event_type""".stripMargin
 
+  /** Engine-native frequent-items sketch (Spark 4.1 approx_top_k, a
+    * DataSketches ItemsSketch): top-3 event types with estimated counts.
+    * At this cardinality (5 distinct values ≪ sketch capacity) the sketch
+    * is EXACT, so the oracle is the exact top-3 — the same
+    * bounded-error-becomes-exact gating as q_sketch_merge/q_heavy_hitters
+    * (the custom CountMinSketchAgg complement).
+    */
+  def approxTopK(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_atk")
+    s.sql(
+      """SELECT t.* FROM (
+        |  SELECT inline(approx_top_k(event_type, 3)) FROM events_atk
+        |) t""".stripMargin)
+  }
+
+  val approxTopKOracle: String =
+    """SELECT event_type AS item, COUNT(*) AS count
+      |FROM events GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 3""".stripMargin
+
   /** Growth rollup: daily active users, first-seen (new) users, and the
     * cumulative user count. The only unpartitioned window runs over the
     * per-day spine (365 rows at any corpus size), never the event stream —
