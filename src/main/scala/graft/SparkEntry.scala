@@ -142,7 +142,8 @@ object SparkEntry {
     "q_from_xml" -> (Ext8Queries.fromXml _),
     "q_crosstab" -> (Ext8Queries.crosstab _),
     "q_approx_top_k" -> (Ext8Queries.approxTopK _),
-    "q_user_growth" -> (Ext8Queries.userGrowth _)
+    "q_user_growth" -> (Ext8Queries.userGrowth _),
+    "q_catalog_table" -> (Ext8Queries.catalogTable _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -456,6 +457,7 @@ object SparkEntry {
     "q_from_xml" -> Ext8Queries.fromXmlOracle,
     "q_crosstab" -> Ext8Queries.crosstabOracle,
     "q_approx_top_k" -> Ext8Queries.approxTopKOracle,
-    "q_user_growth" -> Ext8Queries.userGrowthOracle
+    "q_user_growth" -> Ext8Queries.userGrowthOracle,
+    "q_catalog_table" -> Ext8Queries.catalogTableOracle
   )
 }

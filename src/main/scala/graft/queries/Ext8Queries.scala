@@ -90,6 +90,41 @@ object Ext8Queries {
     """SELECT event_type AS item, COUNT(*) AS count
       |FROM events GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 3""".stripMargin
 
+  /** Catalog tier: saveAsTable into the session catalog (managed parquet
+    * table), append more rows with SQL INSERT INTO ... SELECT, and query the
+    * result by table name — the create/insert/read lifecycle every
+    * warehouse-resident pipeline runs, vs. the path-based reads everywhere
+    * else. The managed table holds click events plus re-inserted error
+    * events, so the oracle is a UNION ALL over the same slices.
+    */
+  def catalogTable(s: SparkSession, dir: String): DataFrame = {
+    val tbl = "events_managed"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    // a location left by a PREVIOUS session is unknown to this in-memory
+    // catalog; CTAS refuses to reuse it (LOCATION_ALREADY_EXISTS) — clear it
+    // through the Hadoop FS API (works on any supported filesystem)
+    val loc = new org.apache.hadoop.fs.Path(
+      s.sessionState.catalog.defaultTablePath(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl)))
+    val fs = loc.getFileSystem(s.sessionState.newHadoopConf())
+    if (fs.exists(loc)) fs.delete(loc, true)
+    Tables.events(s, dir).filter(col("event_type") === "click")
+      .write.mode("overwrite").saveAsTable(tbl)
+    Tables.events(s, dir).filter(col("event_type") === "error")
+      .createOrReplaceTempView("events_errors_v")
+    s.sql(s"INSERT INTO $tbl SELECT * FROM events_errors_v")
+    s.sql(
+      s"""SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id,
+         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+         |FROM $tbl GROUP BY event_type""".stripMargin)
+  }
+
+  val catalogTableOracle: String =
+    """SELECT event_type, COUNT(*) AS n, MIN(event_id) AS min_id,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type IN ('click', 'error')
+      |GROUP BY event_type""".stripMargin
+
   /** Growth rollup: daily active users, first-seen (new) users, and the
     * cumulative user count. The only unpartitioned window runs over the
     * per-day spine (365 rows at any corpus size), never the event stream —

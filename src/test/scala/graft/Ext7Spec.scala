@@ -109,6 +109,30 @@ class Ext7Spec extends SparkTestBase with AdaptiveSparkPlanHelper {
       again.map(r => (r.getString(0), r.getLong(1))).toSet)
   }
 
+  test("pii redaction is idempotent: a second pass changes nothing") {
+    val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phoneRe = "\\+1-555-[0-9]{4}"
+    val once = Ext7Queries.piiRedact(spark, sf).select("doc_id", "clean")
+    val twice = once.select(col("doc_id"),
+      regexp_replace(regexp_replace(col("clean"), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>").as("clean"))
+    assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+  }
+
+  test("stratified sample is a strict per-stratum subset of the corpus") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    Ext7Queries.stratifiedSample(spark, sf).collect().foreach { r =>
+      val (lang, n, rate) = (r.getString(0), r.getLong(1), r.getInt(2))
+      assert(n <= perLang(lang), s"$lang sampled more than exists")
+      // md5 prefixes are uniform: expect rate% +/- wide slack on tiny strata
+      val expected = perLang(lang) * rate / 100.0
+      assert(n <= expected * 3 + 10 && n >= expected / 3 - 10,
+        s"$lang: sampled $n, expected ~$expected at $rate%")
+    }
+  }
+
   test("observe() reports pipeline invariants without a second action") {
     // production observability: row counts and null-rate ride along with the
     // real action instead of a separate count() re-execution

@@ -27,6 +27,19 @@ class Ext8Spec extends SparkTestBase {
     assert(cellSum == graft.sources.Tables.events(spark, sf).count())
   }
 
+  test("catalog table lifecycle: create + insert + read by name") {
+    val out = Ext8Queries.catalogTable(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet == Set("click", "error"))
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(out("click") == ev.filter(col("event_type") === "click").count())
+    assert(out("error") == ev.filter(col("event_type") === "error").count())
+    // re-running must not double the inserted slice (overwrite resets)
+    val again = Ext8Queries.catalogTable(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(again == out)
+  }
+
   test("user growth: cumulative count converges to total distinct users") {
     val g = Ext8Queries.userGrowth(spark, sf).orderBy("day").collect()
     val cums = g.map(_.getLong(3))
