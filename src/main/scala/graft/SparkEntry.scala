@@ -143,7 +143,8 @@ object SparkEntry {
     "q_crosstab" -> (Ext8Queries.crosstab _),
     "q_approx_top_k" -> (Ext8Queries.approxTopK _),
     "q_user_growth" -> (Ext8Queries.userGrowth _),
-    "q_catalog_table" -> (Ext8Queries.catalogTable _)
+    "q_catalog_table" -> (Ext8Queries.catalogTable _),
+    "q_udf_registered" -> (Ext8Queries.udfRegistered _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -458,6 +459,7 @@ object SparkEntry {
     "q_crosstab" -> Ext8Queries.crosstabOracle,
     "q_approx_top_k" -> Ext8Queries.approxTopKOracle,
     "q_user_growth" -> Ext8Queries.userGrowthOracle,
-    "q_catalog_table" -> Ext8Queries.catalogTableOracle
+    "q_catalog_table" -> Ext8Queries.catalogTableOracle,
+    "q_udf_registered" -> Ext8Queries.udfRegisteredOracle
   )
 }

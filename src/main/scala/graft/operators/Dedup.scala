@@ -77,8 +77,14 @@ object Dedup {
   /** All pairs with shingle-set Jaccard >= threshold, by self-joining the
     * postings list (shuffle on shingle). Output: (id_1, id_2, jaccard).
     */
+  /** @param broadcastSizes broadcast the per-doc size table into the pair
+    *        stream (one row per doc — fine up to ~10M docs, same posture as
+    *        [[minhashNearDup]]'s broadcastDocTables); false shuffles the
+    *        pair stream against it sort-merge instead.
+    */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.5, hashShingles: Boolean = true): DataFrame = {
+      n: Int = 3, threshold: Double = 0.5, hashShingles: Boolean = true,
+      broadcastSizes: Boolean = true): DataFrame = {
     // The postings feed three consumers (sizes + both sides of the
     // self-join); persisting materializes the tokenize+hash pipeline ONCE
     // instead of three times (the dominant cost at sf0.1). persist — not
@@ -86,7 +92,8 @@ object Dedup {
     val sh = (if (hashShingles) hashedPostings(df, idCol, textCol, n)
       else shinglePostings(df, idCol, textCol, n))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sizes0 = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sizes = if (broadcastSizes) broadcast(sizes0) else sizes0
     val inter = sh.as("a")
       .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_1"), col("b.id").as("id_2"))
@@ -221,25 +228,29 @@ object Dedup {
     var labels = active.withColumn("label", col("node")).localCheckpoint()
     var converged = active.isEmpty
     var iter = 0
-    while (!converged && iter < maxIter) {
-      // candidate labels flowing along edges: neighbor's current label. The
-      // self rows carry the node's OWN current label through the aggregate
-      // (each node has exactly one, so min ignoring the edge rows' nulls
-      // recovers it) — the convergence probe then becomes a scan-only filter
-      // over the freshly checkpointed output instead of a join+shuffle job,
-      // cheap enough to run EVERY round and exit exactly at the fixpoint.
+    // One min-label propagation. The `own` column carries each node's label
+    // from the START of the fused round through the aggregates (each node
+    // has exactly one self row, so min ignoring the edge rows' nulls
+    // preserves it) — the convergence probe is then a scan-only filter over
+    // the checkpointed output, not a join+shuffle job.
+    def prop(l: DataFrame): DataFrame = {
       val viaEdges = edges
-        .join(labels.withColumnRenamed("node", "src"), Seq("src"))
+        .join(l.select(col("node").as("src"), col("label")), Seq("src"))
         .select(col("dst").as("node"), col("label"), lit(null).cast("long").as("own"))
-      val next = labels
-        .select(col("node"), col("label"), col("label").as("own"))
-        .unionByName(viaEdges)
+      l.unionByName(viaEdges)
         .groupBy("node")
         .agg(min(col("label")).as("label"), min(col("own")).as("own"))
+    }
+    while (!converged && iter < maxIter) {
+      // TWO propagations per checkpoint+probe: the tiny per-round shuffles
+      // collapse to single tasks under AQE, so the loop's cost is the fixed
+      // job overhead — fusing halves it. Worst case does one redundant
+      // propagation past the fixpoint (a no-op on converged labels).
+      val next = prop(prop(labels.withColumn("own", col("label"))))
         .localCheckpoint()
       converged = next.filter(col("label") < col("own")).isEmpty
       labels = next.select("node", "label")
-      iter += 1
+      iter += 2
     }
     val singletons = nodes.select(col(idCol).cast("long").as("node"))
       .join(active, Seq("node"), "left_anti")

@@ -90,6 +90,27 @@ object Ext8Queries {
     """SELECT event_type AS item, COUNT(*) AS count
       |FROM events GROUP BY 1 ORDER BY 2 DESC, 1 LIMIT 3""".stripMargin
 
+  /** Scala UDF registered into the SQL function registry — the extension
+    * tier BELOW native Expressions in the preference order (opaque to
+    * Catalyst: no codegen, no pushdown through it; see functions.* for the
+    * right way). Covered because users reach for spark.udf.register first;
+    * the oracle recomputes the UDF's semantics relationally.
+    */
+  def udfRegistered(s: SparkSession, dir: String): DataFrame = {
+    s.udf.register("vowel_count",
+      (t: String) => if (t == null) 0L else t.count("aeiou".contains(_)).toLong)
+    Tables.documents(s, dir).createOrReplaceTempView("documents_udf")
+    s.sql(
+      """SELECT lang, SUM(vowel_count(text)) AS vowels, COUNT(*) AS n
+        |FROM documents_udf GROUP BY lang""".stripMargin)
+  }
+
+  val udfRegisteredOracle: String =
+    """SELECT lang,
+      |  CAST(SUM(len(regexp_extract_all(text, '[aeiou]'))) AS BIGINT) AS vowels,
+      |  COUNT(*) AS n
+      |FROM documents GROUP BY lang""".stripMargin
+
   /** Catalog tier: saveAsTable into the session catalog (managed parquet
     * table), append more rows with SQL INSERT INTO ... SELECT, and query the
     * result by table name — the create/insert/read lifecycle every

@@ -33,6 +33,47 @@ class ScaleSpec extends SparkTestBase {
     }
   }
 
+  test("AQE splits a skewed shuffle-join partition at runtime (skew=true)") {
+    // one hot key (~80% of rows) against a uniform build side; thresholds
+    // lowered so the test corpus's hot partition counts as skewed
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew")
+    dir.toFile.deleteOnExit()
+    try {
+      val skewed = spark.range(0, 200000)
+        .select(when(col("id") % 5 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
+          (col("id") * 3).as("payload"))
+      val dim = spark.range(0, 1000).select(col("id").as("k"), lit("x").as("tag"))
+      // real parquet scans: skew detection needs actual shuffle block sizes
+      skewed.write.mode("overwrite").parquet(s"$dir/fact")
+      dim.write.mode("overwrite").parquet(s"$dir/dim")
+      val joined = spark.read.parquet(s"$dir/fact")
+        .join(spark.read.parquet(s"$dir/dim"), Seq("k"))
+      // collect() executes THIS DataFrame's QueryExecution — count() would
+      // finalize a different AdaptiveSparkPlanExec instance and leave the
+      // inspected one un-executed (still showing the initial plan)
+      val n = joined.collect().length
+      // 160000 hot-key rows match dim's k=7; the 40000 k=id rows (multiples
+      // of 5) match dim only below 1000 -> 200 rows
+      assert(n == 160000 + 200, s"unexpected join cardinality $n")
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"AQE did not mark the hot partition as skewed:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("salted join: identical result to the plain join on a skewed key") {
     // 10k rows all sharing ONE key — the pathological case
     val big = (1 to 10000).map(i => ("hot", i.toLong)).toDF("k", "rowid")
