@@ -144,7 +144,8 @@ object SparkEntry {
     "q_approx_top_k" -> (Ext8Queries.approxTopK _),
     "q_user_growth" -> (Ext8Queries.userGrowth _),
     "q_catalog_table" -> (Ext8Queries.catalogTable _),
-    "q_udf_registered" -> (Ext8Queries.udfRegistered _)
+    "q_udf_registered" -> (Ext8Queries.udfRegistered _),
+    "q_jdbc_roundtrip" -> (Ext8Queries.jdbcRoundtrip _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -460,6 +461,7 @@ object SparkEntry {
     "q_approx_top_k" -> Ext8Queries.approxTopKOracle,
     "q_user_growth" -> Ext8Queries.userGrowthOracle,
     "q_catalog_table" -> Ext8Queries.catalogTableOracle,
-    "q_udf_registered" -> Ext8Queries.udfRegisteredOracle
+    "q_udf_registered" -> Ext8Queries.udfRegisteredOracle,
+    "q_jdbc_roundtrip" -> Ext8Queries.jdbcRoundtripOracle
   )
 }

@@ -146,6 +146,47 @@ object Ext8Queries {
       |FROM events WHERE event_type IN ('click', 'error')
       |GROUP BY event_type""".stripMargin
 
+  /** REAL JDBC source/sink round trip (SURVEY §2 S6/K5): events land in an
+    * embedded Derby database through df.write.jdbc, come back through a
+    * PARALLEL partitioned JDBC scan (partitionColumn/bounds/numPartitions —
+    * each executor opens its own connection and reads one key range; an
+    * unpartitioned read.jdbc is a single-connection bottleneck), and
+    * aggregate identically to the parquet original. The reference's MySQL
+    * fact tables use exactly this path with a server-side database.
+    */
+  def jdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val db = java.nio.file.Files.createTempDirectory("graft-derby")
+      .resolve("eventsdb")
+    val url = s"jdbc:derby:$db;create=true"
+    val props = new java.util.Properties()
+    // bounded slice: JDBC writes are single-connection batch inserts — the
+    // sink contract under test, not a bulk-load path (at scale the real
+    // server-side DB takes the parallel writes)
+    val slice = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "error"))
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+    slice.write.mode("overwrite").jdbc(url, "events_jdbc", props)
+    val bounds = slice.agg(min("event_id"), max("event_id")).collect()(0)
+    s.read
+      .option("partitionColumn", "event_id")
+      .option("lowerBound", bounds.getLong(0))
+      .option("upperBound", bounds.getLong(1) + 1)
+      .option("numPartitions", 4)
+      .jdbc(url, "events_jdbc", props)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"),
+        max("ts_us").as("max_ts"))
+  }
+
+  val jdbcRoundtripOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      |  MAX(epoch_us(ts)) AS max_ts
+      |FROM events WHERE event_type IN ('click', 'error')
+      |GROUP BY event_type""".stripMargin
+
   /** Growth rollup: daily active users, first-seen (new) users, and the
     * cumulative user count. The only unpartitioned window runs over the
     * per-day spine (365 rows at any corpus size), never the event stream —
