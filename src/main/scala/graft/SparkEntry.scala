@@ -145,7 +145,9 @@ object SparkEntry {
     "q_user_growth" -> (Ext8Queries.userGrowth _),
     "q_catalog_table" -> (Ext8Queries.catalogTable _),
     "q_udf_registered" -> (Ext8Queries.udfRegistered _),
-    "q_jdbc_roundtrip" -> (Ext8Queries.jdbcRoundtrip _)
+    "q_jdbc_roundtrip" -> (Ext8Queries.jdbcRoundtrip _),
+    "q_orc_roundtrip" -> (Ext8Queries.orcRoundtrip _),
+    "q_corrupt_records" -> (Ext8Queries.corruptRecords _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -462,6 +464,8 @@ object SparkEntry {
     "q_user_growth" -> Ext8Queries.userGrowthOracle,
     "q_catalog_table" -> Ext8Queries.catalogTableOracle,
     "q_udf_registered" -> Ext8Queries.udfRegisteredOracle,
-    "q_jdbc_roundtrip" -> Ext8Queries.jdbcRoundtripOracle
+    "q_jdbc_roundtrip" -> Ext8Queries.jdbcRoundtripOracle,
+    "q_orc_roundtrip" -> Ext8Queries.orcRoundtripOracle,
+    "q_corrupt_records" -> Ext8Queries.corruptRecordsOracle
   )
 }

@@ -214,12 +214,20 @@ object Dedup {
     *
     * @param pairs (id_1, id_2) near-dup pairs (e.g. from [[minhashNearDup]])
     * @param nodes one-column DataFrame of all ids (singletons label selves)
+    * @param smallGraphEdges edge-count threshold below which the whole
+    *        component resolution runs as ONE single-task union-find pass
+    *        instead of the iterative join loop. Near-dup pair graphs are
+    *        sparse relative to the corpus (the pair stage already collapsed
+    *        it), so even huge corpora usually land here; the distributed
+    *        loop is the overflow path for genuinely large edge sets.
     */
-  def clusterLabels(pairs: DataFrame, nodes: DataFrame, maxIter: Int = 20): DataFrame = {
+  def clusterLabels(pairs: DataFrame, nodes: DataFrame, maxIter: Int = 20,
+      smallGraphEdges: Long = 5000000L): DataFrame = {
     val idCol = nodes.columns.head
     val edges = pairs.select(col("id_1").as("src"), col("id_2").as("dst"))
       .unionByName(pairs.select(col("id_2").as("src"), col("id_1").as("dst")))
       .localCheckpoint()
+    if (edges.count() <= smallGraphEdges) return smallGraphLabels(edges, nodes, idCol)
     // Propagate over EDGE-TOUCHING nodes only: in a near-dup corpus the
     // overwhelming majority of docs are singletons — shuffling them through
     // every round multiplies each iteration's cost for rows whose label can
@@ -256,6 +264,41 @@ object Dedup {
       .join(active, Seq("node"), "left_anti")
       .withColumn("label", col("node"))
     labels.unionByName(singletons)
+  }
+
+  /** Small-graph component resolution: path-compressed union-find over the
+    * edge list in a single task — one job, O(E α(E)), no fixpoint rounds.
+    * Exact same min-label semantics as the distributed loop (union keeps
+    * the smaller root). Singletons rejoin via the same anti-join.
+    */
+  private def smallGraphLabels(edges: DataFrame, nodes: DataFrame,
+      idCol: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val labeled = edges.select(col("src"), col("dst")).as[(Long, Long)]
+      .repartition(1)
+      .mapPartitions { it =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x // path compression
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        it.foreach { case (a, b) =>
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+        }
+        parent.keysIterator.map(n => (n, find(n))).toSeq.iterator
+      }
+      .toDF("node", "label")
+    val active = labeled.select("node")
+    val singletons = nodes.select(col(idCol).cast("long").as("node"))
+      .join(active, Seq("node"), "left_anti")
+      .withColumn("label", col("node"))
+    labeled.unionByName(singletons)
   }
 
   // --- SimHash ---------------------------------------------------------------

@@ -187,6 +187,70 @@ object Ext8Queries {
       |FROM events WHERE event_type IN ('click', 'error')
       |GROUP BY event_type""".stripMargin
 
+  /** ORC source round trip: the same schema-preserving trip as
+    * q_csv_roundtrip through Spark's second columnar format (predicate
+    * pushdown, column pruning, and vectorized reads all hold for ORC as for
+    * parquet). Completes the format matrix: parquet everywhere else, CSV,
+    * JSON, XML, JDBC, ORC here.
+    */
+  def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("graft-orc")
+    staged.toFile.deleteOnExit()
+    Tables.events(s, dir)
+      .select("event_id", "ts_us", "user_id", "event_type", "value")
+      .write.mode("overwrite").orc(staged.toString)
+    s.read.orc(staged.toString)
+      .filter(col("event_type") =!= "view") // pushed into the ORC scan
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"))
+  }
+
+  val orcRoundtripOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events WHERE event_type <> 'view' GROUP BY event_type""".stripMargin
+
+  /** Corrupt-record tolerance: a JSON landing zone where every 10th line is
+    * deterministically malformed is read in PERMISSIVE mode with a
+    * _corrupt_record column — bad rows become quarantine rows instead of
+    * failing the job (FAILFAST) or vanishing silently (DROPMALFORMED).
+    * The schema-drift posture any pipeline over third-party feeds runs
+    * with; the oracle recomputes both populations from the corruption rule.
+    */
+  def corruptRecords(s: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("graft-corrupt")
+    staged.toFile.deleteOnExit()
+    Tables.events(s, dir)
+      .select(when(col("event_id") % 10 === 0,
+          concat(lit("{\"event_id\":"), col("event_id").cast("string"),
+            lit(",\"event_type\":\"TRUNC")))
+        .otherwise(to_json(struct(col("event_id"), col("event_type"), col("value"))))
+        .as("value"))
+      .write.mode("overwrite").text(staged.toString)
+    s.read
+      .schema("event_id BIGINT, event_type STRING, value DOUBLE, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(staged.toString)
+      .groupBy(col("_corrupt_record").isNotNull.as("is_corrupt"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sum_value"),
+        min("event_id").as("min_id"))
+  }
+
+  val corruptRecordsOracle: String =
+    """WITH e AS (
+      |  SELECT event_id % 10 = 0 AS is_corrupt, event_id, value FROM events
+      |)
+      |SELECT is_corrupt, COUNT(*) AS n,
+      |  CASE WHEN NOT is_corrupt
+      |       THEN CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) END AS sum_value,
+      |  CASE WHEN NOT is_corrupt THEN MIN(event_id) END AS min_id
+      |FROM e GROUP BY is_corrupt""".stripMargin
+
   /** Growth rollup: daily active users, first-seen (new) users, and the
     * cumulative user count. The only unpartitioned window runs over the
     * per-day spine (365 rows at any corpus size), never the event stream —

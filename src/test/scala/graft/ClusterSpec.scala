@@ -8,8 +8,10 @@ import graft.operators.Dedup
 class ClusterSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def labelsOf(pairs: Seq[(Long, Long)], nodes: Seq[Long]): Map[Long, Long] =
-    Dedup.clusterLabels(pairs.toDF("id_1", "id_2"), nodes.toDF("id"))
+  private def labelsOf(pairs: Seq[(Long, Long)], nodes: Seq[Long],
+      smallGraphEdges: Long = 5000000L): Map[Long, Long] =
+    Dedup.clusterLabels(pairs.toDF("id_1", "id_2"), nodes.toDF("id"),
+        smallGraphEdges = smallGraphEdges)
       .as[(Long, Long)].collect().toMap
 
   test("chain merges into one cluster labeled by the minimum id") {
@@ -25,6 +27,23 @@ class ClusterSpec extends SparkTestBase {
     // 0-1-2-...-15 path: worst case for label propagation
     val pairs = (0L until 15L).map(i => (i, i + 1))
     val l = labelsOf(pairs, 0L to 15L)
+    assert((0L to 15L).forall(l(_) == 0L))
+  }
+
+  test("union-find fast path and distributed loop agree exactly") {
+    val rnd = new scala.util.Random(7)
+    val nodes = (0L until 60L)
+    // random sparse graph: multi-hop chains, cycles, singletons
+    val pairs = Seq.fill(40)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val fast = labelsOf(pairs, nodes) // default threshold -> union-find
+    val dist = labelsOf(pairs, nodes, smallGraphEdges = 0L) // force the loop
+    assert(fast == dist)
+  }
+
+  test("distributed loop handles long paths when forced past the fast path") {
+    val pairs = (0L until 15L).map(i => (i, i + 1))
+    val l = labelsOf(pairs, 0L to 15L, smallGraphEdges = 0L)
     assert((0L to 15L).forall(l(_) == 0L))
   }
 

@@ -40,6 +40,24 @@ class Ext8Spec extends SparkTestBase {
     assert(again == out)
   }
 
+  test("orc round trip pushes the filter into the orc scan") {
+    val df = graft.queries.Ext8Queries.orcRoundtrip(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Not(EqualTo(event_type,view))"),
+      s"filter not pushed into the ORC scan:\n$plan")
+    assert(df.collect().map(_.getString(0)).toSet ==
+      Set("click", "error", "purchase", "signup"))
+  }
+
+  test("corrupt records are quarantined, never dropped") {
+    val out = Ext8Queries.corruptRecords(spark, sf).collect()
+      .map(r => r.getBoolean(0) -> r.getLong(1)).toMap
+    val ev = graft.sources.Tables.events(spark, sf)
+    assert(out(true) == ev.filter(col("event_id") % 10 === 0).count())
+    assert(out(true) + out(false) == ev.count(),
+      "every input line must land in exactly one population")
+  }
+
   test("user growth: cumulative count converges to total distinct users") {
     val g = Ext8Queries.userGrowth(spark, sf).orderBy("day").collect()
     val cums = g.map(_.getLong(3))
