@@ -140,6 +140,7 @@ object SparkEntry {
     "q_csv_roundtrip" -> (Ext7Queries.csvRoundtrip _),
     "q_json_roundtrip" -> (Ext7Queries.jsonRoundtrip _),
     "q_from_xml" -> (Ext8Queries.fromXml _),
+    "q_xml_source" -> (Ext8Queries.xmlSource _),
     "q_crosstab" -> (Ext8Queries.crosstab _),
     "q_approx_top_k" -> (Ext8Queries.approxTopK _),
     "q_user_growth" -> (Ext8Queries.userGrowth _),
@@ -147,7 +148,9 @@ object SparkEntry {
     "q_udf_registered" -> (Ext8Queries.udfRegistered _),
     "q_jdbc_roundtrip" -> (Ext8Queries.jdbcRoundtrip _),
     "q_orc_roundtrip" -> (Ext8Queries.orcRoundtrip _),
-    "q_corrupt_records" -> (Ext8Queries.corruptRecords _)
+    "q_corrupt_records" -> (Ext8Queries.corruptRecords _),
+    "q_moments" -> (Ext8Queries.moments _),
+    "q_central_tendency" -> (Ext8Queries.centralTendency _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -459,6 +462,7 @@ object SparkEntry {
     "q_csv_roundtrip" -> Ext7Queries.csvRoundtripOracle,
     "q_json_roundtrip" -> Ext7Queries.jsonRoundtripOracle,
     "q_from_xml" -> Ext8Queries.fromXmlOracle,
+    "q_xml_source" -> Ext8Queries.xmlSourceOracle,
     "q_crosstab" -> Ext8Queries.crosstabOracle,
     "q_approx_top_k" -> Ext8Queries.approxTopKOracle,
     "q_user_growth" -> Ext8Queries.userGrowthOracle,
@@ -466,6 +470,8 @@ object SparkEntry {
     "q_udf_registered" -> Ext8Queries.udfRegisteredOracle,
     "q_jdbc_roundtrip" -> Ext8Queries.jdbcRoundtripOracle,
     "q_orc_roundtrip" -> Ext8Queries.orcRoundtripOracle,
-    "q_corrupt_records" -> Ext8Queries.corruptRecordsOracle
+    "q_corrupt_records" -> Ext8Queries.corruptRecordsOracle,
+    "q_moments" -> Ext8Queries.momentsOracle,
+    "q_central_tendency" -> Ext8Queries.centralTendencyOracle
   )
 }

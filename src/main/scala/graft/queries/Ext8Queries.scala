@@ -53,6 +53,42 @@ object Ext8Queries {
       |  COUNT(DISTINCT src) AS n_sources
       |FROM p GROUP BY lang""".stripMargin
 
+  /** Native XML FILE source (Spark 4 in-box "xml" format with rowTag):
+    * item elements staged to a text landing zone are scanned by the XML
+    * data source directly — the file-level complement of q_from_xml's
+    * per-string decode. Schema-explicit (no inference pass), so the scan
+    * cost at 100 TB is one read like every other format.
+    */
+  def xmlSource(s: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("graft-xml")
+    staged.toFile.deleteOnExit()
+    import s.implicits._
+    // one well-formed document PER PARTITION (<items> root wrapping the
+    // items): the XML scanner needs a root element — bare fragment lines
+    // parse only their first rowTag occurrence
+    Tables.documents(s, dir)
+      .select(concat(
+        lit("<item><id>"), col("doc_id").cast("string"),
+        lit("</id><lang>"), col("lang"),
+        lit("</lang><src>"), col("source"), lit("</src></item>")).as("value"))
+      .as[String]
+      .mapPartitions(it => Iterator.single(it.mkString("<items>", "", "</items>")))
+      .toDF("value")
+      .write.mode("overwrite").text(staged.toString)
+    s.read
+      .option("rowTag", "item")
+      .schema(StructType.fromDDL("id BIGINT, lang STRING, src STRING"))
+      .xml(staged.toString)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"), countDistinct("src").as("n_sources"),
+        min("id").as("min_id"), max("id").as("max_id"))
+  }
+
+  val xmlSourceOracle: String =
+    """SELECT lang, COUNT(*) AS n, COUNT(DISTINCT source) AS n_sources,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents GROUP BY lang""".stripMargin
+
   /** Contingency table via df.stat.crosstab: event_type x user-bucket counts
     * pivoted to one column per bucket — the two-variable frequency reshape.
     * Implemented as groupBy+pivot under the hood: one shuffle, bucket
@@ -234,6 +270,11 @@ object Ext8Queries {
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(staged.toString)
+      // a downstream plan may prune to ONLY _corrupt_record (e.g. a bare
+      // count of the groups), which Spark disallows against a raw scan
+      // (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache() is the documented
+      // decoupling; the quarantine set is small and short-lived by design
+      .cache()
       .groupBy(col("_corrupt_record").isNotNull.as("is_corrupt"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
@@ -250,6 +291,50 @@ object Ext8Queries {
       |       THEN CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) END AS sum_value,
       |  CASE WHEN NOT is_corrupt THEN MIN(event_id) END AS min_id
       |FROM e GROUP BY is_corrupt""".stripMargin
+
+  /** Higher central moments per group: skewness and excess kurtosis.
+    * Spark's definitions are the POPULATION moments (m3/m2^1.5 and
+    * m4/m2^2 - 3); the oracle recomputes exactly those from first
+    * principles (two-pass: group mean, then centered-power averages) —
+    * proving the formula, not just echoing the function.
+    */
+  def moments(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        round(skewness(col("value")), 6).as("skew"),
+        round(kurtosis(col("value")), 6).as("kurt"),
+        count(lit(1)).as("n"))
+
+  val momentsOracle: String =
+    """WITH m AS (
+      |  SELECT event_type, AVG(value) AS mu FROM events GROUP BY event_type
+      |)
+      |SELECT e.event_type,
+      |  ROUND(AVG(POW(value - mu, 3)) / POW(AVG(POW(value - mu, 2)), 1.5), 6) AS skew,
+      |  ROUND(AVG(POW(value - mu, 4)) / POW(AVG(POW(value - mu, 2)), 2) - 3, 6) AS kurt,
+      |  COUNT(*) AS n
+      |FROM events e JOIN m USING (event_type)
+      |GROUP BY e.event_type""".stripMargin
+
+  /** mode() and exact interpolated median() — the central-tendency
+    * aggregates (Spark 3.4+/4.0). Global row: the corpus's event-type
+    * counts have a unique maximum at every SF (mode ties are
+    * implementation-defined in BOTH engines, so the query surface sticks
+    * to the unique-max case).
+    */
+  def centralTendency(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .agg(
+        mode(col("event_type")).as("top_type"),
+        round(median(col("value")), 6).as("med_value"),
+        round(median(col("user_id")), 6).as("med_user"))
+
+  val centralTendencyOracle: String =
+    """SELECT mode(event_type) AS top_type,
+      |  ROUND(median(value), 6) AS med_value,
+      |  ROUND(CAST(median(user_id) AS DOUBLE), 6) AS med_user
+      |FROM events""".stripMargin
 
   /** Growth rollup: daily active users, first-seen (new) users, and the
     * cumulative user count. The only unpartitioned window runs over the

@@ -135,6 +135,22 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("join strategy hints override the planner's default choice") {
+    withStaticPlans {
+      val l = spark.read.parquet(s"$sf/lineitem.parquet")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+      // without a hint this dim-sized side would broadcast; the hints must win
+      val sh = l.join(o.hint("shuffle_hash"), l("l_orderkey") === o("o_orderkey"))
+      val shJoins = planOf(sh).collect {
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(shJoins.nonEmpty, s"shuffle_hash hint ignored:\n${planOf(sh)}")
+      val mg = l.join(o.hint("merge"), l("l_orderkey") === o("o_orderkey"))
+      val mgJoins = planOf(mg).collect { case j: SortMergeJoinExec => j }
+      assert(mgJoins.nonEmpty, s"merge hint ignored:\n${planOf(mg)}")
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective SMJ") {
     withStaticPlans {
       // thresholds sized for the test corpus: creation side must be small

@@ -159,6 +159,42 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER join: null padding only after the window closes") {
+    implicit val sqlCtx = spark.sqlContext
+    val lMem = MemoryStream[(Long, java.sql.Timestamp)]
+    val rMem = MemoryStream[(Long, java.sql.Timestamp)]
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val left = lMem.toDF().toDF("user_id", "l_t").withWatermark("l_t", "0 seconds")
+    val right = rMem.toDF().toDF("r_user", "r_t").withWatermark("r_t", "0 seconds")
+    val joined = left.join(right,
+      left("user_id") === right("r_user") &&
+        right("r_t") >= left("l_t") &&
+        right("r_t") <= left("l_t") + expr("INTERVAL 10 MINUTES"),
+      "left_outer")
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ss_left_outer").start()
+    try {
+      // user 1 matches; user 2 never does; user 3's window is still open
+      lMem.addData((1L, ts("2024-01-01 10:00:00")), (2L, ts("2024-01-01 10:00:00")))
+      rMem.addData((1L, ts("2024-01-01 10:05:00")))
+      q.processAllAvailable()
+      val early = spark.table("ss_left_outer").collect()
+      // no null padding yet: user 2's window has not closed under the watermark
+      assert(early.forall(!_.isNullAt(2)), s"premature outer row: ${early.toSeq}")
+      assert(early.count(_.getLong(0) == 1L) == 1)
+      // advance both watermarks past user 2's window; open a fresh window for 3
+      lMem.addData((3L, ts("2024-01-01 11:00:00")))
+      rMem.addData((99L, ts("2024-01-01 11:00:00")))
+      q.processAllAvailable()
+      val late = spark.table("ss_left_outer").collect()
+      val padded = late.filter(_.isNullAt(2)).map(_.getLong(0)).toSet
+      assert(padded == Set(2L),
+        s"expected exactly user 2 null-padded after watermark passed: ${late.toSeq}")
+      // user 3's window is still open — must not be padded yet
+      assert(!padded.contains(3L))
+    } finally q.stop()
+  }
+
   test("stateful indicators keep state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StatefulIndicators.KlinePoint]
