@@ -47,6 +47,13 @@ class ClusterSpec extends SparkTestBase {
     assert((0L to 15L).forall(l(_) == 0L))
   }
 
+  test("empty pair set labels every node as its own singleton cluster") {
+    val l = labelsOf(Seq.empty, Seq(1L, 5L, 9L))
+    assert(l == Map(1L -> 1L, 5L -> 5L, 9L -> 9L))
+    val forced = labelsOf(Seq.empty, Seq(2L), smallGraphEdges = 0L)
+    assert(forced == Map(2L -> 2L))
+  }
+
   test("labels are idempotent: relabeling the labeled graph changes nothing") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L))
     val once = labelsOf(pairs, Seq(1L, 2L, 3L, 10L, 11L))
