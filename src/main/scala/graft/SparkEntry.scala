@@ -150,7 +150,8 @@ object SparkEntry {
     "q_orc_roundtrip" -> (Ext8Queries.orcRoundtrip _),
     "q_corrupt_records" -> (Ext8Queries.corruptRecords _),
     "q_moments" -> (Ext8Queries.moments _),
-    "q_central_tendency" -> (Ext8Queries.centralTendency _)
+    "q_central_tendency" -> (Ext8Queries.centralTendency _),
+    "q_pagerank" -> (Ext8Queries.pagerank _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -472,6 +473,7 @@ object SparkEntry {
     "q_orc_roundtrip" -> Ext8Queries.orcRoundtripOracle,
     "q_corrupt_records" -> Ext8Queries.corruptRecordsOracle,
     "q_moments" -> Ext8Queries.momentsOracle,
-    "q_central_tendency" -> Ext8Queries.centralTendencyOracle
+    "q_central_tendency" -> Ext8Queries.centralTendencyOracle,
+    "q_pagerank" -> Ext8Queries.pagerankOracle
   )
 }

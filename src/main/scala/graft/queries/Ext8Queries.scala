@@ -336,6 +336,72 @@ object Ext8Queries {
       |  ROUND(CAST(median(user_id) AS DOUBLE), 6) AS med_user
       |FROM events""".stripMargin
 
+  /** Weighted PageRank, 3 unrolled iterations, over the event-type
+    * transition graph (edge src->dst weighted by how often dst follows src
+    * in a user's stream). Each iteration is the distributed matvec: join
+    * ranks to edges on src, shuffle-sum contributions by dst — the
+    * iterative-graph-analytics pattern beyond connected components, built
+    * as ONE composed plan (no driver-side data movement between
+    * iterations). The oracle unrolls the same three steps as a CTE chain.
+    */
+  def pagerank(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("ts_us"), col("event_id"))
+    val trans = Tables.events(s, dir)
+      .withColumn("next", lead(col("event_type"), 1).over(w))
+      .filter(col("next").isNotNull)
+      .groupBy(col("event_type").as("src"), col("next").as("dst"))
+      .agg(count(lit(1)).as("weight"))
+    val outW = trans.groupBy("src").agg(sum("weight").as("out_w"))
+    val edges = trans.join(outW, Seq("src"))
+      .select(col("src"), col("dst"),
+        (col("weight").cast("double") / col("out_w")).as("p"))
+    val nodes = trans.select(col("src").as("node"))
+      .unionByName(trans.select(col("dst").as("node"))).distinct()
+    val n = 5.0 // event-type cardinality is fixed by the corpus schema
+    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    for (_ <- 1 to 3) {
+      val contrib = edges.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("p") * col("rank")).as("in_rank"))
+      ranks = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(0.15 / n) + lit(0.85) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+    }
+    ranks.select(col("node"), round(col("rank"), 9).as("rank"))
+  }
+
+  val pagerankOracle: String =
+    """WITH seq AS (
+      |  SELECT user_id, event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id
+      |                           ORDER BY epoch_us(ts), event_id) AS next
+      |  FROM events
+      |), trans AS (
+      |  SELECT event_type AS src, next AS dst, COUNT(*) AS weight
+      |  FROM seq WHERE next IS NOT NULL GROUP BY 1, 2
+      |), edges AS (
+      |  SELECT src, dst,
+      |    CAST(weight AS DOUBLE) / SUM(weight) OVER (PARTITION BY src) AS p
+      |  FROM trans
+      |), nodes AS (
+      |  SELECT src AS node FROM trans UNION SELECT dst FROM trans
+      |), r0 AS (SELECT node, 1.0 / 5 AS rank FROM nodes),
+      |r1 AS (
+      |  SELECT n.node, 0.15 / 5 + 0.85 * COALESCE(SUM(e.p * r0.rank), 0.0) AS rank
+      |  FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+      |  LEFT JOIN r0 ON r0.node = e.src GROUP BY n.node
+      |), r2 AS (
+      |  SELECT n.node, 0.15 / 5 + 0.85 * COALESCE(SUM(e.p * r1.rank), 0.0) AS rank
+      |  FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+      |  LEFT JOIN r1 ON r1.node = e.src GROUP BY n.node
+      |), r3 AS (
+      |  SELECT n.node, 0.15 / 5 + 0.85 * COALESCE(SUM(e.p * r2.rank), 0.0) AS rank
+      |  FROM nodes n LEFT JOIN edges e ON e.dst = n.node
+      |  LEFT JOIN r2 ON r2.node = e.src GROUP BY n.node
+      |)
+      |SELECT node, ROUND(rank, 9) AS rank FROM r3""".stripMargin
+
   /** Growth rollup: daily active users, first-seen (new) users, and the
     * cumulative user count. The only unpartitioned window runs over the
     * per-day spine (365 rows at any corpus size), never the event stream —

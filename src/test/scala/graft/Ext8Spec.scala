@@ -58,6 +58,17 @@ class Ext8Spec extends SparkTestBase {
       "every input line must land in exactly one population")
   }
 
+  test("pagerank: ranks are a probability-mass distribution (mass conserved)") {
+    val ranks = graft.queries.Ext8Queries.pagerank(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(ranks.size == 5)
+    assert(ranks.values.forall(r => r > 0.0 && r < 1.0))
+    // the transition graph is strongly connected at this corpus (every type
+    // follows every type somewhere), so no rank mass leaks to dangling nodes
+    assert(math.abs(ranks.values.sum - 1.0) < 1e-6,
+      s"rank mass not conserved: ${ranks.values.sum}")
+  }
+
   test("user growth: cumulative count converges to total distinct users") {
     val g = Ext8Queries.userGrowth(spark, sf).orderBy("day").collect()
     val cums = g.map(_.getLong(3))
