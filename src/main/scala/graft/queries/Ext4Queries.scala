@@ -133,8 +133,8 @@ object Ext4Queries {
       |  FROM e
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)
       |), isl AS (
-      |  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-      |                           ROWS UNBOUNDED PRECEDING) AS island
+      |  SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+      |                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS island
       |  FROM o
       |), grp AS (
       |  SELECT user_id, island, event_type,

@@ -94,7 +94,7 @@ object Ext6Queries {
       |)
       |SELECT lang,
       |  string_agg(source || ':' || n, ',' ORDER BY n DESC, source) AS srcs,
-      |  SUM(n) AS n_docs
+      |  CAST(SUM(n) AS BIGINT) AS n_docs
       |FROM per_src GROUP BY lang""".stripMargin
 
   /** Hive-style partitioned write + pruned read-back: events land
@@ -217,12 +217,15 @@ object Ext6Queries {
     */
   def variantJson(s: SparkSession, dir: String): DataFrame = {
     Tables.events(s, dir).createOrReplaceTempView("events_var")
+    // parse_json ONCE per row: CollapseProject keeps the inner alias because
+    // it is referenced 3x (multi-use aliases don't inline), so the variant
+    // decode runs once instead of three times per row.
     s.sql(
       """SELECT event_id,
-        |  variant_get(parse_json(props), '$.k', 'bigint') AS k,
-        |  variant_get(parse_json(props), '$.missing', 'bigint') AS missing,
-        |  to_json(parse_json(props)) AS roundtrip
-        |FROM events_var""".stripMargin)
+        |  variant_get(v, '$.k', 'bigint') AS k,
+        |  variant_get(v, '$.missing', 'bigint') AS missing,
+        |  to_json(v) AS roundtrip
+        |FROM (SELECT event_id, parse_json(props) AS v FROM events_var)""".stripMargin)
   }
 
   val variantJsonOracle: String =

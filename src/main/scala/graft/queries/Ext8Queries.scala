@@ -434,7 +434,7 @@ object Ext8Queries {
       |)
       |SELECT strftime(dau.day, '%Y-%m-%d') AS day, dau.dau,
       |  COALESCE(nu.new_users, 0) AS new_users,
-      |  SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY dau.day
-      |    ROWS UNBOUNDED PRECEDING) AS cum_users
+      |  CAST(SUM(COALESCE(nu.new_users, 0)) OVER (ORDER BY dau.day
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
       |FROM dau LEFT JOIN nu ON dau.day = nu.day""".stripMargin
 }

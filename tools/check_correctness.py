@@ -60,6 +60,17 @@ def main():
                 results[name] = f"ROWS_ONLY rows={len(spark_rows)}" + \
                     (" EMPTY!" if len(spark_rows) == 0 else "")
                 continue
+            # The driver materializes the oracle via fetchdf(): DuckDB
+            # HUGEINT (any uncast SUM over an integer column) and DECIMAL
+            # become float64 there and hash-mismatch Spark's BIGINT/exact
+            # output even when values are equal. Flag those types hard —
+            # fetchall() below would hide them (Python ints compare fine).
+            desc = con.execute("DESCRIBE " + oracles[name]).fetchall()
+            hot = [(r[0], r[1]) for r in desc
+                   if "HUGEINT" in r[1].upper() or "DECIMAL" in r[1].upper()]
+            if hot:
+                results[name] = f"DRIVER_DTYPE_RISK {hot} — CAST to BIGINT/DOUBLE/VARCHAR in oracle"
+                continue
             cur = con.execute(oracles[name])
             ora_cols = [d[0] for d in cur.description]
             ora_rows = cur.fetchall()
