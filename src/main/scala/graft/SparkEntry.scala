@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -151,7 +151,19 @@ object SparkEntry {
     "q_corrupt_records" -> (Ext8Queries.corruptRecords _),
     "q_moments" -> (Ext8Queries.moments _),
     "q_central_tendency" -> (Ext8Queries.centralTendency _),
-    "q_pagerank" -> (Ext8Queries.pagerank _)
+    "q_pagerank" -> (Ext8Queries.pagerank _),
+    "q_tpch_q3" -> (Ext9Queries.tpchQ3 _),
+    "q_tpch_q5" -> (Ext9Queries.tpchQ5 _),
+    "q_tpch_q10" -> (Ext9Queries.tpchQ10 _),
+    "q_funnel" -> (Ext9Queries.funnel _),
+    "q_event_sequence" -> (Ext9Queries.eventSequence _),
+    "q_cohort_retention" -> (Ext9Queries.cohortRetention _),
+    "q_rolling_distinct" -> (Ext9Queries.rollingDistinct _),
+    "q_gap_fill" -> (Ext9Queries.gapFill _),
+    "q_null_safe_join" -> (Ext9Queries.nullSafeJoin _),
+    "q_corr_matrix" -> (Ext9Queries.corrMatrix _),
+    "q_repetition_filter" -> (Ext9Queries.repetitionFilter _),
+    "q_ann_rerank" -> (Ext9Queries.annRerank _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -474,6 +486,18 @@ object SparkEntry {
     "q_corrupt_records" -> Ext8Queries.corruptRecordsOracle,
     "q_moments" -> Ext8Queries.momentsOracle,
     "q_central_tendency" -> Ext8Queries.centralTendencyOracle,
-    "q_pagerank" -> Ext8Queries.pagerankOracle
+    "q_pagerank" -> Ext8Queries.pagerankOracle,
+    "q_tpch_q3" -> Ext9Queries.tpchQ3Oracle,
+    "q_tpch_q5" -> Ext9Queries.tpchQ5Oracle,
+    "q_tpch_q10" -> Ext9Queries.tpchQ10Oracle,
+    "q_funnel" -> Ext9Queries.funnelOracle,
+    "q_event_sequence" -> Ext9Queries.eventSequenceOracle,
+    "q_cohort_retention" -> Ext9Queries.cohortRetentionOracle,
+    "q_rolling_distinct" -> Ext9Queries.rollingDistinctOracle,
+    "q_gap_fill" -> Ext9Queries.gapFillOracle,
+    "q_null_safe_join" -> Ext9Queries.nullSafeJoinOracle,
+    "q_corr_matrix" -> Ext9Queries.corrMatrixOracle,
+    "q_repetition_filter" -> Ext9Queries.repetitionFilterOracle,
+    "q_ann_rerank" -> Ext9Queries.annRerankOracle
   )
 }

@@ -1,0 +1,487 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** Round-4 extension batch: multi-way analytical joins (TPC-H shapes Q3/Q5/
+  * Q10 — the join-reorder/broadcast-planning showcase the reference's single
+  * star join never exercises), product-analytics operators (funnel, event
+  * sequences, cohort retention, rolling distinct), time-series gap filling,
+  * null-safe joins, a correlation matrix, a repetition-based text-quality
+  * filter (the Gopher-style rule for training-data hygiene), and a two-stage
+  * reduced-dimension ANN rerank.
+  *
+  * Reference tie-in: the reference computes indicators over a star schema
+  * (`dags/spark_job_1.py:18-96`) but has no multi-fact analytics; these are
+  * the queries its MySQL/Grafana tier would need the engine to answer at
+  * 100 TB.
+  */
+object Ext9Queries {
+
+  private def revenue =
+    sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+      .cast(DecimalType(18, 4))).cast("double")
+
+  /** TPC-H Q3 shape (shipping priority): selective dim filter broadcast into
+    * a fact-fact shuffle join on the order key, exact decimal revenue, global
+    * top-10. Scale: customer-filter is broadcast (segment cut ~1/5 of a dim
+    * table); orders⋈lineitem shuffles on l_orderkey only — one wide exchange;
+    * top-10 is a TakeOrderedAndProject (no full sort at any executor).
+    */
+  def tpchQ3(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    o.join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"))
+      .agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+      .select(col("l_orderkey"), col("revenue"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+  }
+
+  val tpchQ3Oracle: String =
+    """SELECT l_orderkey,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS odate
+      |FROM customer JOIN orders ON c_custkey=o_custkey
+      |  JOIN lineitem ON l_orderkey=o_orderkey
+      |WHERE c_mktsegment='BUILDING' AND o_orderdate < TIMESTAMP '1998-07-01'
+      |  AND l_shipdate > TIMESTAMP '1998-07-01'
+      |GROUP BY l_orderkey, o_orderdate
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 shape (local supplier volume): five-way join where every
+    * dimension side is broadcast and the only shuffle is orders⋈lineitem.
+    * The c_nationkey=s_nationkey residual rides on the broadcast customer
+    * join — no extra exchange for the nation co-location predicate.
+    */
+  def tpchQ5(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_nationkey")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_nationkey")
+    val n = Tables.nation(s, dir)
+    val r = Tables.region(s, dir)
+    o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc)
+  }
+
+  val tpchQ5Oracle: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey=o_custkey
+      |  JOIN lineitem ON l_orderkey=o_orderkey
+      |  JOIN supplier ON l_suppkey=s_suppkey AND c_nationkey=s_nationkey
+      |  JOIN nation ON s_nationkey=n_nationkey
+      |  JOIN region ON n_regionkey=r_regionkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name""".stripMargin
+
+  /** TPC-H Q10 shape (returned-item reporting): time-sliced orders joined to
+    * returned lineitems, customer + nation broadcast in, top-20 customers by
+    * lost revenue. The group-by keys include the customer attributes — at
+    * scale the aggregate keys stay ~|customer| wide, dominated by the
+    * fact-fact shuffle, and the top-20 is again sort-free.
+    */
+  def tpchQ10(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_returnflag") === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name", "c_nationkey")
+    val n = Tables.nation(s, dir).select("n_nationkey", "n_name")
+    o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(revenue.as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val tpchQ10Oracle: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey=o_custkey
+      |  JOIN lineitem ON l_orderkey=o_orderkey
+      |  JOIN nation ON c_nationkey=n_nationkey
+      |WHERE l_returnflag='R' AND o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-07-01'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** Conversion funnel with a per-stage time budget (first view → click
+    * within 6h → purchase within 6h): staged min-timestamp aggregations,
+    * each stage a semi-join against the previous. Each stage is one shuffle
+    * on user_id, and all three reuse the same key — co-partitioned under AQE.
+    */
+  def funnel(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_fnl")
+    s.sql(
+      """WITH e AS (SELECT user_id, event_type, ts_us FROM events_fnl),
+        |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+        |       WHERE event_type='view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e JOIN s1 ON e.user_id=s1.user_id
+        |       WHERE event_type='click' AND ts_us > t1
+        |         AND ts_us <= t1 + 21600000000 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e JOIN s2 ON e.user_id=s2.user_id
+        |       WHERE event_type='purchase' AND ts_us > t2
+        |         AND ts_us <= t2 + 21600000000 GROUP BY e.user_id)
+        |SELECT 'view' AS stage, COUNT(*) AS n_users FROM s1
+        |UNION ALL SELECT 'view_click', COUNT(*) FROM s2
+        |UNION ALL SELECT 'view_click_purchase', COUNT(*) FROM s3""".stripMargin)
+  }
+
+  val funnelOracle: String =
+    """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+      |s1 AS (SELECT user_id, MIN(ts_us) AS t1 FROM e
+      |       WHERE event_type='view' GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, MIN(ts_us) AS t2 FROM e JOIN s1 ON e.user_id=s1.user_id
+      |       WHERE event_type='click' AND ts_us > t1
+      |         AND ts_us <= t1 + 21600000000 GROUP BY e.user_id),
+      |s3 AS (SELECT e.user_id, MIN(ts_us) AS t3 FROM e JOIN s2 ON e.user_id=s2.user_id
+      |       WHERE event_type='purchase' AND ts_us > t2
+      |         AND ts_us <= t2 + 21600000000 GROUP BY e.user_id)
+      |SELECT 'view' AS stage, COUNT(*) AS n_users FROM s1
+      |UNION ALL SELECT 'view_click', COUNT(*) FROM s2
+      |UNION ALL SELECT 'view_click_purchase', COUNT(*) FROM s3""".stripMargin
+
+  /** Ordered per-user event-sequence string + regex pattern detection
+    * ("viewed, later clicked, later purchased"). The ordered aggregation is
+    * array_sort(collect_list(struct(...))) — deterministic regardless of
+    * partitioning (sort happens AFTER collection, inside one row), the
+    * standard trick for order-sensitive aggs on an unordered shuffle.
+    */
+  def eventSequence(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts_us"), col("event_id"),
+        substring(col("event_type"), 1, 1).as("ini"))
+      .groupBy("user_id")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("ts_us"), col("event_id"), col("ini")))),
+          x => x.getField("ini")),
+        "").as("seq"))
+      .withColumn("hit", col("seq").rlike("v.*c.*p"))
+
+  val eventSequenceOracle: String =
+    """WITH s AS (
+      |  SELECT user_id,
+      |    string_agg(substr(event_type,1,1), '' ORDER BY epoch_us(ts), event_id) AS seq
+      |  FROM events GROUP BY user_id
+      |)
+      |SELECT user_id, seq, regexp_matches(seq, 'v.*c.*p') AS hit FROM s""".stripMargin
+
+  /** Cohort retention: users cohorted by first-purchase day, activity =
+    * purchase days, offset in whole weeks. Two shuffles on user_id (first-day
+    * agg + self-join) then one on the small (cohort, offset) pair — the
+    * cohort matrix is |days|x|weeks| rows regardless of corpus size.
+    */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), to_date(timestamp_micros(col("ts_us"))).as("day"))
+      .distinct()
+    val fs = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+    ev.join(fs, Seq("user_id"))
+      .groupBy(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        floor(datediff(col("day"), col("cohort_day")) / 7).as("offset_w"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  val cohortRetentionOracle: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+      |  FROM events WHERE event_type='purchase'
+      |), fs AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id
+      |)
+      |SELECT strftime(fs.cohort_day, '%Y-%m-%d') AS cohort_day,
+      |  CAST((ev.day - fs.cohort_day) // 7 AS BIGINT) AS offset_w,
+      |  COUNT(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN fs ON ev.user_id=fs.user_id
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Rolling 7-day distinct users per (event_type, day): the exact
+    * formulation distincts (type, day, user) FIRST (collapsing the event
+    * stream to at most |types|x|days|x|users| triples), then range-joins the
+    * day spine. At 100 TB the distinct is the heavy shuffle and the spine
+    * join touches only the collapsed triples; the sketch path for unbounded
+    * user domains is per-day HLL partials merged across the window
+    * (q_sketch_merge shows that machinery).
+    */
+  def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.events(s, dir)
+      .select(col("event_type"), to_date(timestamp_micros(col("ts_us"))).as("day"),
+        col("user_id"))
+      .distinct()
+    val days = pairs.select("event_type", "day").distinct()
+      .withColumnRenamed("day", "d")
+    days.join(pairs, Seq("event_type"))
+      .filter(datediff(col("d"), col("day")).between(0, 6))
+      .groupBy(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"))
+      .agg(countDistinct("user_id").as("n7"))
+  }
+
+  val rollingDistinctOracle: String =
+    """WITH pairs AS (
+      |  SELECT DISTINCT event_type, CAST(ts AS DATE) AS day, user_id FROM events
+      |), days AS (
+      |  SELECT DISTINCT event_type, day FROM pairs
+      |)
+      |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
+      |  COUNT(DISTINCT p.user_id) AS n7
+      |FROM days d JOIN pairs p
+      |  ON p.event_type=d.event_type AND p.day BETWEEN d.day-6 AND d.day
+      |GROUP BY 1, 2""".stripMargin
+
+  /** Per-user daily gap filling with linear interpolation: build each user's
+    * day spine, carry the nearest non-null observation from both directions
+    * (last/first IGNORE NULLS over one-sided frames), interpolate
+    * proportionally. Edges clamp to the nearest real value. One shuffle on
+    * user_id; frames never cross users.
+    */
+  def gapFill(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .filter(col("user_id") < 30 && col("event_type") === "purchase")
+      .groupBy(col("user_id"), to_date(timestamp_micros(col("ts_us"))).as("day"))
+      .agg(round(sum(col("value").cast(DecimalType(18, 2))).cast("double"), 6).as("v"))
+    val spine = daily.groupBy("user_id")
+      .agg(min("day").as("d0"), max("day").as("d1"))
+      .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+    val back = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy("user_id").orderBy("day")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay = when(col("v").isNotNull, col("day"))
+    spine.join(daily, Seq("user_id", "day"), "left")
+      .withColumn("pv", last(col("v"), ignoreNulls = true).over(back))
+      .withColumn("pd", last(obsDay, ignoreNulls = true).over(back))
+      .withColumn("nv", first(col("v"), ignoreNulls = true).over(fwd))
+      .withColumn("nd", first(obsDay, ignoreNulls = true).over(fwd))
+      .select(col("user_id"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        round(
+          when(col("v").isNotNull, col("v"))
+            .when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (datediff(col("day"), col("pd")).cast("double") /
+               datediff(col("nd"), col("pd")).cast("double"))),
+          6).as("filled"),
+        col("v").isNull.as("was_gap"))
+  }
+
+  val gapFillOracle: String =
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 6) AS v
+      |  FROM events WHERE user_id < 30 AND event_type = 'purchase'
+      |  GROUP BY user_id, CAST(ts AS DATE)
+      |), bounds AS (
+      |  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY user_id
+      |), spine AS (
+      |  SELECT b.user_id, CAST(gs.g AS DATE) AS day
+      |  FROM bounds b, LATERAL (
+      |    SELECT unnest(generate_series(b.d0, b.d1, INTERVAL 1 DAY)) AS g) gs
+      |), j AS (
+      |  SELECT s.user_id, s.day, d.v FROM spine s LEFT JOIN daily d
+      |    ON s.user_id = d.user_id AND s.day = d.day
+      |), f AS (
+      |  SELECT user_id, day, v,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+      |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pd,
+      |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+      |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nd
+      |  FROM j
+      |)
+      |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+      |  ROUND(CASE
+      |    WHEN v IS NOT NULL THEN v
+      |    WHEN pv IS NULL THEN nv
+      |    WHEN nv IS NULL THEN pv
+      |    ELSE pv + (nv - pv) * (CAST(day - pd AS DOUBLE) / CAST(nd - pd AS DOUBLE))
+      |  END, 6) AS filled,
+      |  (v IS NULL) AS was_gap
+      |FROM f""".stripMargin
+
+  /** Null-safe equi-join (`<=>`): NULL keys match NULL keys, the join
+    * semantics MERGE/dim-conform pipelines need for optional attributes.
+    * Aggregate-then-join keeps the NULL bucket a single row per side —
+    * the formulation that does NOT explode quadratically in the NULL group.
+    */
+  def nullSafeJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(s, dir)
+      .withColumn("k", nullif(col("user_id") % 7, lit(3)))
+    val a = e.filter(col("event_id") % 2 === 0).groupBy("k")
+      .agg(count(lit(1)).as("n_left")).withColumnRenamed("k", "ka")
+    val b = e.filter(col("event_id") % 2 === 1).groupBy("k")
+      .agg(count(lit(1)).as("n_right")).withColumnRenamed("k", "kb")
+    a.join(b, col("ka") <=> col("kb"))
+      .select(col("ka").as("k"), col("n_left"), col("n_right"),
+        (col("n_left") * col("n_right")).as("n_pairs"))
+  }
+
+  val nullSafeJoinOracle: String =
+    """WITH a AS (
+      |  SELECT nullif(user_id % 7, 3) AS k, COUNT(*) AS n_left
+      |  FROM events WHERE event_id % 2 = 0 GROUP BY 1
+      |), b AS (
+      |  SELECT nullif(user_id % 7, 3) AS k, COUNT(*) AS n_right
+      |  FROM events WHERE event_id % 2 = 1 GROUP BY 1
+      |)
+      |SELECT a.k, a.n_left, b.n_right, a.n_left*b.n_right AS n_pairs
+      |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k""".stripMargin
+
+  /** Pairwise correlation matrix over lineitem measures, unpivoted to
+    * (m1, m2, r) rows via stack(). One aggregation pass computes every
+    * co-moment partial map-side; rounded to 6 (moment sums are
+    * order-sensitive in the last ulps).
+    */
+  def corrMatrix(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price"),
+        round(corr(col("l_quantity"), col("l_discount")), 6).as("qty_disc"),
+        round(corr(col("l_extendedprice"), col("l_discount")), 6).as("price_disc"))
+      .selectExpr(
+        """stack(3,
+          |  'l_quantity', 'l_extendedprice', qty_price,
+          |  'l_quantity', 'l_discount', qty_disc,
+          |  'l_extendedprice', 'l_discount', price_disc) AS (m1, m2, r)""".stripMargin)
+
+  val corrMatrixOracle: String =
+    """WITH c AS (SELECT
+      |  ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price,
+      |  ROUND(corr(l_quantity, l_discount), 6) AS qty_disc,
+      |  ROUND(corr(l_extendedprice, l_discount), 6) AS price_disc
+      |FROM lineitem)
+      |SELECT 'l_quantity' AS m1, 'l_extendedprice' AS m2, qty_price AS r FROM c
+      |UNION ALL SELECT 'l_quantity', 'l_discount', qty_disc FROM c
+      |UNION ALL SELECT 'l_extendedprice', 'l_discount', price_disc FROM c""".stripMargin
+
+  /** Repetition-based quality filter (the Gopher/C4-style hygiene rule):
+    * type-token ratio and top-word share per document, thresholded into a
+    * keep/drop flag. Word-level counts shuffle on (doc, word) then collapse
+    * per doc — both aggregations are map-side-combinable.
+    */
+  def repetitionFilter(s: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("cnt"))
+    words.groupBy("doc_id")
+      .agg(sum("cnt").as("n_words"), count(lit(1)).as("n_distinct"),
+        max("cnt").as("top_cnt"),
+        sum(length(col("w")) * col("cnt")).as("n_chars"))
+      .select(col("doc_id"), col("n_words"), col("n_distinct"),
+        round(col("n_distinct").cast("double") / col("n_words"), 6).as("ttr"),
+        round(col("top_cnt").cast("double") / col("n_words"), 6).as("top_share"),
+        round(col("n_chars").cast("double") / col("n_words"), 6).as("mean_wlen"),
+        (col("n_distinct").cast("double") / col("n_words") >= 0.3 &&
+         col("top_cnt").cast("double") / col("n_words") <= 0.1).as("pass"))
+  }
+
+  val repetitionFilterOracle: String =
+    """WITH words AS (
+      |  SELECT doc_id, w, COUNT(*) AS cnt FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents)
+      |  GROUP BY doc_id, w
+      |), d AS (
+      |  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_words, COUNT(*) AS n_distinct,
+      |    CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+      |    CAST(SUM(CAST(len(w)*cnt AS BIGINT)) AS BIGINT) AS n_chars
+      |  FROM words GROUP BY doc_id
+      |)
+      |SELECT doc_id, n_words, n_distinct,
+      |  ROUND(CAST(n_distinct AS DOUBLE)/n_words, 6) AS ttr,
+      |  ROUND(CAST(top_cnt AS DOUBLE)/n_words, 6) AS top_share,
+      |  ROUND(CAST(n_chars AS DOUBLE)/n_words, 6) AS mean_wlen,
+      |  (CAST(n_distinct AS DOUBLE)/n_words >= 0.3
+      |   AND CAST(top_cnt AS DOUBLE)/n_words <= 0.1) AS pass
+      |FROM d""".stripMargin
+
+  /** Two-stage ANN: coarse scoring on a 16-dim prefix slice selects 30
+    * candidates per query, exact full-dimension cosine reranks to top-5.
+    * The scale pattern for memory-bound vector search: the coarse pass
+    * touches 1/4 of the vector bytes (or a PQ/int8 code in practice), the
+    * exact pass only k' candidates — deterministic end-to-end, so the whole
+    * approximate index is oracle-checkable.
+    */
+  def annRerank(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val q = emb.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+        slice(col("embedding"), 1, 16).as("qp"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
+      slice(col("embedding"), 1, 16).as("cp"))
+    val coarseW = Window.partitionBy("query_id")
+      .orderBy(col("coarse").desc, col("neighbor_id"))
+    val fineW = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id"))
+      .withColumn("coarse", graft.operators.Similarity.cosine(col("qp"), col("cp")))
+      .withColumn("crn", row_number().over(coarseW))
+      .filter(col("crn") <= 30)
+      .withColumn("cos", graft.operators.Similarity.cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(fineW))
+      .filter(col("rn") <= 5)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+  }
+
+  private val cosSql: (String, String) => String = (a, b) =>
+    s"""list_sum(list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
+       |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+       |   * sqrt(list_sum(list_transform(range(1, len($b) + 1),
+       |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+
+  val annRerankOracle: String =
+    s"""WITH coarse AS (
+       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |    q.embedding AS qv, c.embedding AS cv,
+       |    ${cosSql("q.embedding[1:16]", "c.embedding[1:16]")} AS coarse
+       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 20
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY q.vec_id ORDER BY coarse DESC, c.vec_id) <= 30
+       |)
+       |SELECT query_id, neighbor_id,
+       |  ROUND(${cosSql("qv", "cv")}, 6) AS cos
+       |FROM coarse
+       |QUALIFY row_number() OVER (
+       |  PARTITION BY query_id ORDER BY ${cosSql("qv", "cv")} DESC, neighbor_id) <= 5""".stripMargin
+}

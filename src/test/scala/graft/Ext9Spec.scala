@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.Ext9Queries
+
+class Ext9Spec extends SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("tpch q3 plan: broadcast dim, sort-free top-10") {
+    val df = Ext9Queries.tpchQ3(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"customer not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 planned as a full sort:\n$plan")
+    assert(df.count() == 10)
+  }
+
+  test("tpch q5 plan: single shuffle join, every dim broadcast") {
+    val df = Ext9Queries.tpchQ5(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // orders ⋈ lineitem is the one non-broadcast join
+    val sortMergeOrHash = "SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(plan).size
+    assert(sortMergeOrHash <= 1, s"more than one shuffle join:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 4,
+      s"dims not broadcast:\n$plan")
+    // one row per nation that actually has a supplier (10 suppliers at
+    // sf0.001 — the nation count follows the supplier table, not nation's 25)
+    val supplierNations = graft.sources.Tables.supplier(spark, sf)
+      .select("s_nationkey").distinct().count()
+    assert(df.count() <= supplierNations && df.count() > 0)
+  }
+
+  test("funnel stages are monotonically non-increasing") {
+    val rows = Ext9Queries.funnel(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows("view") >= rows("view_click"))
+    assert(rows("view_click") >= rows("view_click_purchase"))
+  }
+
+  test("event sequence is ts-ordered and hit implies subsequence") {
+    val rows = Ext9Queries.eventSequence(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val seq = r.getString(1)
+      val hit = r.getBoolean(2)
+      assert(hit == "v.*c.*p".r.findFirstIn(seq).isDefined)
+    }
+    // total sequence length == total event count
+    val totalLen = rows.map(_.getString(1).length.toLong).sum
+    assert(totalLen == graft.sources.Tables.events(spark, sf).count())
+  }
+
+  test("cohort retention: offset-0 cell equals cohort size") {
+    val out = Ext9Queries.cohortRetention(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every cohort has an offset-0 cell, and no cell exceeds it
+    val cohorts = out.keys.map(_._1).toSet
+    cohorts.foreach { c =>
+      val base = out((c, 0L))
+      out.filter(_._1._1 == c).values.foreach(n => assert(n <= base))
+    }
+  }
+
+  test("rolling 7-day distinct >= same-day distinct, every day") {
+    val ev = graft.sources.Tables.events(spark, sf)
+      .select(col("event_type"), to_date(timestamp_micros(col("ts_us"))).as("day"),
+        col("user_id"))
+    val daily = ev.groupBy("event_type", "day")
+      .agg(countDistinct("user_id").as("n1"))
+      .select(col("event_type"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+        col("n1"))
+    val rolled = Ext9Queries.rollingDistinct(spark, sf)
+    val joined = rolled.join(daily, Seq("event_type", "day")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getLong(2) >= r.getLong(3),
+      s"rolling < daily at ${r.getString(0)}/${r.getString(1)}"))
+  }
+
+  test("gap fill: no nulls, observed days pass through unchanged") {
+    val out = Ext9Queries.gapFill(spark, sf)
+    assert(out.filter(col("filled").isNull).count() == 0)
+    // non-gap rows carry the observed daily value exactly
+    val observed = out.filter(!col("was_gap"))
+    assert(observed.count() > 0)
+    // interpolated values stay within the user's observed min/max envelope
+    val env = out.groupBy("user_id")
+      .agg(min(when(!col("was_gap"), col("filled"))).as("lo"),
+        max(when(!col("was_gap"), col("filled"))).as("hi"))
+    val bad = out.join(env, "user_id")
+      .filter(col("filled") < col("lo") - 1e-6 || col("filled") > col("hi") + 1e-6)
+    assert(bad.count() == 0, "interpolation escaped the observed envelope")
+  }
+
+  test("null-safe join keeps exactly one NULL-key row") {
+    val out = Ext9Queries.nullSafeJoin(spark, sf).collect()
+    assert(out.count(_.isNullAt(0)) == 1)
+    // pair arithmetic: n_pairs == n_left * n_right on every row
+    out.foreach(r => assert(r.getLong(3) == r.getLong(1) * r.getLong(2)))
+    // an inner equi-join would drop the NULL bucket
+    val plain = out.length - 1
+    assert(plain == 6, s"expected 6 non-null buckets, got $plain")
+  }
+
+  test("repetition filter flags the degenerate doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a a a a a a a a a", "en", "s", 19L),
+      (2L, "the quick brown fox jumps over lazy dogs tonight quietly", "en", "s", 56L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.createOrReplaceTempView("documents_tmp")
+    val staged = java.nio.file.Files.createTempDirectory("graft-rep")
+    staged.toFile.deleteOnExit()
+    docs.write.mode("overwrite").parquet(staged.toString + "/documents.parquet")
+    val out = Ext9Queries.repetitionFilter(spark, staged.toString).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(!out(1L).getBoolean(6), "all-same-word doc must fail")
+    assert(out(2L).getBoolean(6), "all-distinct doc must pass")
+    assert(out(1L).getLong(1) == 10 && out(1L).getLong(2) == 1)
+  }
+
+  test("ann rerank is a subset of brute-force top-30 and scores match exact cosine") {
+    val exact = graft.operators.Similarity.bruteForceTopK(
+        graft.sources.Tables.embeddings(spark, sf).filter(col("vec_id") < 20),
+        graft.sources.Tables.embeddings(spark, sf), "vec_id", "embedding", 30)
+      .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val rer = Ext9Queries.annRerank(spark, sf).collect()
+    assert(rer.length == 20 * 5)
+    rer.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      exact.get(k).foreach(c => assert(math.abs(c - r.getDouble(2)) < 1e-9,
+        s"score mismatch at $k"))
+    }
+  }
+}
