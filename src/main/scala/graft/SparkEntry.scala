@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -163,7 +163,11 @@ object SparkEntry {
     "q_null_safe_join" -> (Ext9Queries.nullSafeJoin _),
     "q_corr_matrix" -> (Ext9Queries.corrMatrix _),
     "q_repetition_filter" -> (Ext9Queries.repetitionFilter _),
-    "q_ann_rerank" -> (Ext9Queries.annRerank _)
+    "q_ann_rerank" -> (Ext9Queries.annRerank _),
+    "q_ohlc_resample" -> (Ext10Queries.ohlcResample _),
+    "q_vwap" -> (Ext10Queries.vwap _),
+    "q_jaccard_prefix" -> (Ext10Queries.jaccardPrefix _),
+    "q_rolling_hll" -> (Ext10Queries.rollingHll _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -498,6 +502,11 @@ object SparkEntry {
     "q_null_safe_join" -> Ext9Queries.nullSafeJoinOracle,
     "q_corr_matrix" -> Ext9Queries.corrMatrixOracle,
     "q_repetition_filter" -> Ext9Queries.repetitionFilterOracle,
-    "q_ann_rerank" -> Ext9Queries.annRerankOracle
+    "q_ann_rerank" -> Ext9Queries.annRerankOracle,
+    "q_ohlc_resample" -> Ext10Queries.ohlcResampleOracle,
+    "q_vwap" -> Ext10Queries.vwapOracle,
+    // same contract as the exact join — the prefix filter must be lossless
+    "q_jaccard_prefix" -> LlmQueries.ngramJaccardOracle,
+    "q_rolling_hll" -> Ext10Queries.rollingHllOracle
   )
 }

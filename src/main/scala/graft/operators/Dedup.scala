@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Document deduplication ladder for large-scale training-data pipelines:
@@ -362,5 +363,54 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sh_1").bitwiseXOR(col("sh_2"))))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_1"), col("id_2"), col("hamming"))
+  }
+
+  // --- prefix-filtered set-similarity join -----------------------------------
+
+  /** All-Pairs/PPJoin-style prefix filtering for the threshold Jaccard join:
+    * order every doc's shingles by global rarity (document frequency asc,
+    * shingle asc — a total order, consistent across docs), keep only the
+    * first `sz - ceil(t*sz) + 1` per doc, and generate candidates from docs
+    * sharing a PREFIX shingle. Lossless for J >= t (Bayardo et al., WWW'07
+    * "Scaling Up All Pairs Similarity Search"): any pair at threshold must
+    * collide inside both prefixes under one global order. Candidates are then
+    * verified exactly, so the output EQUALS [[jaccardPairs]].
+    *
+    * Scale: the self-join runs on the prefix postings — at t=0.5 roughly half
+    * the postings, and the rarity ordering puts the high-fanout (common)
+    * shingles at prefix tails, so bucket sizes collapse versus the full
+    * postings self-join. The frequency table is one extra agg on the postings
+    * it already has in memory.
+    */
+  def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sh = hashedPostings(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = broadcast(sh.groupBy(col("id")).agg(count(lit(1)).as("sz")))
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    val prefix = sh.join(freq, "shingle")
+      .withColumn("rnk", row_number().over(w))
+      .join(sizes, "id")
+      .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("id"), col("shingle"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_1"), col("b.id").as("id_2"))
+      .distinct()
+    val inter = cand
+      .join(sh.as("p1"), col("id_1") === col("p1.id"))
+      .join(sh.as("p2"),
+        col("id_2") === col("p2.id") && col("p1.shingle") === col("p2.shingle"))
+      .groupBy(col("id_1"), col("id_2"))
+      .agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.as("s1"), col("id_1") === col("s1.id"))
+      .join(sizes.as("s2"), col("id_2") === col("s2.id"))
+      .withColumn("jaccard",
+        col("i").cast("double") / (col("s1.sz") + col("s2.sz") - col("i")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_1"), col("id_2"), col("jaccard"))
   }
 }
