@@ -37,10 +37,19 @@ object Joins {
     * SURVEY.md §7.4 hard part 1).
     *
     * Returns the updated dimension: existing rows unchanged, new natural keys
-    * assigned ids `max(existing) + row_number() over (order by natural key)`.
+    * assigned ids `max(existing) + dense 1..N in natural-key order`.
     * Deterministic (ordered by the natural key, not by partition layout) and
     * dense. Safe under the single-writer assumption that also holds for the
     * reference (one consumer process per topic).
+    *
+    * Id assignment is the distributed zip-with-index pattern, NOT a global
+    * `row_number() OVER (ORDER BY ...)`: the fresh keys are range-partitioned
+    * on the natural key, numbered per partition, and re-based by the
+    * cumulative partition counts (a <=numPartitions-row side table, broadcast
+    * back). Range partitions are ordered by construction, so the composed id
+    * equals the global rank — but no stage ever funnels all new keys through
+    * one partition, which matters when a "dimension" turns out to be
+    * high-cardinality (url dims at 100 TB).
     *
     * @param dim      existing dimension with columns (idCol, naturalCol)
     * @param incoming any DataFrame containing naturalCol (need not be distinct)
@@ -48,12 +57,34 @@ object Joins {
   def getOrCreate(dim: DataFrame, incoming: DataFrame, idCol: String, naturalCol: String): DataFrame = {
     val maxId = coalesce(max(col(idCol)), lit(0L))
     val base = dim.agg(maxId.as("_max_id"))
-    val fresh = incoming.select(col(naturalCol)).distinct()
+    val spark = dim.sparkSession
+    val nBuckets = math.max(1, spark.sparkContext.defaultParallelism)
+    // localCheckpoint pins the range bucketing: `ranged` feeds two plan
+    // branches (offsets + numbering), and range-partition sample seeds
+    // derive from the exchange RDD's id — two independent materializations
+    // could draw different bounds, splitting keys across inconsistent _pid
+    // maps. Materializing once makes _pid a fact, not a plan artifact (the
+    // same trick dedupClusters uses for its iteration frontier).
+    val ranged = incoming.select(col(naturalCol)).distinct()
       .join(dim.select(col(naturalCol)), Seq(naturalCol), "left_anti")
+      .repartitionByRange(nBuckets, col(naturalCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint()
+    // cumulative key count of the preceding partitions: <= nBuckets rows, so
+    // the unpartitioned running-sum window is over a bounded side table
+    val offsets = ranged.groupBy(col("_pid")).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_off", coalesce(
+        sum(col("_cnt")).over(Window.orderBy(col("_pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("_pid"), col("_off"))
+    val fresh = ranged
+      .join(broadcast(offsets), Seq("_pid"))
       // single-row cross join: broadcast nested loop, no shuffle of `fresh`
       .crossJoin(broadcast(base))
       .withColumn(idCol,
-        (col("_max_id") + row_number().over(Window.orderBy(col(naturalCol)))).cast("int"))
+        (col("_max_id") + col("_off") +
+          row_number().over(Window.partitionBy(col("_pid"))
+            .orderBy(col(naturalCol)))).cast("int"))
       .select(col(idCol), col(naturalCol))
     dim.select(col(idCol), col(naturalCol)).unionByName(fresh)
   }

@@ -358,15 +358,21 @@ object Ext8Queries {
         (col("weight").cast("double") / col("out_w")).as("p"))
     val nodes = trans.select(col("src").as("node"))
       .unionByName(trans.select(col("dst").as("node"))).distinct()
-    val n = 5.0 // event-type cardinality is fixed by the corpus schema
-    var ranks = nodes.withColumn("rank", lit(1.0 / n))
+    // node count computed from the graph itself (not a corpus-schema
+    // literal): a 1-row aggregate broadcast onto every rank row — stays a
+    // lazy composed plan, no driver-side count() action.
+    val nCnt = nodes.agg(count(lit(1)).cast("double").as("_n"))
+    var ranks = nodes.crossJoin(broadcast(nCnt))
+      .select(col("node"), (lit(1.0) / col("_n")).as("rank"))
     for (_ <- 1 to 3) {
       val contrib = edges.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("p") * col("rank")).as("in_rank"))
       ranks = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(nCnt))
         .select(col("node"),
-          (lit(0.15 / n) + lit(0.85) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
+          (lit(0.15) / col("_n") +
+            lit(0.85) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
     }
     ranks.select(col("node"), round(col("rank"), 9).as("rank"))
   }
@@ -386,19 +392,20 @@ object Ext8Queries {
       |  FROM trans
       |), nodes AS (
       |  SELECT src AS node FROM trans UNION SELECT dst FROM trans
-      |), r0 AS (SELECT node, 1.0 / 5 AS rank FROM nodes),
+      |), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+      |r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes, nn),
       |r1 AS (
-      |  SELECT n.node, 0.15 / 5 + 0.85 * COALESCE(SUM(e.p * r0.rank), 0.0) AS rank
-      |  FROM nodes n LEFT JOIN edges e ON e.dst = n.node
-      |  LEFT JOIN r0 ON r0.node = e.src GROUP BY n.node
+      |  SELECT n2.node, 0.15 / nn.n + 0.85 * COALESCE(SUM(e.p * r0.rank), 0.0) AS rank
+      |  FROM nodes n2 CROSS JOIN nn LEFT JOIN edges e ON e.dst = n2.node
+      |  LEFT JOIN r0 ON r0.node = e.src GROUP BY n2.node, nn.n
       |), r2 AS (
-      |  SELECT n.node, 0.15 / 5 + 0.85 * COALESCE(SUM(e.p * r1.rank), 0.0) AS rank
-      |  FROM nodes n LEFT JOIN edges e ON e.dst = n.node
-      |  LEFT JOIN r1 ON r1.node = e.src GROUP BY n.node
+      |  SELECT n2.node, 0.15 / nn.n + 0.85 * COALESCE(SUM(e.p * r1.rank), 0.0) AS rank
+      |  FROM nodes n2 CROSS JOIN nn LEFT JOIN edges e ON e.dst = n2.node
+      |  LEFT JOIN r1 ON r1.node = e.src GROUP BY n2.node, nn.n
       |), r3 AS (
-      |  SELECT n.node, 0.15 / 5 + 0.85 * COALESCE(SUM(e.p * r2.rank), 0.0) AS rank
-      |  FROM nodes n LEFT JOIN edges e ON e.dst = n.node
-      |  LEFT JOIN r2 ON r2.node = e.src GROUP BY n.node
+      |  SELECT n2.node, 0.15 / nn.n + 0.85 * COALESCE(SUM(e.p * r2.rank), 0.0) AS rank
+      |  FROM nodes n2 CROSS JOIN nn LEFT JOIN edges e ON e.dst = n2.node
+      |  LEFT JOIN r2 ON r2.node = e.src GROUP BY n2.node, nn.n
       |)
       |SELECT node, ROUND(rank, 9) AS rank FROM r3""".stripMargin
 

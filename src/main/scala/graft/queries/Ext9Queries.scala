@@ -232,20 +232,28 @@ object Ext9Queries {
 
   /** Rolling 7-day distinct users per (event_type, day): the exact
     * formulation distincts (type, day, user) FIRST (collapsing the event
-    * stream to at most |types|x|days|x|users| triples), then range-joins the
-    * day spine. At 100 TB the distinct is the heavy shuffle and the spine
-    * join touches only the collapsed triples; the sketch path for unbounded
+    * stream to at most |types|x|days|x|users| triples), then BINNED
+    * range-joins the day spine: both sides carry a week bucket
+    * (`unix_date div 7`), the spine explodes to its two candidate buckets
+    * {w-1, w}, and the join key is (event_type, bucket) — candidate fan-out
+    * is a constant 2x per triple instead of |days|x per type (the
+    * q_binned_range_join pattern; the unbinned form re-scanned a year of
+    * days per triple). The exact `datediff BETWEEN 0 AND 6` residual then
+    * prunes candidates to the true window. The sketch path for unbounded
     * user domains is per-day HLL partials merged across the window
-    * (q_sketch_merge shows that machinery).
+    * (q_rolling_hll shows that machinery).
     */
   def rollingDistinct(s: SparkSession, dir: String): DataFrame = {
     val pairs = Tables.events(s, dir)
       .select(col("event_type"), to_date(timestamp_micros(col("ts_us"))).as("day"),
         col("user_id"))
       .distinct()
+      .withColumn("bucket", floor(unix_date(col("day")) / 7))
     val days = pairs.select("event_type", "day").distinct()
       .withColumnRenamed("day", "d")
-    days.join(pairs, Seq("event_type"))
+      .withColumn("bucket", explode(array(
+        floor(unix_date(col("d")) / 7) - 1, floor(unix_date(col("d")) / 7))))
+    days.join(pairs, Seq("event_type", "bucket"))
       .filter(datediff(col("d"), col("day")).between(0, 6))
       .groupBy(col("event_type"), date_format(col("d"), "yyyy-MM-dd").as("day"))
       .agg(countDistinct("user_id").as("n7"))
@@ -433,28 +441,32 @@ object Ext9Queries {
       |   AND CAST(top_cnt AS DOUBLE)/n_words <= 0.1) AS pass
       |FROM d""".stripMargin
 
-  /** Two-stage ANN: coarse scoring on a 16-dim prefix slice selects 30
-    * candidates per query, exact full-dimension cosine reranks to top-5.
-    * The scale pattern for memory-bound vector search: the coarse pass
-    * touches 1/4 of the vector bytes (or a PQ/int8 code in practice), the
-    * exact pass only k' candidates — deterministic end-to-end, so the whole
-    * approximate index is oracle-checkable.
+  /** Two-stage ANN: an IVF probe over a 16-dim prefix slice generates the
+    * candidate set (30 per query), exact full-dimension cosine reranks to
+    * top-5. The scale pattern for memory-bound vector search composed from
+    * the engine's own pieces: stage 1 IS [[graft.operators.Similarity.ivfTopK]]
+    * on the prefix vectors (broadcast centroids, nprobe=2 buckets — per-query
+    * work is ~nprobe/|centroids| of the corpus, and the coarse bytes touched
+    * are 1/4 of each vector), stage 2 rejoins the full vectors for only the
+    * 30 survivors. No all-pairs |Q|x|C| join anywhere — deterministic
+    * end-to-end, so the whole approximate index is oracle-checkable.
     */
   def annRerank(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val q = emb.filter(col("vec_id") < 20)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
-        slice(col("embedding"), 1, 16).as("qp"))
-    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"),
-      slice(col("embedding"), 1, 16).as("cp"))
-    val coarseW = Window.partitionBy("query_id")
-      .orderBy(col("coarse").desc, col("neighbor_id"))
+    val prefixed = emb.select(col("vec_id"), slice(col("embedding"), 1, 16).as("pvec"))
+    val coarse = graft.operators.Similarity.ivfTopK(
+        queries = prefixed.filter(col("vec_id") < 20),
+        corpus = prefixed,
+        centroids = prefixed.filter(col("vec_id") < 10),
+        "vec_id", "pvec", k = 30, nprobe = 2)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = emb.select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val cv = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
     val fineW = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("neighbor_id"))
-    q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("coarse", graft.operators.Similarity.cosine(col("qp"), col("cp")))
-      .withColumn("crn", row_number().over(coarseW))
-      .filter(col("crn") <= 30)
+    coarse
+      .join(qv, Seq("query_id"))
+      .join(cv, Seq("neighbor_id"))
       .withColumn("cos", graft.operators.Similarity.cosine(col("qv"), col("cv")))
       .withColumn("rn", row_number().over(fineW))
       .filter(col("rn") <= 5)
@@ -470,18 +482,35 @@ object Ext9Queries {
        |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
 
   val annRerankOracle: String =
-    s"""WITH coarse AS (
-       |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-       |    q.embedding AS qv, c.embedding AS cv,
-       |    ${cosSql("q.embedding[1:16]", "c.embedding[1:16]")} AS coarse
-       |  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
-       |  WHERE q.vec_id < 20
+    s"""WITH cent AS (
+       |  SELECT vec_id AS centroid_id, embedding[1:16] AS centv
+       |  FROM embeddings WHERE vec_id < 10
+       |), assign AS (
+       |  SELECT e.vec_id AS neighbor_id, e.embedding[1:16] AS cp, c.centroid_id,
+       |    ${cosSql("e.embedding[1:16]", "c.centv")} AS aff
+       |  FROM embeddings e, cent c
        |  QUALIFY row_number() OVER (
-       |    PARTITION BY q.vec_id ORDER BY coarse DESC, c.vec_id) <= 30
+       |    PARTITION BY e.vec_id ORDER BY aff DESC, c.centroid_id) = 1
+       |), probes AS (
+       |  SELECT q.vec_id AS query_id, q.embedding[1:16] AS qp, c.centroid_id,
+       |    ${cosSql("q.embedding[1:16]", "c.centv")} AS caff
+       |  FROM embeddings q, cent c WHERE q.vec_id < 20
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY q.vec_id ORDER BY caff DESC, c.centroid_id) <= 2
+       |), coarse AS (
+       |  SELECT p.query_id, a.neighbor_id,
+       |    ${cosSql("p.qp", "a.cp")} AS coarse
+       |  FROM probes p JOIN assign a USING (centroid_id)
+       |  WHERE a.neighbor_id <> p.query_id
+       |  QUALIFY row_number() OVER (
+       |    PARTITION BY p.query_id ORDER BY coarse DESC, a.neighbor_id) <= 30
        |)
-       |SELECT query_id, neighbor_id,
-       |  ROUND(${cosSql("qv", "cv")}, 6) AS cos
-       |FROM coarse
+       |SELECT c.query_id, c.neighbor_id,
+       |  ROUND(${cosSql("q.embedding", "e.embedding")}, 6) AS cos
+       |FROM coarse c
+       |JOIN embeddings q ON q.vec_id = c.query_id
+       |JOIN embeddings e ON e.vec_id = c.neighbor_id
        |QUALIFY row_number() OVER (
-       |  PARTITION BY query_id ORDER BY ${cosSql("qv", "cv")} DESC, neighbor_id) <= 5""".stripMargin
+       |  PARTITION BY c.query_id
+       |  ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, c.neighbor_id) <= 5""".stripMargin
 }

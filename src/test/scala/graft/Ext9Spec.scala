@@ -79,6 +79,30 @@ class Ext9Spec extends SparkTestBase {
       s"rolling < daily at ${r.getString(0)}/${r.getString(1)}"))
   }
 
+  test("rolling distinct plan: spine join keyed on the week bucket") {
+    val plan = Ext9Queries.rollingDistinct(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the spine⋈triples join must carry (event_type, bucket) — joining on
+    // event_type alone would re-scan every day per triple (the unbinned
+    // scale-killer this formulation replaces)
+    val joinLines = plan.linesIterator.filter(l =>
+      l.contains("Join") && l.contains("event_type")).toSeq
+    assert(joinLines.exists(_.contains("bucket")),
+      s"spine join not bucket-keyed:\n$plan")
+  }
+
+  test("ann rerank plan: no all-pairs query x corpus join") {
+    val plan = Ext9Queries.annRerank(spark, sf)
+      .queryExecution.executedPlan.toString
+    // the only nested-loop joins allowed are the condition-less broadcasts
+    // against the tiny centroid table; a NOT(query=neighbor) NLJ condition
+    // is the signature of the old all-pairs coarse pass
+    plan.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach {
+      l => assert(!l.contains("NOT"), s"all-pairs coarse join present:\n$plan")
+    }
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+  }
+
   test("gap fill: no nulls, observed days pass through unchanged") {
     val out = Ext9Queries.gapFill(spark, sf)
     assert(out.filter(col("filled").isNull).count() == 0)

@@ -64,6 +64,27 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("getOrCreate assigns dense natural-key-ordered ids to 1e5 new keys distributedly") {
+    import org.apache.spark.sql.functions._
+    val dim = Seq((1, "key_existing_a"), (2, "key_existing_b")).toDF("id", "nk")
+    val incoming = spark.range(100000)
+      .select(format_string("key_%06d", col("id")).as("nk"))
+    val grown = graft.operators.Joins.getOrCreate(dim, incoming, "id", "nk")
+    val rows = grown.collect().map(r => r.getInt(0) -> r.getString(1))
+    assert(rows.length == 100002)
+    // dense: ids are exactly 1..100002
+    assert(rows.map(_._1).sorted.toSeq == (1 to 100002))
+    // deterministic order: fresh ids follow natural-key sort order
+    val fresh = rows.filter(_._1 > 2).sortBy(_._1).map(_._2)
+    assert(fresh.toSeq == fresh.sorted.toSeq, "fresh ids not in natural-key order")
+    // no single-partition funnel: the numbering window is partitioned by the
+    // range bucket, never a global ORDER BY over all fresh keys
+    val plan = graft.operators.Joins
+      .getOrCreate(dim, incoming, "id", "nk")
+      .queryExecution.analyzed.toString
+    assert(plan.contains("_pid"), s"expected bucketed numbering:\n$plan")
+  }
+
   test("indicator job idempotence property: recompute on same input is a fixed point") {
     (30 to 32).foreach { seed =>
       val prices = genSeries(seed)
