@@ -392,28 +392,35 @@ object LlmQueries {
       .select(col("id"), round(Sentiment.sentiment(col("text")), 6).as("compound"))
   }
 
-  /** The full VADER-style scorer replayed in SQL: lexicon/booster/negation
-    * tables as VALUES, token stream via lateral range over the regex-split
-    * array, the 3-token booster lookback as sequential lateral-alias CASE
-    * steps (v1→v2→v3, sign checked on the RUNNING valence exactly like the
-    * imperative loop), negation flip after boosting, exclamation emphasis
-    * from the raw text, and the alpha-15 compound normalization.
+  /** The COMPLETE VADER rule engine replayed in SQL: case-preserving
+    * tokenization with the published punctuation-strip rule, per-document
+    * cap-diff, ALL-CAPS valence bumps, the "no" special cases, three
+    * sequential booster/negation distance steps on the RUNNING valence
+    * (damped 0.95/0.9, caps-boosted scalars, never-so x1.25,
+    * without-doubt pass, "n't" containment), special-case idioms with the
+    * published override priority, bigram boosters, the least-check, the
+    * but-clause re-weighting, and '!'/'?' emphasis — all generated from
+    * the SAME maps the Scala scorer uses (one source of truth).
     */
   val sentimentOracle: String = {
+    def esc(x: String): String = x.replace("'", "''")
     val lexVals = graft.operators.Sentiment.lexicon.toSeq.sorted
-      .map { case (w, v) => s"('$w', $v)" }.mkString(", ")
+      .map { case (w, v) => s"('${esc(w)}', CAST($v AS DOUBLE))" }.mkString(", ")
     val boostVals = graft.operators.Sentiment.boosters.toSeq.sorted
-      .map { case (w, b) => s"('$w', $b)" }.mkString(", ")
+      .map { case (w, b) => s"('${esc(w)}', CAST($b AS DOUBLE))" }.mkString(", ")
     val negVals = graft.operators.Sentiment.negations.toSeq.sorted
-      .map(w => s"('$w')").mkString(", ")
+      .map(w => s"('${esc(w)}')").mkString(", ")
+    val idiomVals = graft.operators.Sentiment.idioms.toSeq.sorted
+      .map { case (w, v) => s"('${esc(w)}', CAST($v AS DOUBLE))" }.mkString(", ")
     // derive the news corpus from the SAME fixture literals the query
     // parses (one source of truth — editing WireQueries.newsFixtures can
     // never desync the oracle)
     val newsRaw = WireQueries.newsFixtures
-      .map(f => "('" + f.replace("'", "''") + "')").mkString(", ")
+      .map(f => "('" + esc(f) + "')").mkString(", ")
     s"""WITH lex(word, val) AS (VALUES $lexVals),
        |boost(word, b) AS (VALUES $boostVals),
        |neg(word) AS (VALUES $negVals),
+       |idiom(phrase, ival) AS (VALUES $idiomVals),
        |newsraw(value) AS (VALUES $newsRaw),
        |news(id, text) AS (
        |  SELECT json_extract_string(value, '$$.url'),
@@ -424,51 +431,156 @@ object LlmQueries {
        |  UNION ALL
        |  SELECT CAST(doc_id AS VARCHAR) AS id, text FROM documents WHERE doc_id < 50
        |), arrs AS (
-       |  SELECT id, text,
-       |    list_filter(string_split(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'), ' '),
-       |                x -> x <> '') AS arr
+       |  SELECT id, list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS arr
        |  FROM corpus
-       |), toks AS (
-       |  SELECT id, generate_subscripts(arr, 1) AS i, unnest(arr) AS tok
-       |  FROM arrs
+       |), tok0 AS (
+       |  SELECT id, generate_subscripts(arr, 1) AS i, unnest(arr) AS rawtok FROM arrs
+       |), tok1 AS (
+       |  SELECT id, i, rawtok,
+       |    regexp_replace(regexp_replace(rawtok,
+       |      '^[!-/:-@\\[-`{-~]+', ''), '[!-/:-@\\[-`{-~]+$$', '') AS st
+       |  FROM tok0
+       |), feat AS (
+       |  SELECT id, i,
+       |    CASE WHEN length(st) <= 2 THEN rawtok ELSE st END AS w,
+       |    lower(CASE WHEN length(st) <= 2 THEN rawtok ELSE st END) AS wl,
+       |    (regexp_matches(CASE WHEN length(st) <= 2 THEN rawtok ELSE st END, '[A-Z]')
+       |     AND NOT regexp_matches(CASE WHEN length(st) <= 2 THEN rawtok ELSE st END, '[a-z]')) AS up
+       |  FROM tok1
+       |), docstat AS (
+       |  SELECT id, COUNT(*) AS n_tok,
+       |    SUM(CASE WHEN up THEN 1 ELSE 0 END) AS n_up,
+       |    MIN(CASE WHEN wl = 'but' THEN i END) AS but_i
+       |  FROM feat GROUP BY id
        |), ctx AS (
-       |  SELECT id, i, tok,
-       |    lag(tok, 1) OVER w AS p1, lag(tok, 2) OVER w AS p2, lag(tok, 3) OVER w AS p3
-       |  FROM toks WINDOW w AS (PARTITION BY id ORDER BY i)
-       |), joined AS (
-       |  SELECT c.id, lv.val AS v0,
-       |    CASE WHEN l1.word IS NULL THEN COALESCE(b1.b, 0.0) ELSE 0.0 END AS a1,
-       |    CASE WHEN l2.word IS NULL THEN COALESCE(b2.b, 0.0) * 0.95 ELSE 0.0 END AS a2,
-       |    CASE WHEN l3.word IS NULL THEN COALESCE(b3.b, 0.0) * 0.9 ELSE 0.0 END AS a3,
-       |    (n1.word IS NOT NULL OR n2.word IS NOT NULL OR n3.word IS NOT NULL) AS negated
+       |  SELECT f.id, f.i, f.w, f.wl, f.up,
+       |    (d.n_up > 0 AND d.n_up < d.n_tok) AS capdiff, d.but_i,
+       |    lag(f.wl, 1) OVER win AS p1, lag(f.wl, 2) OVER win AS p2,
+       |    lag(f.wl, 3) OVER win AS p3,
+       |    lag(f.up, 1) OVER win AS u1, lag(f.up, 2) OVER win AS u2,
+       |    lag(f.up, 3) OVER win AS u3,
+       |    lead(f.wl, 1) OVER win AS l1, lead(f.wl, 2) OVER win AS l2
+       |  FROM feat f JOIN docstat d USING (id)
+       |  WINDOW win AS (PARTITION BY f.id ORDER BY f.i)
+       |), j AS (
+       |  SELECT c.*, lv.val AS lexval,
+       |    (bs.word IS NOT NULL) AS selfboost,
+       |    (lx1.word IS NOT NULL) AS p1lex, (lx2.word IS NOT NULL) AS p2lex,
+       |    (lx3.word IS NOT NULL) AS p3lex, (lxn.word IS NOT NULL) AS l1lex,
+       |    b1.b AS b1, b2.b AS b2, b3.b AS b3,
+       |    (n1.word IS NOT NULL OR c.p1 LIKE '%n''t%') AS neg1,
+       |    (n2.word IS NOT NULL OR c.p2 LIKE '%n''t%') AS neg2,
+       |    (n3.word IS NOT NULL OR c.p3 LIKE '%n''t%') AS neg3,
+       |    i1.ival AS id_onezero, i2.ival AS id_twoonezero, i3.ival AS id_twoone,
+       |    i4.ival AS id_threetwoone, i5.ival AS id_threetwo,
+       |    i6.ival AS id_zeroone, i7.ival AS id_zeroonetwo,
+       |    gb1.b AS ng_threetwoone, gb2.b AS ng_threetwo, gb3.b AS ng_twoone
        |  FROM ctx c
-       |  JOIN lex lv ON lv.word = c.tok
-       |  LEFT JOIN lex l1 ON l1.word = c.p1
-       |  LEFT JOIN lex l2 ON l2.word = c.p2
-       |  LEFT JOIN lex l3 ON l3.word = c.p3
+       |  LEFT JOIN lex lv ON lv.word = c.wl
+       |  LEFT JOIN boost bs ON bs.word = c.wl
+       |  LEFT JOIN lex lx1 ON lx1.word = c.p1
+       |  LEFT JOIN lex lx2 ON lx2.word = c.p2
+       |  LEFT JOIN lex lx3 ON lx3.word = c.p3
+       |  LEFT JOIN lex lxn ON lxn.word = c.l1
        |  LEFT JOIN boost b1 ON b1.word = c.p1
        |  LEFT JOIN boost b2 ON b2.word = c.p2
        |  LEFT JOIN boost b3 ON b3.word = c.p3
        |  LEFT JOIN neg n1 ON n1.word = c.p1
        |  LEFT JOIN neg n2 ON n2.word = c.p2
        |  LEFT JOIN neg n3 ON n3.word = c.p3
+       |  LEFT JOIN idiom i1 ON i1.phrase = c.p1 || ' ' || c.wl
+       |  LEFT JOIN idiom i2 ON i2.phrase = c.p2 || ' ' || c.p1 || ' ' || c.wl
+       |  LEFT JOIN idiom i3 ON i3.phrase = c.p2 || ' ' || c.p1
+       |  LEFT JOIN idiom i4 ON i4.phrase = c.p3 || ' ' || c.p2 || ' ' || c.p1
+       |  LEFT JOIN idiom i5 ON i5.phrase = c.p3 || ' ' || c.p2
+       |  LEFT JOIN idiom i6 ON i6.phrase = c.wl || ' ' || c.l1
+       |  LEFT JOIN idiom i7 ON i7.phrase = c.wl || ' ' || c.l1 || ' ' || c.l2
+       |  LEFT JOIN boost gb1 ON gb1.word = c.p3 || ' ' || c.p2 || ' ' || c.p1
+       |  LEFT JOIN boost gb2 ON gb2.word = c.p3 || ' ' || c.p2
+       |  LEFT JOIN boost gb3 ON gb3.word = c.p2 || ' ' || c.p1
        |), stepped AS (
+       |  SELECT id, i, but_i, wl, l1, selfboost, lexval,
+       |    CASE WHEN (p1 = 'no') OR (p2 = 'no')
+       |              OR (p3 = 'no' AND p1 IN ('or', 'nor'))
+       |           THEN lexval * -0.74
+       |         WHEN wl = 'no' AND l1lex THEN 0.0
+       |         ELSE lexval END AS vb,
+       |    vb + CASE WHEN up AND capdiff
+       |              THEN (CASE WHEN vb > 0 THEN 0.733 ELSE -0.733 END)
+       |              ELSE 0.0 END AS v0,
+       |    CASE WHEN p1 IS NOT NULL AND NOT p1lex AND b1 IS NOT NULL THEN
+       |      (CASE WHEN v0 < 0 THEN -b1 ELSE b1 END)
+       |      + (CASE WHEN u1 AND capdiff
+       |              THEN (CASE WHEN v0 > 0 THEN 0.733 ELSE -0.733 END)
+       |              ELSE 0.0 END)
+       |    ELSE 0.0 END AS s1,
+       |    v0 + s1 AS v1a,
+       |    CASE WHEN p1 IS NOT NULL AND NOT p1lex AND neg1
+       |         THEN v1a * -0.74 ELSE v1a END AS v1,
+       |    CASE WHEN p2 IS NOT NULL AND NOT p2lex AND b2 IS NOT NULL THEN
+       |      ((CASE WHEN v1 < 0 THEN -b2 ELSE b2 END)
+       |       + (CASE WHEN u2 AND capdiff
+       |              THEN (CASE WHEN v1 > 0 THEN 0.733 ELSE -0.733 END)
+       |              ELSE 0.0 END)) * 0.95
+       |    ELSE 0.0 END AS s2,
+       |    v1 + s2 AS v2a,
+       |    CASE WHEN p2 IS NOT NULL AND NOT p2lex THEN
+       |      CASE WHEN p2 = 'never' AND p1 IN ('so', 'this') THEN v2a * 1.25
+       |           WHEN p2 = 'without' AND p1 = 'doubt' THEN v2a
+       |           WHEN neg2 THEN v2a * -0.74
+       |           ELSE v2a END
+       |    ELSE v2a END AS v2,
+       |    CASE WHEN p3 IS NOT NULL AND NOT p3lex AND b3 IS NOT NULL THEN
+       |      ((CASE WHEN v2 < 0 THEN -b3 ELSE b3 END)
+       |       + (CASE WHEN u3 AND capdiff
+       |              THEN (CASE WHEN v2 > 0 THEN 0.733 ELSE -0.733 END)
+       |              ELSE 0.0 END)) * 0.9
+       |    ELSE 0.0 END AS s3,
+       |    v2 + s3 AS v3a,
+       |    CASE WHEN p3 IS NOT NULL AND NOT p3lex THEN
+       |      CASE WHEN (p3 = 'never' AND p2 IN ('so', 'this'))
+       |                OR (p1 IN ('so', 'this')) THEN v3a * 1.25
+       |           WHEN p3 = 'without' AND (p2 = 'doubt' OR p1 = 'doubt')
+       |             THEN v3a
+       |           WHEN neg3 THEN v3a * -0.74
+       |           ELSE v3a END
+       |    ELSE v3a END AS v3,
+       |    CASE WHEN p3 IS NOT NULL AND NOT p3lex THEN
+       |      COALESCE(id_zeroonetwo, id_zeroone, id_onezero, id_twoonezero,
+       |               id_twoone, id_threetwoone, id_threetwo, v3)
+       |    ELSE v3 END AS v4a,
+       |    v4a + CASE WHEN p3 IS NOT NULL AND NOT p3lex THEN
+       |      COALESCE(ng_threetwoone, 0.0) + COALESCE(ng_threetwo, 0.0)
+       |      + COALESCE(ng_twoone, 0.0) ELSE 0.0 END AS v4,
+       |    CASE WHEN p1 = 'least' AND NOT p1lex THEN
+       |      CASE WHEN p2 IS NOT NULL THEN
+       |             (CASE WHEN p2 NOT IN ('at', 'very') THEN v4 * -0.74 ELSE v4 END)
+       |           ELSE v4 * -0.74 END
+       |    ELSE v4 END AS v5
+       |  FROM j
+       |), scored AS (
        |  SELECT id,
-       |    v0 + CASE WHEN v0 >= 0 THEN a1 ELSE -a1 END AS v1,
-       |    v1 + CASE WHEN v1 >= 0 THEN a2 ELSE -a2 END AS v2,
-       |    v2 + CASE WHEN v2 >= 0 THEN a3 ELSE -a3 END AS v3,
-       |    CASE WHEN negated THEN v3 * -0.74 ELSE v3 END AS score
-       |  FROM joined
+       |    (CASE WHEN selfboost OR (wl = 'kind' AND l1 = 'of')
+       |               OR lexval IS NULL THEN 0.0
+       |          ELSE v5 END)
+       |    * (CASE WHEN but_i IS NOT NULL AND i < but_i THEN 0.5
+       |            WHEN but_i IS NOT NULL AND i > but_i THEN 1.5
+       |            ELSE 1.0 END) AS senti
+       |  FROM stepped
        |), sums AS (
-       |  SELECT id, SUM(score) AS s FROM stepped GROUP BY id
+       |  SELECT id, SUM(senti) AS s FROM scored GROUP BY id
        |), agg AS (
        |  SELECT c.id, c.text, COALESCE(su.s, 0.0) AS s0,
-       |    LEAST(4, length(c.text) - length(replace(c.text, '!', ''))) AS ep
+       |    LEAST(4, length(c.text) - length(replace(c.text, '!', ''))) * 0.292 AS ep,
+       |    (length(c.text) - length(replace(c.text, '?', ''))) AS qn
        |  FROM corpus c LEFT JOIN sums su ON c.id = su.id
        |), emph AS (
        |  SELECT id, text,
        |    CASE WHEN s0 <> 0.0
-       |         THEN s0 + CASE WHEN s0 > 0 THEN 1.0 ELSE -1.0 END * ep * 0.292
+       |         THEN s0 + (CASE WHEN s0 > 0 THEN 1.0 ELSE -1.0 END)
+       |              * (ep + CASE WHEN qn > 1
+       |                           THEN CASE WHEN qn <= 3 THEN qn * 0.18 ELSE 0.96 END
+       |                           ELSE 0.0 END)
        |         ELSE s0 END AS s1
        |  FROM agg
        |)

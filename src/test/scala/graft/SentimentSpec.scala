@@ -1,11 +1,81 @@
 package graft
 
-import graft.operators.Sentiment
+import graft.operators.{Sentiment, VaderScorer}
 
-/** Pins the VADER-style scorer: sign correctness, negation flip, booster
-  * amplification, exclamation emphasis, empty-content fallback, bounds.
+/** Pins the VADER scorer: the PUBLISHED example compound scores (the
+  * hardest possible gate — they exercise caps emphasis, booster damping at
+  * every distance, negation, but-reweighting and punctuation emphasis
+  * together), plus sign correctness, empty-content fallback, bounds, and
+  * the pluggable-lexicon path.
   */
 class SentimentSpec extends SparkTestBase {
+
+  private def round4(x: Double) = math.rint(x * 10000) / 10000
+
+  test("published VADER example scores reproduce exactly (round 4)") {
+    val goldens = Seq(
+      "VADER is smart, handsome, and funny." -> 0.8316,
+      "VADER is smart, handsome, and funny!" -> 0.8439,
+      "VADER is very smart, handsome, and funny." -> 0.8545,
+      "VADER is VERY SMART, handsome, and FUNNY." -> 0.9227,
+      "VADER is VERY SMART, handsome, and FUNNY!!!" -> 0.9342,
+      "VADER is VERY SMART, uber handsome, and FRIGGIN FUNNY!!!" -> 0.9469,
+      "VADER is not smart, handsome, nor funny." -> -0.7424,
+      "The book was good." -> 0.4404,
+      "At least it isn't a horrible book." -> 0.431,
+      "Not bad at all" -> 0.431,
+      "Today SUX!" -> -0.5461,
+      "Today only kinda sux! But I'll get by, lol" -> 0.5249)
+    goldens.foreach { case (text, expected) =>
+      assert(round4(Sentiment.score(text)) == expected,
+        s"'$text': got ${Sentiment.score(text)}, want $expected")
+    }
+  }
+
+  test("question-mark emphasis: 2-3 add 0.18 each, beyond caps at 0.96") {
+    val base = Sentiment.score("great gain")
+    val one = Sentiment.score("great gain?") // single ? adds nothing
+    val two = Sentiment.score("great gain??")
+    val three = Sentiment.score("great gain???")
+    val four = Sentiment.score("great gain????")
+    val nine = Sentiment.score("great gain?????????")
+    assert(one == base)
+    assert(two > base && three > two)
+    assert(four == nine) // 0.96 cap
+  }
+
+  test("but-clause reweighting: pre-but halved, post-but amplified") {
+    val s = Sentiment.score("the plot was good but the ending was terrible")
+    // 1.9*0.5 - 2.1*1.5 = -2.2 -> negative despite the positive opener
+    assert(s < 0)
+    val flipped = Sentiment.score("the ending was terrible but the plot was good")
+    assert(flipped > 0)
+  }
+
+  test("never so/this intensifies instead of negating") {
+    // "never so good": never is 2 back -> x1.25, not x-0.74
+    assert(Sentiment.score("it was never so good") >
+      Sentiment.score("it was good"))
+    assert(Sentiment.score("it was never good") < 0)
+  }
+
+  test("pluggable mini-lexicon scorer keeps the rule engine") {
+    val mini = new VaderScorer(
+      Map("nice" -> 2.0), Map("very" -> 0.293), Set("not"), Map.empty)
+    assert(mini.score("nice") > 0)
+    assert(mini.score("very nice") > mini.score("nice"))
+    assert(mini.score("not nice") < 0)
+    assert(mini.score("good") == 0.0) // outside the mini lexicon
+  }
+
+  test("fromLexiconFile parses the published TSV format") {
+    val f = java.nio.file.Files.createTempFile("vader", ".txt")
+    java.nio.file.Files.writeString(f,
+      "happy\t2.7\t0.7\t[3, 2, 3]\nsad\t-2.1\t0.8\t[-2, -2, -2]\n")
+    val sc = VaderScorer.fromLexiconFile(f.toString)
+    assert(sc.score("happy") > 0 && sc.score("sad") < 0)
+    java.nio.file.Files.delete(f)
+  }
 
   test("positive and negative sentences get the right sign") {
     assert(Sentiment.score("bitcoin made a great gain today") > 0.3)
