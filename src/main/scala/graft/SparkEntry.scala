@@ -58,6 +58,7 @@ object SparkEntry {
     "q_multimodal_meta" -> (LlmQueries.multimodalMeta _),
     "q_sentiment" -> (LlmQueries.sentimentNews _),
     "q_rss_parse" -> (graft.queries.RssQueries.rssParse _),
+    "q_scrape_sentiment" -> (graft.queries.RssQueries.scrapeSentiment _),
     "q_pipeline_e2e" -> (graft.queries.PipelineE2E.run _),
     "q_stateful_indicators" -> (StreamQueries.statefulIndicators _),
     "q_asof_join" -> (CoreQueries.asofJoin _),
@@ -346,6 +347,7 @@ object SparkEntry {
     "q_ann_ivf" -> LlmQueries.annIvfOracle,
     "q_multimodal_meta" -> LlmQueries.multimodalMetaOracle,
     "q_rss_parse" -> graft.queries.RssQueries.rssParseOracle,
+    "q_scrape_sentiment" -> graft.queries.RssQueries.scrapeSentimentOracle,
     "q_pipeline_e2e" -> graft.queries.PipelineE2E.oracle,
     "q_stateful_indicators" -> StreamQueries.statefulIndicatorsOracle,
 

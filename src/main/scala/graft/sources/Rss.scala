@@ -58,4 +58,57 @@ object Rss {
       .join(contents, Seq("url"), "left")
       .withColumn("content", coalesce(col("content"), lit("")))
       .withColumn("sentiment_score", Sentiment.sentiment(col("content")))
+
+  // --- distributed scrape stage (S3) ----------------------------------------
+
+  private val PTag = "(?s)<p[^>]*>(.*?)</p>".r
+
+  /** Paragraph extraction mirroring producer_news.py:68-70 (BeautifulSoup
+    * `find_all("p")`, per-paragraph text strip, single-space join): every
+    * `<p>` body with inner tags removed, empties dropped.
+    */
+  def extractParagraphs(html: String): String =
+    PTag.findAllMatchIn(html)
+      .map(_.group(1).replaceAll("<[^>]*>", "").trim)
+      .filter(_.nonEmpty)
+      .mkString(" ")
+
+  /** S3: the distributed article-body fetch, shaped exactly like the
+    * reference's crawl loop (producer_news.py:66-74) but as a
+    * `mapPartitions` enrichment stage: each partition fetches its rows
+    * through `fetcher`, extracts paragraph text, and on ANY per-row failure
+    * falls back to content = "" (which downstream scores sentiment 0.0 —
+    * the reference's try/except contract). The fetcher is a plain
+    * serializable function so production swaps in an HTTP client (with
+    * per-partition connection reuse) and tests use [[fixtureFetcher]];
+    * failures never kill the task, so one dead article site can't fail a
+    * 100 TB crawl batch.
+    */
+  def scrape(articles: DataFrame, fetcher: String => String,
+      urlCol: String = "url"): DataFrame = {
+    val schema = articles.schema.add("content", StringType)
+    articles.mapPartitions { rows =>
+      rows.map { r =>
+        val content =
+          try extractParagraphs(fetcher(r.getAs[String](urlCol)))
+          catch { case scala.util.control.NonFatal(_) => "" }
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ content)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
+  /** Deterministic stand-in for the HTTP fetch (zero-egress sandbox): the
+    * html derives purely from the url — slug words plus a mood paragraph —
+    * and newsbtc.com urls throw to exercise the failure fallback. The SQL
+    * oracle reconstructs the identical content per url.
+    */
+  val fixtureFetcher: String => String = url => {
+    if (url.contains("newsbtc.com"))
+      throw new RuntimeException(s"fetch failed: $url")
+    val slug = url.substring(url.lastIndexOf('/') + 1).replace('-', ' ')
+    val mood =
+      if (url.contains("btc")) "traders cheer strong gains and growth"
+      else "panic and fear as losses mount"
+    s"<html><body><div><p>$slug</p><span>nav chrome</span><p>$mood</p></div></body></html>"
+  }
 }

@@ -10,7 +10,7 @@ class RssIngestSpec extends SparkTestBase {
 
   test("RSS crawlFlow: parse, whitelist, dedup, creator fallback") {
     val out = Rss.crawlFlow(RssQueries.itemFixtures.toDF("xml")).collect()
-    assert(out.length == 2) // evil filtered, duplicate collapsed
+    assert(out.length == 3) // evil filtered, duplicate collapsed
     val byUrl = out.map(r => r.getAs[String]("url") -> r).toMap
     assert(byUrl("https://www.newsbtc.com/analysis/eth-outlook")
       .getAs[String]("tag") == "alice") // dc:creator fallback (E16)
@@ -48,6 +48,29 @@ class RssIngestSpec extends SparkTestBase {
     val ids = wh.select("symbol_id").as[Int].collect().toSet
     assert(ids == Set(1, 2))
     assert(wh.select("interval_id").as[Int].collect().toSet == Set(1))
+  }
+
+  test("scrape stage: paragraph extraction, failure fallback, column passthrough") {
+    val articles = Seq(
+      ("https://www.coindesk.com/markets-btc-tops-42k", "BTC Tops 42K"),
+      ("https://www.newsbtc.com/analysis/eth-outlook", "ETH Outlook"))
+      .toDF("url", "title")
+    val out = graft.sources.Rss.scrape(articles, graft.sources.Rss.fixtureFetcher)
+      .collect().map(r => r.getString(0) -> r).toMap
+    // success row: paragraphs joined, non-<p> chrome dropped
+    val ok = out("https://www.coindesk.com/markets-btc-tops-42k")
+    assert(ok.getString(2) ==
+      "markets btc tops 42k traders cheer strong gains and growth")
+    assert(ok.getString(1) == "BTC Tops 42K") // other columns survive
+    // failure row: content "" (reference try/except contract), not a crash
+    assert(out("https://www.newsbtc.com/analysis/eth-outlook").getString(2) == "")
+    // and "" scores sentiment 0.0 downstream
+    assert(graft.operators.Sentiment.score("") == 0.0)
+  }
+
+  test("extractParagraphs strips nested tags and drops empty paragraphs") {
+    val html = "<html><p>a <b>bold</b> claim</p><p>  </p><div>no</div><p>second</p></html>"
+    assert(graft.sources.Rss.extractParagraphs(html) == "a bold claim second")
   }
 
   test("hashed-shingle jaccard equals string-shingle jaccard") {
