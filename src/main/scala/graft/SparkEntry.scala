@@ -50,6 +50,7 @@ object SparkEntry {
     "q_ngram_jaccard" -> (LlmQueries.ngramJaccard _),
     "q_minhash_neardup" -> (LlmQueries.minhashNearDup _),
     "q_simhash_neardup" -> (LlmQueries.simhashNearDup _),
+    "q_simhash_fast" -> (LlmQueries.simhashFast _),
     "q_dedup_clusters" -> (LlmQueries.dedupClusters _),
     "q_top_terms" -> (LlmQueries.topTerms _),
     "q_embed_neardup" -> (LlmQueries.embedNearDup _),
@@ -156,6 +157,8 @@ object SparkEntry {
     "q_tpch_q3" -> (Ext9Queries.tpchQ3 _),
     "q_tpch_q5" -> (Ext9Queries.tpchQ5 _),
     "q_tpch_q10" -> (Ext9Queries.tpchQ10 _),
+    "q_tpch_q18" -> (Ext9Queries.tpchQ18 _),
+    "q_tpch_q21" -> (Ext9Queries.tpchQ21 _),
     "q_funnel" -> (Ext9Queries.funnel _),
     "q_event_sequence" -> (Ext9Queries.eventSequence _),
     "q_cohort_retention" -> (Ext9Queries.cohortRetention _),
@@ -496,6 +499,8 @@ object SparkEntry {
     "q_tpch_q3" -> Ext9Queries.tpchQ3Oracle,
     "q_tpch_q5" -> Ext9Queries.tpchQ5Oracle,
     "q_tpch_q10" -> Ext9Queries.tpchQ10Oracle,
+    "q_tpch_q18" -> Ext9Queries.tpchQ18Oracle,
+    "q_tpch_q21" -> Ext9Queries.tpchQ21Oracle,
     "q_funnel" -> Ext9Queries.funnelOracle,
     "q_event_sequence" -> Ext9Queries.eventSequenceOracle,
     "q_cohort_retention" -> Ext9Queries.cohortRetentionOracle,

@@ -138,6 +138,105 @@ object Ext9Queries {
       |GROUP BY c_custkey, c_name, n_name
       |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
 
+  /** TPC-H Q18 shape (large-volume customer): the group-HAVING semi join —
+    * lineitem re-aggregated per order, the qualifying order-key set
+    * semi-joined back into the orders⋈lineitem⋈customer star, then a
+    * second aggregation over the joined rows. Scale: the HAVING aggregate
+    * and the fact-fact join both shuffle on l_orderkey/o_orderkey — AQE
+    * reuses the partitioning; customer rides in broadcast; top-100 is a
+    * TakeOrderedAndProject. Quantity sums are exact DECIMAL (double
+    * addition is partition-order-sensitive).
+    */
+  def tpchQ18(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_quantity")
+    val big = l.groupBy(col("l_orderkey").as("bk"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("oq"))
+      .filter(col("oq") > 250)
+    val o = Tables.orders(s, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+      .join(big, col("o_orderkey") === col("bk"), "left_semi")
+    val c = Tables.customer(s, dir).select("c_custkey", "c_name")
+    o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"),
+        col("o_totalprice"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2)))
+        .cast("double").as("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  val tpchQ18Oracle: String =
+    """SELECT c_name, c_custkey, o_orderkey,
+      |  strftime(o_orderdate, '%Y-%m-%d') AS odate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |  JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem GROUP BY 1
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250)
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the
+    * double-correlated EXISTS / NOT EXISTS topology — a late lineitem
+    * qualifies when ANOTHER supplier shipped in the same order (semi join)
+    * and NO other supplier was also late (anti join). The synthetic
+    * lineitem has no commit/receipt dates, so "late" adapts to
+    * l_shipdate > o_orderdate + 90 days; the join topology is the
+    * reference shape verbatim. Scale: semi and anti both shuffle on
+    * l_orderkey — the same key as the late-line build, so the exchanges
+    * co-locate; supplier and the nation filter broadcast; final top-100 is
+    * sort-free.
+    */
+  def tpchQ21(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val late = l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val otherSupp = l.select(col("l_orderkey").as("lo2"), col("l_suppkey").as("ls2"))
+    val otherLate = late.select(col("l_orderkey").as("lo3"), col("l_suppkey").as("ls3"))
+    val sup = Tables.supplier(s, dir).select("s_suppkey", "s_name", "s_nationkey")
+    val nat = Tables.nation(s, dir)
+      .filter(col("n_nationkey") < 13).select("n_nationkey")
+    late
+      .join(otherSupp,
+        col("l_orderkey") === col("lo2") && col("l_suppkey") =!= col("ls2"),
+        "left_semi")
+      .join(otherLate,
+        col("l_orderkey") === col("lo3") && col("l_suppkey") =!= col("ls3"),
+        "left_anti")
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(100)
+  }
+
+  val tpchQ21Oracle: String =
+    """WITH l AS (SELECT l_orderkey, l_suppkey, l_shipdate FROM lineitem),
+      |o AS (SELECT o_orderkey, o_orderdate FROM orders WHERE o_orderstatus = 'F'),
+      |late AS (
+      |  SELECT l.l_orderkey, l.l_suppkey FROM l JOIN o ON l.l_orderkey = o.o_orderkey
+      |  WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      |)
+      |SELECT s_name, COUNT(*) AS numwait
+      |FROM late l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE n_nationkey < 13
+      |  AND EXISTS (SELECT 1 FROM l l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM late l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey)
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
+
   /** Conversion funnel with a per-stage time budget (first view → click
     * within 6h → purchase within 6h): staged min-timestamp aggregations,
     * each stage a semi-join against the previous. Each stage is one shuffle

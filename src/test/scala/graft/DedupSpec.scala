@@ -89,4 +89,19 @@ class DedupSpec extends SparkTestBase {
     val found = pairs.select("id_1", "id_2").as[(Long, Long)].collect().toSet
     assert(found.contains((0L, 103L)))
   }
+
+  test("fast xxhash64 and portable md5 simhash agree on planted duplicates") {
+    // identical texts fingerprint identically under ANY shingle hash, so
+    // the hamming-0 pair set must agree between the production path and
+    // the oracle-portable path; the exact-dup pair is found by both
+    val fast = Dedup.simhashNearDup(corpus, "doc_id", "text", maxHamming = 12)
+    val portable = Dedup.simhashNearDup(corpus, "doc_id", "text",
+      maxHamming = 12, bits = 60, tokHash = Dedup.md5Tok60)
+    val fastExact = fast.filter($"hamming" === 0)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    val portExact = portable.filter($"hamming" === 0)
+      .select("id_1", "id_2").as[(Long, Long)].collect().toSet
+    assert(fastExact == portExact)
+    assert(fastExact.contains((0L, 103L)))
+  }
 }

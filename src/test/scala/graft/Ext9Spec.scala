@@ -33,6 +33,28 @@ class Ext9Spec extends SparkTestBase {
     assert(df.count() <= supplierNations && df.count() > 0)
   }
 
+  test("tpch q18 plan: broadcast customer, sort-free top-100, nonempty") {
+    val df = Ext9Queries.tpchQ18(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"customer not broadcast:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-100 planned as a full sort:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // every surviving order genuinely exceeds the HAVING threshold
+    rows.foreach(r => assert(r.getDouble(5) > 250))
+  }
+
+  test("tpch q21 plan: semi+anti exists topology, broadcast dims, nonempty") {
+    val df = Ext9Queries.tpchQ21(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"other-supplier EXISTS not a semi join:\n$plan")
+    assert(plan.contains("LeftAnti"), s"other-late NOT EXISTS not an anti join:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"), s"supplier/nation not broadcast:\n$plan")
+    val total = df.agg(sum("numwait")).head().getLong(0)
+    assert(total > 0)
+  }
+
   test("funnel stages are monotonically non-increasing") {
     val rows = Ext9Queries.funnel(spark, sf).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
