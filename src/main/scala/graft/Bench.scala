@@ -60,8 +60,13 @@ object Bench {
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (args.isEmpty) names0 else names0.filter(n => args.exists(n.contains))
     val results = names.map(n => n -> materialize(n))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // per-query seconds rounded to ms: keeps the single JSON line compact
+    // enough (~3 KB at 150 queries) that log-tail capture can't truncate it
+    // mid-object (BENCH_r04's tail cut at 67 queries and failed to parse)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val total = r3(results.map(_._2).filter(_ >= 0).sum)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

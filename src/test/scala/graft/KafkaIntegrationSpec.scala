@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.WireQueries
+import graft.sources.KafkaJson
+import graft.streaming.Pipelines
+
+/** Real-broker Kafka round trip, guarded on the environment: runs only when
+  * `KAFKA_BOOTSTRAP` points at a reachable broker AND the
+  * spark-sql-kafka connector is on the classpath; otherwise the tests are
+  * CANCELED (not passed) so CI output shows the path as unexercised rather
+  * than green. This keeps `Pipelines.kafkaSource` / the kafka batch sink
+  * from being permanently dead code: in the zero-egress dev image every
+  * other spec drives the decode/dedup/sink chain through MemoryStream, and
+  * this spec becomes live the moment an integration environment provides a
+  * broker (e.g. `KAFKA_BOOTSTRAP=kafka:9092 sbt test`).
+  */
+class KafkaIntegrationSpec extends SparkTestBase {
+
+  private val bootstrap = sys.env.get("KAFKA_BOOTSTRAP")
+
+  private def connectorPresent: Boolean =
+    scala.util.Try(Class.forName(
+      "org.apache.spark.sql.kafka010.KafkaSourceProvider")).isSuccess
+
+  test("wire records survive a real produce -> AvailableNow drain -> decode") {
+    assume(bootstrap.isDefined, "KAFKA_BOOTSTRAP not set")
+    assume(connectorPresent, "spark-sql-kafka connector not on classpath")
+    val servers = bootstrap.get
+    val topic = s"graft-it-${java.util.UUID.randomUUID().toString.take(8)}"
+    import spark.implicits._
+
+    // produce: the K1 wire encoding through the real kafka batch sink
+    val klines = KafkaJson.parsePrices(WireQueries.priceFixtures.toDF("value"))
+    KafkaJson.toPriceMessages(klines)
+      .write.format("kafka")
+      .option("kafka.bootstrap.servers", servers)
+      .option("topic", topic)
+      .save()
+
+    // consume: the S4 streaming source, drained bounded (T6)
+    val out = Pipelines.priceFlow(
+        Pipelines.kafkaSource(spark, servers, topic))
+      .writeStream.format("memory").queryName("kafka_it")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    out.awaitTermination(60000)
+
+    val roundTripped = spark.table("kafka_it")
+      .select("symbol", "interval").distinct().count()
+    assert(roundTripped == klines.select("symbol", "interval").distinct().count())
+  }
+}
