@@ -287,14 +287,15 @@ object SparkEntry {
         |GROUP BY r_name""".stripMargin,
 
     "q_get_or_create_dim" ->
-      """WITH dim0(source_id, source) AS (VALUES (1,'src0'),(2,'src1'),(3,'src2')),
+      """WITH dim0(source_id, source) AS
+        |  (VALUES (CAST(1 AS BIGINT),'src0'),(2,'src1'),(3,'src2')),
         |fresh AS (
         |  SELECT DISTINCT source FROM documents
         |  WHERE source NOT IN (SELECT source FROM dim0)
         |)
         |SELECT source_id, source FROM dim0
         |UNION ALL
-        |SELECT CAST(3 + row_number() OVER (ORDER BY source) AS INT) AS source_id, source
+        |SELECT CAST(3 + row_number() OVER (ORDER BY source) AS BIGINT) AS source_id, source
         |FROM fresh""".stripMargin,
 
     "q_topn_per_group" ->
@@ -410,6 +411,7 @@ object SparkEntry {
         |FROM events GROUP BY user_id""".stripMargin,
 
     "q_simhash_neardup" -> LlmQueries.simhashNearDupOracle,
+    "q_simhash_fast" -> LlmQueries.simhashFastOracle,
     "q_sentiment" -> LlmQueries.sentimentOracle,
 
     "q_cube" -> ExtQueries.cubeOracle,

@@ -26,10 +26,14 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally
-        // the dedup operators persist intermediates; don't let ~70 queries'
-        // worth of cached tables accumulate in one session
+      } finally {
+        // the dedup operators persist intermediates; don't let ~150 queries'
+        // worth of cached tables accumulate in one session. The library
+        // contract (Dedup.unpersistIntermediates) is exercised here; the
+        // clearCache sweeps anything else (catalog-cached tables etc.).
+        graft.operators.Dedup.unpersistIntermediates()
         spark.catalog.clearCache()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

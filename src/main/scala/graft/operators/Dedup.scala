@@ -25,6 +25,34 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  // --- cache contract ----------------------------------------------------------
+
+  /** The pair-join operators below persist their shingle/signature
+    * intermediates (each feeds 2-3 plan branches; persisting materializes the
+    * tokenize+hash pipeline once). The RETURNED plans reference those cached
+    * tables, so they cannot be unpersisted before the caller's terminal
+    * action — the contract is: consume the result, then call
+    * [[unpersistIntermediates]] (or `spark.catalog.clearCache()`). Verify and
+    * Bench both do; a library caller that skips it leaks MEMORY_AND_DISK
+    * blocks for the session's lifetime.
+    */
+  private val persistedIntermediates =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+
+  private def track(df: DataFrame): DataFrame = {
+    persistedIntermediates.add(df)
+    df
+  }
+
+  /** Drop every intermediate persisted by dedup operators since the last
+    * drain. Safe to call any time after the terminal action on the consumed
+    * results; `blocking = true` waits for the block eviction (tests).
+    */
+  def unpersistIntermediates(blocking: Boolean = false): Unit = {
+    var d = persistedIntermediates.poll()
+    while (d != null) { d.unpersist(blocking); d = persistedIntermediates.poll() }
+  }
+
   // --- exact -----------------------------------------------------------------
 
   /** Exact dedup: one surviving id per identical `textCol` (md5 fingerprint
@@ -90,9 +118,9 @@ object Dedup {
     // self-join); persisting materializes the tokenize+hash pipeline ONCE
     // instead of three times (the dominant cost at sf0.1). persist — not
     // localCheckpoint — so partitions lost at scale recompute from lineage.
-    val sh = (if (hashShingles) hashedPostings(df, idCol, textCol, n)
+    val sh = track((if (hashShingles) hashedPostings(df, idCol, textCol, n)
       else shinglePostings(df, idCol, textCol, n))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes0 = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
     val sizes = if (broadcastSizes) broadcast(sizes0) else sizes0
     val inter = sh.as("a")
@@ -166,8 +194,8 @@ object Dedup {
     // aggregate stages run once each (see jaccardPairs on persist-vs-
     // checkpoint at scale).
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val postings = hashedPostings(df, idCol, textCol, n).persist(lvl)
-    val sigs = minhashSignatures(postings, k).persist(lvl)
+    val postings = track(hashedPostings(df, idCol, textCol, n).persist(lvl))
+    val sigs = track(minhashSignatures(postings, k).persist(lvl))
     val cands = lshCandidates(sigs, bands)
     def maybeBroadcast(d: DataFrame): DataFrame =
       if (broadcastDocTables) broadcast(d) else d
@@ -340,8 +368,16 @@ object Dedup {
   }
 
   /** Near-dup pairs by SimHash Hamming distance <= maxHamming. Candidates via
-    * the 4x16-bit pigeonhole bands (complete for distance <= 3; approximate
-    * above), verified with bit_count(xor).
+    * 4 pigeonhole bands of bits/4 each, verified with bit_count(xor).
+    *
+    * RECALL: banding is COMPLETE only for maxHamming <= 3 — with 4 bands, a
+    * pair within Hamming 3 must agree on at least one whole band, so every
+    * true pair is proposed and the output equals a full O(n^2) scan. For
+    * maxHamming > 3 the band join is a recall heuristic: a pair whose
+    * differing bits touch all 4 bands is never proposed (precision stays
+    * exact — the bit_count verify is applied to every candidate). Callers
+    * needing guaranteed recall above 3 should raise the band count to
+    * maxHamming + 1 or fall back to [[jaccardPrefixPairs]].
     */
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, n: Int = 3,
@@ -384,8 +420,8 @@ object Dedup {
     */
   def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = hashedPostings(df, idCol, textCol, n)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = track(hashedPostings(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = broadcast(sh.groupBy(col("id")).agg(count(lit(1)).as("sz")))
     val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))

@@ -82,9 +82,13 @@ object Joins {
       // single-row cross join: broadcast nested loop, no shuffle of `fresh`
       .crossJoin(broadcast(base))
       .withColumn(idCol,
-        (col("_max_id") + col("_off") +
+        // LONG ids: an int cast would silently wrap past 2^31 fresh keys —
+        // exactly the high-cardinality regime the bucketed numbering above
+        // exists for. Existing int-typed dims widen through unionByName's
+        // int/long coercion (output column is long either way).
+        col("_max_id") + col("_off") +
           row_number().over(Window.partitionBy(col("_pid"))
-            .orderBy(col(naturalCol)))).cast("int"))
+            .orderBy(col(naturalCol))).cast("long"))
       .select(col(idCol), col(naturalCol))
     dim.select(col(idCol), col(naturalCol)).unionByName(fresh)
   }

@@ -28,6 +28,7 @@ object Multimodal {
       media_id: Long,
       kind: String,
       n_bytes: Long,
+      fingerprint: String,
       width: Int,
       height: Int,
       n_frames: Int,
@@ -73,13 +74,18 @@ object Multimodal {
     */
   def decodeFeatures(media: DataFrame): Dataset[DecodedFeatures] = {
     import media.sparkSession.implicits._
-    media.select("media_id", "kind", "payload", "n_bytes").as[(Long, String, Array[Byte], Long)]
+    // the pack-stage metadata (fingerprint included) is CARRIED THROUGH the
+    // decode pass — consumers that want payload metadata + decoded features
+    // together get them from one mapPartitions, not a self-join re-running
+    // packPayload on both sides (that join doubled q_multimodal_meta's cost)
+    media.select("media_id", "kind", "payload", "n_bytes", "fingerprint")
+      .as[(Long, String, Array[Byte], Long, String)]
       .mapPartitions { rows =>
         // per-partition decoder init would go here (STUB: none needed)
-        rows.map { case (id, kind, payload, nBytes) =>
+        rows.map { case (id, kind, payload, nBytes, fp) =>
           val (w, h) = Decoders.imageDims(payload)
           DecodedFeatures(
-            media_id = id, kind = kind, n_bytes = nBytes,
+            media_id = id, kind = kind, n_bytes = nBytes, fingerprint = fp,
             width = w, height = h,
             n_frames = if (kind == "video") Decoders.frameCount(payload) else 1,
             mean_luma = Decoders.meanLuma(payload))

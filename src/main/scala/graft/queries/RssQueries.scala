@@ -63,13 +63,15 @@ object RssQueries {
       .select("url", "title")
     Rss.scrape(articles, Rss.fixtureFetcher)
       .select(col("url"), col("content"),
-        round(graft.operators.Sentiment.sentiment(col("content")), 6)
+        round(graft.operators.Sentiment.active.sentiment(col("content")), 6)
           .as("sentiment_score"))
   }
 
   val scrapeSentimentOracle: String = {
     val vals = itemFixtures.map(f => "('" + f.replace("'", "''") + "')").mkString(", ")
-    val lexVals = graft.operators.Sentiment.lexicon.toSeq.sorted
+    // the ACTIVE scorer's lexicon (same maps the query scored with), so the
+    // gate stays in sync if a full lexicon file is configured
+    val lexVals = graft.operators.Sentiment.active.lexicon.toSeq.sorted
       .map { case (w, v) => s"('${w.replace("'", "''")}', CAST($v AS DOUBLE))" }
       .mkString(", ")
     s"""WITH lex(word, val) AS (VALUES $lexVals),

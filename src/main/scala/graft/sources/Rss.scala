@@ -57,7 +57,7 @@ object Rss {
     articles
       .join(contents, Seq("url"), "left")
       .withColumn("content", coalesce(col("content"), lit("")))
-      .withColumn("sentiment_score", Sentiment.sentiment(col("content")))
+      .withColumn("sentiment_score", Sentiment.active.sentiment(col("content")))
 
   // --- distributed scrape stage (S3) ----------------------------------------
 

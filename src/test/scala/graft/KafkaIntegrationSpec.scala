@@ -45,10 +45,14 @@ class KafkaIntegrationSpec extends SparkTestBase {
       .writeStream.format("memory").queryName("kafka_it")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    out.awaitTermination(60000)
-
-    val roundTripped = spark.table("kafka_it")
-      .select("symbol", "interval").distinct().count()
-    assert(roundTripped == klines.select("symbol", "interval").distinct().count())
+    try {
+      // a false return means the AvailableNow drain did NOT finish — failing
+      // here beats reading a partially-drained memory table and reporting a
+      // misleading count mismatch on a slow broker
+      assert(out.awaitTermination(60000), "kafka drain timed out after 60 s")
+      val roundTripped = spark.table("kafka_it")
+        .select("symbol", "interval").distinct().count()
+      assert(roundTripped == klines.select("symbol", "interval").distinct().count())
+    } finally out.stop()
   }
 }

@@ -70,10 +70,11 @@ class PropertySpec extends SparkTestBase {
     val incoming = spark.range(100000)
       .select(format_string("key_%06d", col("id")).as("nk"))
     val grown = graft.operators.Joins.getOrCreate(dim, incoming, "id", "nk")
-    val rows = grown.collect().map(r => r.getInt(0) -> r.getString(1))
+    // ids come back LONG (int dims widen; assignment never int-wraps)
+    val rows = grown.collect().map(r => r.getLong(0) -> r.getString(1))
     assert(rows.length == 100002)
     // dense: ids are exactly 1..100002
-    assert(rows.map(_._1).sorted.toSeq == (1 to 100002))
+    assert(rows.map(_._1).sorted.toSeq == (1L to 100002L))
     // deterministic order: fresh ids follow natural-key sort order
     val fresh = rows.filter(_._1 > 2).sortBy(_._1).map(_._2)
     assert(fresh.toSeq == fresh.sorted.toSeq, "fresh ids not in natural-key order")

@@ -44,10 +44,11 @@ class RssIngestSpec extends SparkTestBase {
     val wh = Ingest.toWarehouse(klines, symDim, ivDim)
     assert(wh.columns.toSeq == Seq("symbol_id", "interval_id", "open_price",
       "high_price", "low_price", "close_price", "volume", "open_time", "close_time"))
-    // BTCUSDT keeps id 1; ETHUSDT gets a fresh surrogate; interval dim grows from empty
-    val ids = wh.select("symbol_id").as[Int].collect().toSet
-    assert(ids == Set(1, 2))
-    assert(wh.select("interval_id").as[Int].collect().toSet == Set(1))
+    // BTCUSDT keeps id 1; ETHUSDT gets a fresh surrogate; interval dim grows
+    // from empty (ids are LONG: getOrCreate widens int dims, never wraps)
+    val ids = wh.select("symbol_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L))
+    assert(wh.select("interval_id").as[Long].collect().toSet == Set(1L))
   }
 
   test("scrape stage: paragraph extraction, failure fallback, column passthrough") {

@@ -77,6 +77,41 @@ class SentimentSpec extends SparkTestBase {
     java.nio.file.Files.delete(f)
   }
 
+  test("full-lexicon file path: goldens survive the file round trip, " +
+      "coverage grows") {
+    // stand-in for the published ~7.5k-entry vader_lexicon.txt (zero-egress
+    // container ships no copy): the embedded lexicon dumped in the published
+    // TSV format plus an out-of-subset entry — proves the FILE path drives
+    // the identical rule engine and that a fuller file widens coverage
+    val f = java.nio.file.Files.createTempFile("vader-full", ".txt")
+    val tsv = (Sentiment.lexicon.toSeq.sorted
+      .map { case (w, v) => s"$w\t$v\t0.5\t[0]" } :+ "zestful\t2.6\t0.6\t[3, 2]")
+      .mkString("\n")
+    java.nio.file.Files.writeString(f, tsv)
+    val sc = VaderScorer.fromLexiconFile(f.toString)
+    assert(round4(sc.score("VADER is VERY SMART, handsome, and FUNNY!!!")) == 0.9342)
+    assert(round4(sc.score("VADER is not smart, handsome, nor funny.")) == -0.7424)
+    assert(Sentiment.score("a zestful rally") == 0.0) // embedded subset: OOV
+    assert(sc.score("a zestful rally") > 0.3) // file lexicon covers it
+    java.nio.file.Files.delete(f)
+  }
+
+  test("active scorer resolves the configured lexicon file, embedded otherwise") {
+    val f = java.nio.file.Files.createTempFile("vader-cfg", ".txt")
+    java.nio.file.Files.writeString(f, "zorp\t1.9\t0.5\t[2]\n")
+    val prop = "graft.vader.lexicon"
+    try {
+      System.setProperty(prop, f.toString)
+      val configured = Sentiment.resolveActive()
+      assert(configured.lexicon == Map("zorp" -> 1.9))
+    } finally {
+      System.clearProperty(prop)
+      java.nio.file.Files.delete(f)
+    }
+    // unset -> the embedded-subset scorer itself
+    assert(Sentiment.resolveActive() eq Sentiment)
+  }
+
   test("positive and negative sentences get the right sign") {
     assert(Sentiment.score("bitcoin made a great gain today") > 0.3)
     assert(Sentiment.score("terrible crash wiped out the market") < -0.3)
