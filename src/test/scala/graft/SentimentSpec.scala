@@ -91,8 +91,10 @@ class SentimentSpec extends SparkTestBase {
     val sc = VaderScorer.fromLexiconFile(f.toString)
     assert(round4(sc.score("VADER is VERY SMART, handsome, and FUNNY!!!")) == 0.9342)
     assert(round4(sc.score("VADER is not smart, handsome, nor funny.")) == -0.7424)
-    assert(Sentiment.score("a zestful rally") == 0.0) // embedded subset: OOV
-    assert(sc.score("a zestful rally") > 0.3) // file lexicon covers it
+    // "zestful" is OOV for the embedded subset ("rally" is NOT — it's in the
+    // crypto-domain tail), so pair it with a neutral word to isolate coverage
+    assert(Sentiment.score("a zestful outcome") == 0.0) // embedded subset: OOV
+    assert(sc.score("a zestful outcome") > 0.3) // file lexicon covers it
     java.nio.file.Files.delete(f)
   }
 
