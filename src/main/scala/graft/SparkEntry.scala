@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -171,7 +171,11 @@ object SparkEntry {
     "q_ohlc_resample" -> (Ext10Queries.ohlcResample _),
     "q_vwap" -> (Ext10Queries.vwap _),
     "q_jaccard_prefix" -> (Ext10Queries.jaccardPrefix _),
-    "q_rolling_hll" -> (Ext10Queries.rollingHll _)
+    "q_rolling_hll" -> (Ext10Queries.rollingHll _),
+    "q_unigram_lm" -> (Ext11Queries.unigramLm _),
+    "q_doc_chunks" -> (Ext11Queries.docChunks _),
+    "q_normalize_dedup" -> (Ext11Queries.normalizeDedup _),
+    "q_bloom_clean" -> (Ext11Queries.bloomClean _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -516,6 +520,10 @@ object SparkEntry {
     "q_vwap" -> Ext10Queries.vwapOracle,
     // same contract as the exact join — the prefix filter must be lossless
     "q_jaccard_prefix" -> LlmQueries.ngramJaccardOracle,
-    "q_rolling_hll" -> Ext10Queries.rollingHllOracle
+    "q_rolling_hll" -> Ext10Queries.rollingHllOracle,
+    "q_unigram_lm" -> Ext11Queries.unigramLmOracle,
+    "q_doc_chunks" -> Ext11Queries.docChunksOracle,
+    "q_normalize_dedup" -> Ext11Queries.normalizeDedupOracle,
+    "q_bloom_clean" -> Ext11Queries.bloomCleanOracle
   )
 }

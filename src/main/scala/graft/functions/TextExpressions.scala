@@ -216,6 +216,44 @@ case class CharDistinct(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** Unicode NFC normalization (UAX #15 canonical composition) as a codegen'd
+  * native expression — Spark ships no builtin for it, and the usual fallback
+  * (a Scala UDF over `java.text.Normalizer`) breaks whole-stage codegen for
+  * the entire normalize→casefold→hash dedup pipeline. The generated code
+  * short-circuits on `Normalizer.isNormalized` (true for all-ASCII content,
+  * the common case at corpus scale) so the already-normalized path does a
+  * single scan and no allocation beyond `toString`.
+  */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types.StringType
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(s, java.text.Normalizer.Form.NFC)) input
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val str = ctx.freshName("str")
+      s"""
+         |String $str = $s.toString();
+         |${ev.value} = java.text.Normalizer.isNormalized(
+         |    $str, java.text.Normalizer.Form.NFC)
+         |  ? $s
+         |  : UTF8String.fromString(java.text.Normalizer.normalize(
+         |      $str, java.text.Normalizer.Form.NFC));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Codegen'd polynomial rolling hash (mod 1e9+7) over a string column. */
   def poly_hash(c: Column): Column =
@@ -233,4 +271,8 @@ object TextFunctions {
   /** Codegen'd distinct-byte count (see [[CharDistinct]]). */
   def char_distinct(c: Column): Column =
     GraftColumnBridge.column(CharDistinct(GraftColumnBridge.expression(c)))
+
+  /** Codegen'd Unicode NFC normalization (see [[NfcNormalize]]). */
+  def nfc_normalize(c: Column): Column =
+    GraftColumnBridge.column(NfcNormalize(GraftColumnBridge.expression(c)))
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: token counting
@@ -109,4 +109,69 @@ object TextAnalysis {
       transform(sequence(lit(1), length(text)), i => ascii(text.substr(i, lit(1)))),
       lit(0L),
       (acc, x) => (acc * 31 + x) % 1000000007L)
+
+  // --- corpus-level scoring ----------------------------------------------------
+
+  /** CCNet-style unigram language-model scoring: train a unigram LM on the
+    * corpus itself (token counts / total), then score every document by its
+    * mean token log-probability — the standard "how typical is this text"
+    * quality signal for training-data filtering (low scorers are boilerplate
+    * or noise, extreme high scorers are repetitive filler).
+    *
+    * Scale shape: token rows are pre-aggregated to (doc, token, m) BEFORE the
+    * vocabulary join, so the join input is one row per distinct token per doc
+    * (not one per occurrence), and the per-doc mean is reconstituted as the
+    * m-weighted average — the identical formulation the DuckDB oracle runs.
+    * The vocabulary (counts ⨯ scalar total) is broadcast by default: even at
+    * 100 TB a natural-language token vocabulary is tens of millions of rows
+    * (Heaps' law), far under executor memory; `broadcastModel = false` falls
+    * back to a sort-merge join for adversarial (e.g. random-hex) corpora.
+    */
+  def unigramLmScores(docs: DataFrame, idCol: String, textCol: String,
+      broadcastModel: Boolean = true): DataFrame = {
+    val docToks = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(lower(col(textCol)), " ")).as("tok"))
+      .groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("m"))
+    val counts = docToks.groupBy(col("tok")).agg(sum(col("m")).as("c"))
+    val total = counts.agg(sum(col("c")).cast("double").as("n_total"))
+    val model0 = counts.crossJoin(total) // 1-row side: plan-time broadcast NL
+    val model = if (broadcastModel) broadcast(model0) else model0
+    docToks.join(model, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("m")).as("n_tokens"),
+        round(sum(col("m") * log(col("c").cast("double") / col("n_total")))
+          / sum(col("m")), 6).as("avg_logp"))
+  }
+
+  /** Overlapping token-window chunking — the standard pre-tokenization split
+    * for LLM training corpora (fixed window, stride < window for context
+    * overlap). One generated row per chunk: (doc_id, chunk_idx, start_tok,
+    * n_tok, chunk_md5). Pure per-row generate (sequence → transform →
+    * explode): no shuffle, no UDF, stays inside whole-stage codegen, and the
+    * chunk array is sliced lazily per window rather than re-tokenized.
+    * A document shorter than `size` yields exactly one (possibly short)
+    * chunk; the trailing partial chunk is kept (standard for training data —
+    * the tail is real text).
+    */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      size: Int = 64, stride: Int = 32): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        org.apache.spark.sql.functions.size(col("toks")).as("n"))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), col("n") - 1, lit(stride)),
+          (st, i) => struct(
+            i.as("chunk_idx"),
+            st.cast("long").as("start_tok"),
+            least(lit(size), col("n") - st).cast("long").as("n_tok"),
+            md5(array_join(
+              slice(col("toks"), st + 1, least(lit(size), col("n") - st)),
+              " ")).as("chunk_md5")))).as("ch"))
+      .select(col("doc_id"), col("ch.chunk_idx"), col("ch.start_tok"),
+        col("ch.n_tok"), col("ch.chunk_md5"))
 }

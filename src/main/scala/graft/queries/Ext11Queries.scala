@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, RuntimeFilters, TextAnalysis}
+import graft.sources.Tables
+
+/** Round-6 extension batch: the corpus-preparation tier a training-data
+  * pipeline runs between raw scrape and tokenization — unigram-LM typicality
+  * scoring (CCNet-style), overlapping token-window chunking, Unicode-NFC
+  * canonicalization dedup, and Bloom-runtime-filtered decontamination (the
+  * beyond-broadcast-scale form of q_decontaminate's semi-join).
+  */
+object Ext11Queries {
+
+  /** Unigram-LM document scoring ([[TextAnalysis.unigramLmScores]]): mean
+    * token log-probability under the corpus's own unigram model.
+    */
+  def unigramLm(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.unigramLmScores(Tables.documents(s, dir), "doc_id", "text")
+
+  val unigramLmOracle: String =
+    """WITH dt AS (
+      |  SELECT doc_id, tok, COUNT(*) AS m FROM (
+      |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+      |    FROM documents
+      |  ) GROUP BY doc_id, tok
+      |), cnt AS (
+      |  SELECT tok, SUM(m) AS c FROM dt GROUP BY tok
+      |), tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n_total FROM cnt)
+      |SELECT dt.doc_id, CAST(SUM(m) AS BIGINT) AS n_tokens,
+      |  ROUND(SUM(m * ln(CAST(c AS DOUBLE) / n_total)) / SUM(m), 6) AS avg_logp
+      |FROM dt JOIN cnt USING (tok) CROSS JOIN tot
+      |GROUP BY dt.doc_id""".stripMargin
+
+  /** Overlapping token-window chunking ([[TextAnalysis.chunkTokens]]):
+    * window 64, stride 32, md5 per chunk.
+    */
+  def docChunks(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.chunkTokens(Tables.documents(s, dir), "doc_id", "text",
+      size = 64, stride = 32)
+
+  val docChunksOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS toks,
+      |         len(string_split(text, ' ')) AS n FROM documents
+      |), st AS (
+      |  SELECT doc_id, toks, n, unnest(range(0, n, 32)) AS start FROM t
+      |)
+      |SELECT doc_id, CAST(start // 32 AS INT) AS chunk_idx,
+      |  start AS start_tok, least(64, n - start) AS n_tok,
+      |  md5(array_to_string(
+      |    toks[start+1 : start+least(64, n - start)], ' ')) AS chunk_md5
+      |FROM st""".stripMargin
+
+  /** Canonicalization dedup: NFC-normalize (native codegen'd expression —
+    * [[graft.functions.NfcNormalize]]), casefold, collapse ASCII whitespace
+    * runs, md5-group. The corpus is unioned with a deliberately perturbed
+    * copy (doubled spaces + uppercased, ids offset by 1,000,000) so the
+    * normalization is load-bearing: every group must collapse to n_docs=2
+    * with the original id as canonical. The whitespace class is the explicit
+    * `[ \t\n\r\f]` on both engines — Java's `\s` and RE2's `\s` disagree on
+    * vertical tab, so neither shorthand is portable.
+    */
+  def normalizeDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val perturbed = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      upper(regexp_replace(col("text"), lit(" "), lit("  "))).as("text"))
+    val all = docs.select(col("doc_id"), col("text")).unionByName(perturbed)
+    val norm = trim(regexp_replace(
+      lower(TextFunctions.nfc_normalize(col("text"))),
+      lit("[ \t\n\r\f]+"), lit(" ")))
+    all.select(col("doc_id"), md5(norm).as("norm_md5"))
+      .groupBy(col("norm_md5"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("canonical_id"))
+  }
+
+  val normalizeDedupOracle: String =
+    """WITH all_docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, upper(replace(text, ' ', '  '))
+      |  FROM documents
+      |), n AS (
+      |  SELECT doc_id, md5(trim(regexp_replace(
+      |    lower(nfc_normalize(text)), '[ \t\n\r\f]+', ' ', 'g'))) AS norm_md5
+      |  FROM all_docs
+      |)
+      |SELECT norm_md5, COUNT(*) AS n_docs, MIN(doc_id) AS canonical_id
+      |FROM n GROUP BY norm_md5""".stripMargin
+
+  /** Bloom-runtime-filtered decontamination: training docs that share NO
+    * 8-gram span with the eval split. Same contamination semantics as
+    * q_decontaminate, but the probe stream is pre-pruned by a Bloom sidecar
+    * ([[RuntimeFilters.bloomMightContain]]) instead of broadcast-semi-joining
+    * every span: Bloom negatives are definitively clean and never shuffle;
+    * only Bloom positives (true hits + ~1% false positives) reach the exact
+    * semi-join that makes the output exact. At 100 TB this is the posture
+    * that survives an eval split too large to broadcast.
+    */
+  def bloomClean(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val eval = docs.filter(col("doc_id") % 100 === 0)
+    val train = docs.filter(col("doc_id") % 100 =!= 0)
+    val evalSpans = Dedup.hashedPostings(eval, "doc_id", "text", 8)
+      .select(col("shingle")).distinct()
+    val trainSpans = Dedup.hashedPostings(train, "doc_id", "text", 8)
+    val contaminated = trainSpans
+      .filter(RuntimeFilters.bloomMightContain(
+        evalSpans, "shingle", col("shingle"), expectedItems = 1L << 16))
+      .join(evalSpans, Seq("shingle"), "left_semi")
+      .select(col("id")).distinct()
+    train.select(col("doc_id"))
+      .join(contaminated, col("doc_id") === col("id"), "left_anti")
+      .select(col("doc_id"))
+  }
+
+  val bloomCleanOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win
+      |      || ' ' || lead(w, 3) OVER win || ' ' || lead(w, 4) OVER win
+      |      || ' ' || lead(w, 5) OVER win || ' ' || lead(w, 6) OVER win
+      |      || ' ' || lead(w, 7) OVER win AS s
+      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(w, 7) OVER win IS NOT NULL
+      |), ds AS (SELECT DISTINCT doc_id, s FROM sh),
+      |ev AS (SELECT DISTINCT s FROM ds WHERE doc_id % 100 = 0),
+      |bad AS (
+      |  SELECT DISTINCT t.doc_id FROM ds t JOIN ev ON t.s = ev.s
+      |  WHERE t.doc_id % 100 <> 0
+      |)
+      |SELECT doc_id FROM documents
+      |WHERE doc_id % 100 <> 0 AND doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin
+}

@@ -1,0 +1,128 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+import graft.operators.{RuntimeFilters, TextAnalysis}
+import graft.queries.Ext11Queries
+
+class Ext11Spec extends SparkTestBase {
+
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // --- NFC normalization ------------------------------------------------------
+
+  test("nfc_normalize composes combining sequences and is identity on ASCII") {
+    val decomposed = "e\u0301clair" // e + COMBINING ACUTE ACCENT
+    val composed = "\u00e9clair"    // precomposed LATIN SMALL LETTER E WITH ACUTE
+    val out = Seq(decomposed, composed, "plain ascii").toDF("s")
+      .select(TextFunctions.nfc_normalize(col("s")).as("n"))
+      .as[String].collect()
+    assert(out(0) == composed)
+    assert(out(1) == composed)
+    assert(out(2) == "plain ascii")
+  }
+
+  test("nfc_normalize: interpreted eval matches the codegen column path, " +
+      "nulls pass through") {
+    val decomposed = "cafe\u0301"
+    val composed = "caf\u00e9"
+    val viaExpr = graft.functions.NfcNormalize(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        org.apache.spark.unsafe.types.UTF8String.fromString(decomposed)))
+      .eval(null).toString
+    val viaCol = Seq(Some(decomposed), None).toDF("s")
+      .select(TextFunctions.nfc_normalize(col("s")).as("n"))
+      .as[Option[String]].collect()
+    assert(viaExpr == composed)
+    assert(viaCol(0).contains(composed))
+    assert(viaCol(1).isEmpty)
+  }
+
+  test("normalize-dedup collapses every perturbed double to its original") {
+    val out = Ext11Queries.normalizeDedup(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf).count()
+    // every group has exactly the original + its perturbed copy, canonical
+    // id is the original (min), and no cross-doc collapse happened
+    assert(out.count() == docs)
+    assert(out.filter(col("n_docs") =!= 2).count() == 0)
+    assert(out.filter(col("canonical_id") >= 1000000L).count() == 0)
+  }
+
+  // --- unigram LM -------------------------------------------------------------
+
+  test("unigram LM: hand-computed scores on a 3-doc corpus") {
+    val docs = Seq((1L, "a a b"), (2L, "a b"), (3L, "c")).toDF("id", "text")
+    val out = TextAnalysis.unigramLmScores(docs, "id", "text")
+      .orderBy("doc_id").collect()
+    // corpus: a=3, b=2, c=1, N=6
+    val (pa, pb, pc) = (3.0 / 6, 2.0 / 6, 1.0 / 6)
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(out(0).getLong(1) == 3)
+    assert(out(0).getDouble(2) == r6((2 * math.log(pa) + math.log(pb)) / 3))
+    assert(out(1).getDouble(2) == r6((math.log(pa) + math.log(pb)) / 2))
+    assert(out(2).getDouble(2) == r6(math.log(pc)))
+  }
+
+  test("unigram LM: shuffle-model fallback matches the broadcast path") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val a = TextAnalysis.unigramLmScores(docs, "doc_id", "text",
+      broadcastModel = true)
+    val b = TextAnalysis.unigramLmScores(docs, "doc_id", "text",
+      broadcastModel = false)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  // --- chunking ---------------------------------------------------------------
+
+  test("chunking: windows tile with stride overlap and cover every token") {
+    val docs = Seq(
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 toks -> 4 chunks
+      (2L, "only three tokens"),                       // 3 toks  -> 1 chunk
+      (3L, (1 to 64).map(i => s"u$i").mkString(" "))   // exactly one window + tail
+    ).toDF("id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "id", "text", size = 64, stride = 32)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val d1 = out.filter(_.getLong(0) == 1L)
+    assert(d1.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
+    assert(d1.map(_.getLong(2)).toSeq == Seq(0L, 32L, 64L, 96L))
+    assert(d1.map(_.getLong(3)).toSeq == Seq(64L, 64L, 36L, 4L))
+    val d2 = out.filter(_.getLong(0) == 2L)
+    assert(d2.length == 1 && d2(0).getLong(3) == 3L)
+    val d3 = out.filter(_.getLong(0) == 3L)
+    assert(d3.map(_.getLong(3)).toSeq == Seq(64L, 32L))
+  }
+
+  test("chunking is shuffle-free (no Exchange in the physical plan)") {
+    val plan = Ext11Queries.docChunks(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"))
+  }
+
+  // --- bloom runtime filter ---------------------------------------------------
+
+  test("bloom might-contain has no false negatives; semi-join stays exact") {
+    val build = (1 to 500).filter(_ % 7 == 0).map(_.toLong).toDF("k")
+    val probe = (1 to 500).map(_.toLong).toDF("k")
+    val bloomed = probe.filter(
+      RuntimeFilters.bloomMightContain(build, "k", col("k"), 1L << 12))
+    // every true member survives the bloom pass (no false negatives)
+    assert(bloomed.join(build, Seq("k"), "left_semi").count() == build.count())
+    // and the exact wrapper equals a plain semi-join
+    val viaBloom = RuntimeFilters.bloomSemiJoin(probe, build, "k", 1L << 12)
+    val plain = probe.join(build.distinct(), Seq("k"), "left_semi")
+    assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty)
+  }
+
+  test("bloom-clean equals the broadcast-semi-join decontaminate complement") {
+    val clean = Ext11Queries.bloomClean(spark, sf).select("doc_id")
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val train = docs.filter(col("doc_id") % 100 =!= 0).select("doc_id")
+    val contaminated = graft.queries.Ext7Queries.decontaminate(spark, sf)
+      .select(col("doc_id"))
+    val expected = train.join(contaminated, Seq("doc_id"), "left_anti")
+    assert(clean.exceptAll(expected).isEmpty && expected.exceptAll(clean).isEmpty)
+  }
+}
