@@ -27,6 +27,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => LongArrayMatchFraction(args(0), args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("graft_tokenize",
       (args: Seq[Expression]) => RegexTokenize(args(0), args(1)), "scala_udf")
+    reg.createOrReplaceTempFunction("nfc_normalize",
+      (args: Seq[Expression]) => NfcNormalize(args(0)), "scala_udf")
   }
 }
 
@@ -49,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_tokenize"),
       info("graft_tokenize", "graft_tokenize(text, pattern) - generates (pos, token) rows"),
       (args: Seq[Expression]) => RegexTokenize(args(0), args(1))))
+    ext.injectFunction((
+      FunctionIdentifier("nfc_normalize"),
+      info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical composition"),
+      (args: Seq[Expression]) => NfcNormalize(args(0))))
     // the native as-of operator plans through this strategy; config-driven
     // sessions (spark.sql.extensions=graft.functions.GraftExtensions) get it
     // without touching spark.experimental

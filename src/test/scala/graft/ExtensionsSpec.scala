@@ -32,6 +32,13 @@ class ExtensionsSpec extends SparkTestBase {
     assert(viaApi == Set((1L, 0, "a"), (1L, 1, "b"), (1L, 2, "c")))
   }
 
+  test("nfc_normalize is callable from spark.sql") {
+    graft.functions.GraftExtensions.register(spark)
+    val out = spark.sql("SELECT nfc_normalize('e\u0301clair')").head().getString(0)
+    assert(out == "\u00e9clair")
+    assert(spark.sql("SELECT nfc_normalize(NULL)").head().isNullAt(0))
+  }
+
   test("SQL cosine agrees with the Column API on real embeddings") {
     graft.functions.GraftExtensions.register(spark)
     graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
