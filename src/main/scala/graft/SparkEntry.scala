@@ -175,7 +175,9 @@ object SparkEntry {
     "q_unigram_lm" -> (Ext11Queries.unigramLm _),
     "q_doc_chunks" -> (Ext11Queries.docChunks _),
     "q_normalize_dedup" -> (Ext11Queries.normalizeDedup _),
-    "q_bloom_clean" -> (Ext11Queries.bloomClean _)
+    "q_bloom_clean" -> (Ext11Queries.bloomClean _),
+    "q_pack_sequences" -> (Ext11Queries.packSequences _),
+    "q_tpch_q17" -> (Ext9Queries.tpchQ17 _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -524,6 +526,8 @@ object SparkEntry {
     "q_unigram_lm" -> Ext11Queries.unigramLmOracle,
     "q_doc_chunks" -> Ext11Queries.docChunksOracle,
     "q_normalize_dedup" -> Ext11Queries.normalizeDedupOracle,
-    "q_bloom_clean" -> Ext11Queries.bloomCleanOracle
+    "q_bloom_clean" -> Ext11Queries.bloomCleanOracle,
+    "q_pack_sequences" -> Ext11Queries.packSequencesOracle,
+    "q_tpch_q17" -> Ext9Queries.tpchQ17Oracle
   )
 }

@@ -174,4 +174,37 @@ object TextAnalysis {
               " ")).as("chunk_md5")))).as("ch"))
       .select(col("doc_id"), col("ch.chunk_idx"), col("ch.start_tok"),
         col("ch.n_tok"), col("ch.chunk_md5"))
+
+  /** Shard-local sequence packing — the sample-packing step a training
+    * pipeline runs after chunking: concatenate documents into fixed-budget
+    * training sequences so short docs don't waste context length as padding.
+    *
+    * Algorithm (deterministic, distributed): hash docs into `shards`, order
+    * each shard by (token count desc, doc id) — the "sorted contiguous fill"
+    * approximation of first-fit-decreasing — take the running token sum and
+    * assign each doc to bin floor(previous_cum / budget). A bin may overrun
+    * the budget by less than one max-doc-length (standard for greedy
+    * packing; overlong docs should be chunked first via [[chunkTokens]]).
+    *
+    * Scale shape: one shuffle on the shard key, then a per-shard window sort
+    * — no global order, no single-partition window. True first-fit packing
+    * is inherently sequential; per-shard independence is what production
+    * packers do (each worker packs its own partition), and the shard count
+    * is the parallelism knob.
+    *
+    * Output: one row per (shard, bin) with document and token fill counts.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      budget: Int = 512, shards: Int = 32): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard"))
+      .orderBy(col("n_tokens").desc, col("doc_id"))
+    docs
+      .select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")) / budget).cast("int"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tokens"))
+  }
 }

@@ -118,6 +118,28 @@ object Ext11Queries {
       .select(col("doc_id"))
   }
 
+  /** Shard-local sequence packing ([[TextAnalysis.packSequences]]): budget
+    * 512 tokens, 32 shards — per-(shard, bin) fill stats.
+    */
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.packSequences(Tables.documents(s, dir), "doc_id", "text",
+      budget = 512, shards = 32)
+
+  val packSequencesOracle: String =
+    """WITH t AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+      |         CAST(doc_id % 32 AS INT) AS shard
+      |  FROM documents
+      |), c AS (
+      |  SELECT shard, doc_id, n_tokens,
+      |    SUM(n_tokens) OVER (PARTITION BY shard
+      |      ORDER BY n_tokens DESC, doc_id) AS cum
+      |  FROM t
+      |)
+      |SELECT shard, CAST((cum - n_tokens) // 512 AS INT) AS bin,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
+      |FROM c GROUP BY 1, 2""".stripMargin
+
   val bloomCleanOracle: String =
     """WITH tok AS (
       |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,

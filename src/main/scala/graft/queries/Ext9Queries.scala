@@ -237,6 +237,45 @@ object Ext9Queries {
       |                    AND l3.l_suppkey <> l1.l_suppkey)
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated scalar
+    * subquery topology — each lineitem compares against ITS part's average
+    * quantity. Written as literal correlated SQL so Catalyst's decorrelation
+    * does the rewrite (subquery → per-part aggregate + join) instead of
+    * hand-building it; the synthetic part table has no p_container, so the
+    * predicate adapts to p_size < 11 and grouping by p_brand keeps the
+    * output non-degenerate at sf0.001. Revenue sums are exact DECIMAL
+    * before the final double division; the 0.2·avg threshold is
+    * deterministic across engines because integer-valued double quantities
+    * sum exactly (< 2^53). Scale: the decorrelated aggregate shuffles
+    * lineitem on l_partkey once and joins back on the same key; part
+    * rides in broadcast.
+    */
+  def tpchQ17(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_q17")
+    Tables.part(s, dir).createOrReplaceTempView("part_q17")
+    s.sql(
+      """SELECT p_brand,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+        |    AS avg_yearly
+        |FROM lineitem_q17 JOIN part_q17 ON p_partkey = l_partkey
+        |WHERE p_size < 11
+        |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+        |                    FROM lineitem_q17 l2
+        |                    WHERE l2.l_partkey = p_partkey)
+        |GROUP BY p_brand""".stripMargin)
+  }
+
+  val tpchQ17Oracle: String =
+    """SELECT p_brand,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+      |    AS avg_yearly
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_size < 11
+      |  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity)
+      |                    FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)
+      |GROUP BY p_brand""".stripMargin
+
   /** Conversion funnel with a per-stage time budget (first view → click
     * within 6h → purchase within 6h): staged min-timestamp aggregations,
     * each stage a semi-join against the previous. Each stage is one shuffle

@@ -116,6 +116,34 @@ class Ext11Spec extends SparkTestBase {
     assert(viaBloom.exceptAll(plain).isEmpty && plain.exceptAll(viaBloom).isEmpty)
   }
 
+  // --- sequence packing -------------------------------------------------------
+
+  test("packing conserves docs/tokens, fills bins within one-doc overrun, " +
+      "and bin ids are dense per shard") {
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val budget = 512
+    val out = TextAnalysis.packSequences(docs, "doc_id", "text",
+      budget = budget, shards = 32).collect()
+    // conservation: every doc and every token lands in exactly one bin
+    val totalDocs = docs.count()
+    val totalToks = docs
+      .agg(sum(TextAnalysis.tokenCount(col("text")))).head().getLong(0)
+    assert(out.map(_.getLong(2)).sum == totalDocs)
+    assert(out.map(_.getLong(3)).sum == totalToks)
+    // greedy contiguous fill: only a shard's LAST bin may be under-full,
+    // and no bin overruns by more than one max doc length
+    val maxDoc = docs
+      .agg(max(TextAnalysis.tokenCount(col("text")))).head().getInt(0)
+    out.groupBy(_.getInt(0)).foreach { case (_, bins) =>
+      val sorted = bins.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == sorted.indices.toSeq) // dense
+      sorted.dropRight(1).foreach { b =>
+        assert(b.getLong(3) >= budget - maxDoc && b.getLong(3) < budget + maxDoc,
+          s"bin fill ${b.getLong(3)} out of band")
+      }
+    }
+  }
+
   test("bloom-clean equals the broadcast-semi-join decontaminate complement") {
     val clean = Ext11Queries.bloomClean(spark, sf).select("doc_id")
     val docs = graft.sources.Tables.documents(spark, sf)

@@ -167,6 +167,30 @@ class Ext9Spec extends SparkTestBase {
     assert(out(1L).getLong(1) == 10 && out(1L).getLong(2) == 1)
   }
 
+  test("tpch q17: correlated subquery decorrelates (no subquery in the " +
+      "physical plan) and matches the hand-built aggregate join") {
+    val df = Ext9Queries.tpchQ17(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Subquery"), s"subquery survived decorrelation:\n$plan")
+    // independent hand-decorrelated formulation
+    val l = graft.sources.Tables.lineitem(spark, sf)
+    val p = graft.sources.Tables.part(spark, sf).filter(col("p_size") < 11)
+    val pa = l.groupBy(col("l_partkey").as("pk"))
+      .agg((avg(col("l_quantity")) * 0.2).as("qa"))
+    val expected = l
+      .join(p, col("p_partkey") === col("l_partkey"))
+      .join(pa, col("pk") === col("l_partkey"))
+      .filter(col("l_quantity") < col("qa"))
+      .groupBy(col("p_brand"))
+      .agg((sum(col("l_extendedprice")
+        .cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double") / 7.0).as("avg_yearly"))
+    val got = df.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val exp = expected.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got.keySet == exp.keySet && got.nonEmpty)
+    got.foreach { case (b, v) => assert(math.abs(v - exp(b)) < 1e-9, b) }
+  }
+
   test("ann rerank is a subset of brute-force top-30 and scores match exact cosine") {
     val exact = graft.operators.Similarity.bruteForceTopK(
         graft.sources.Tables.embeddings(spark, sf).filter(col("vec_id") < 20),
