@@ -177,7 +177,8 @@ object SparkEntry {
     "q_normalize_dedup" -> (Ext11Queries.normalizeDedup _),
     "q_bloom_clean" -> (Ext11Queries.bloomClean _),
     "q_pack_sequences" -> (Ext11Queries.packSequences _),
-    "q_tpch_q17" -> (Ext9Queries.tpchQ17 _)
+    "q_tpch_q17" -> (Ext9Queries.tpchQ17 _),
+    "q_doc_pipeline" -> (Ext11Queries.docPipeline _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -528,6 +529,7 @@ object SparkEntry {
     "q_normalize_dedup" -> Ext11Queries.normalizeDedupOracle,
     "q_bloom_clean" -> Ext11Queries.bloomCleanOracle,
     "q_pack_sequences" -> Ext11Queries.packSequencesOracle,
-    "q_tpch_q17" -> Ext9Queries.tpchQ17Oracle
+    "q_tpch_q17" -> Ext9Queries.tpchQ17Oracle,
+    "q_doc_pipeline" -> Ext11Queries.docPipelineOracle
   )
 }

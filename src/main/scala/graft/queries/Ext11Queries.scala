@@ -2,6 +2,8 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 import graft.functions.TextFunctions
 import graft.operators.{Dedup, RuntimeFilters, TextAnalysis}
@@ -139,6 +141,96 @@ object Ext11Queries {
       |SELECT shard, CAST((cum - n_tokens) // 512 AS INT) AS bin,
       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
       |FROM c GROUP BY 1, 2""".stripMargin
+
+  private val docsSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** File-stream replay of the documents table (same staged-landing-zone
+    * shape as StreamQueries.eventsStream).
+    */
+  private def docsStream(s: SparkSession, dir: String): DataFrame = {
+    val staged = java.nio.file.Files.createTempDirectory("graft-stream-docs")
+    staged.toFile.deleteOnExit()
+    val stagedFile = staged.resolve("documents.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"), stagedFile)
+    stagedFile.toFile.deleteOnExit()
+    s.readStream.schema(docsSchema).parquet(staged.toString)
+  }
+
+  /** Streaming document-ingest pipeline — the text-corpus analogue of the
+    * wire→warehouse flow: stream raw documents, score quality / token count
+    * / language in-flight, gate on the quality floor, admit each distinct
+    * content fingerprint once (streaming `dropDuplicates` state — the
+    * exact-dedup-at-ingest tier), drain with `Trigger.AvailableNow`.
+    *
+    * The output projects only text-derived columns (fp, n_tokens, lang,
+    * quality), so WHICH physical duplicate row survives the streaming dedup
+    * is invisible — the drain is deterministic and equals the batch DISTINCT
+    * oracle. At 100 TB the fp state is the corpus's distinct-content set;
+    * production bounds it with a watermark on arrival time or swaps in the
+    * Bloom admission tier ([[RuntimeFilters]]).
+    */
+  def docPipeline(s: SparkSession, dir: String): DataFrame = {
+    val scored = docsStream(s, dir)
+      .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
+      .withColumn("quality", TextAnalysis.qualityScore(col("text")))
+      .withColumn("pred_lang", TextAnalysis.langId(col("text")))
+      .withColumn("fp", md5(col("text")))
+      .filter(col("quality") > 0.2 && col("n_tokens") >= 10)
+      .dropDuplicates("fp")
+      .select(col("fp"), col("n_tokens"), col("pred_lang"), col("quality"))
+    val name = "doc_pipeline_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = scored.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    if (!q.awaitTermination(300000L)) q.stop()
+    s.table(name)
+  }
+
+  val docPipelineOracle: String = {
+    val stop = TextAnalysis.enStopwords.map("'" + _ + "'").mkString("[", ", ", "]")
+    val scoreExprs = TextAnalysis.langMarkers.map { case (l, m) =>
+      val list = m.map("'" + _ + "'").mkString("[", ", ", "]")
+      s"len(list_intersect(list_distinct(string_split(text, ' ')), $list)) AS s_$l"
+    }.mkString(",\n      |    ")
+    val langs = TextAnalysis.langMarkers.map(_._1)
+    val best = "greatest(" + langs.map("s_" + _).mkString(", ") + ")"
+    val cases = langs.map(l => s"WHEN s_$l = best THEN '$l'").mkString(" ")
+    s"""WITH m AS (
+       |  SELECT text, md5(text) AS fp,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |    CAST(length(text) AS DOUBLE) AS chars,
+       |    len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS n_punct,
+       |    len(string_split(text, ' ')) AS n_toks,
+       |    len(list_filter(string_split(text, ' '),
+       |        t -> list_contains($stop, t))) AS n_stop,
+       |    CAST(length(replace(text, ' ', '')) AS DOUBLE) AS alpha_chars,
+       |    $scoreExprs
+       |  FROM documents
+       |), b AS (
+       |  SELECT *, $best AS best FROM m
+       |), q AS (
+       |  SELECT fp, n_tokens,
+       |    CASE WHEN best <= 0 THEN 'und' $cases END AS pred_lang,
+       |    ROUND(
+       |      (chars / (chars + 500.0))
+       |      * (1.0 - n_punct / greatest(chars, 1.0))
+       |      * (CASE WHEN n_stop * 1.0 / n_toks BETWEEN 0.01 AND 0.6
+       |         THEN 1.0 ELSE 0.5 END)
+       |      * (CASE WHEN alpha_chars / n_toks BETWEEN 2.0 AND 12.0
+       |         THEN 1.0 ELSE 0.3 END),
+       |      6) AS quality
+       |  FROM b
+       |)
+       |SELECT DISTINCT fp, n_tokens, pred_lang, quality
+       |FROM q WHERE quality > 0.2 AND n_tokens >= 10""".stripMargin
+  }
 
   val bloomCleanOracle: String =
     """WITH tok AS (
