@@ -178,7 +178,9 @@ object SparkEntry {
     "q_bloom_clean" -> (Ext11Queries.bloomClean _),
     "q_pack_sequences" -> (Ext11Queries.packSequences _),
     "q_tpch_q17" -> (Ext9Queries.tpchQ17 _),
-    "q_doc_pipeline" -> (Ext11Queries.docPipeline _)
+    "q_doc_pipeline" -> (Ext11Queries.docPipeline _),
+    "q_hard_negatives" -> (LlmQueries.hardNegatives _),
+    "q_class_centroids" -> (LlmQueries.classCentroids _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -530,6 +532,8 @@ object SparkEntry {
     "q_bloom_clean" -> Ext11Queries.bloomCleanOracle,
     "q_pack_sequences" -> Ext11Queries.packSequencesOracle,
     "q_tpch_q17" -> Ext9Queries.tpchQ17Oracle,
-    "q_doc_pipeline" -> Ext11Queries.docPipelineOracle
+    "q_doc_pipeline" -> Ext11Queries.docPipelineOracle,
+    "q_hard_negatives" -> LlmQueries.hardNegativesOracle,
+    "q_class_centroids" -> LlmQueries.classCentroidsOracle
   )
 }

@@ -121,6 +121,48 @@ object Similarity {
       .select(col("id_1"), col("id_2"), col("cos"))
   }
 
+  /** Hard-negative mining for contrastive training: for each query vector,
+    * the k most-similar corpus vectors with a DIFFERENT label — the
+    * "confusable but wrong" examples an embedding model trains against.
+    * Brute-force scoring (the exact baseline, same shape as
+    * [[bruteForceTopK]] with the cross-label predicate); at corpus scale the
+    * candidate stream comes from [[ivfTopK]]'s probe buckets instead and this
+    * ranking applies unchanged. Output: (query_id, query_label, neighbor_id,
+    * neighbor_label, cos), deterministic (cos desc, neighbor id) ranking.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+      vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      col(labelCol).as("query_label"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      col(labelCol).as("neighbor_label"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    q.join(c, col("query_id") =!= col("neighbor_id") &&
+        col("query_label") =!= col("neighbor_label"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), col("cos"))
+  }
+
+  /** Per-label centroid prototypes: the element-wise mean vector of every
+    * label's members, emitted long-form as (label, dim, centroid_val) — the
+    * class-prototype computation behind nearest-centroid classification,
+    * IVF seeding, and embedding-drift monitoring. posexplode → one
+    * map-side-combinable aggregation on (label, dim): dims are bounded
+    * (embedding width), so the shuffle is |labels| x dims rows regardless
+    * of corpus size.
+    */
+  def labelCentroids(vectors: DataFrame, vecCol: String,
+      labelCol: String): DataFrame =
+    vectors
+      .select(col(labelCol).as("label"), posexplode(col(vecCol)))
+      .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      .agg(avg(col("col").cast("double")).as("centroid_val"),
+        count(lit(1)).as("n_members"))
+
   // --- random-hyperplane LSH (the bucketed ANN scale path) -------------------
 
   /** Deterministic, engine-portable hyperplane coefficient: 60-bit md5

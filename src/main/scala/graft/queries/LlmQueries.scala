@@ -330,6 +330,51 @@ object LlmQueries {
        |QUALIFY row_number() OVER (
        |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin
 
+  /** Hard-negative mining ([[Similarity.hardNegatives]]): top-3 cross-label
+    * neighbors for the first 20 vectors.
+    */
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    Similarity.hardNegatives(emb.filter(col("vec_id") < 20), emb,
+        "vec_id", "embedding", "label", k = 3)
+      .select(col("query_id"), col("query_label"), col("neighbor_id"),
+        col("neighbor_label"), round(col("cos"), 6).as("cos"))
+  }
+
+  val hardNegativesOracle: String =
+    s"""WITH scored AS (
+       |  SELECT q.vec_id AS query_id, q.label AS query_label,
+       |    c.vec_id AS neighbor_id, c.label AS neighbor_label,
+       |    ${cosSql("q.embedding", "c.embedding")} AS cos
+       |  FROM embeddings q JOIN embeddings c
+       |    ON c.vec_id <> q.vec_id AND c.label <> q.label
+       |  WHERE q.vec_id < 20
+       |)
+       |SELECT query_id, query_label, neighbor_id, neighbor_label,
+       |  ROUND(cos, 6) AS cos
+       |FROM scored
+       |QUALIFY row_number() OVER (
+       |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin
+
+  /** Per-label centroid prototypes ([[Similarity.labelCentroids]]),
+    * long-form (label, dim, centroid_val, n_members).
+    */
+  def classCentroids(s: SparkSession, dir: String): DataFrame =
+    Similarity.labelCentroids(Tables.embeddings(s, dir), "embedding", "label")
+      .select(col("label"), col("dim"),
+        round(col("centroid_val"), 6).as("centroid_val"), col("n_members"))
+
+  val classCentroidsOracle: String =
+    """SELECT label, CAST(pos AS INT) AS dim,
+      |  ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid_val,
+      |  COUNT(*) AS n_members
+      |FROM (
+      |  SELECT label, unnest(embedding) AS v,
+      |         generate_subscripts(embedding, 1) AS pos
+      |  FROM embeddings
+      |)
+      |GROUP BY 1, 2""".stripMargin
+
   /** IVF ANN: deterministic centroids (vec_id < 10), nprobe=2, top-3 — every
     * step is exact arithmetic, so the approximate index is fully
     * oracle-checkable (same buckets, same results, in SQL).

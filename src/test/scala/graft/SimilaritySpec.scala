@@ -83,6 +83,38 @@ class SimilaritySpec extends SparkTestBase {
     assert(found == Set((10L, 11L)))
   }
 
+  test("hard negatives never share the query's label and rank below the " +
+      "unconstrained best neighbor") {
+    val sf = "/root/testdata/sf0.001"
+    val emb = graft.sources.Tables.embeddings(spark, sf)
+    val queries = emb.filter(col("vec_id") < 10)
+    val hn = Similarity.hardNegatives(queries, emb, "vec_id", "embedding",
+      "label", k = 3).collect()
+    assert(hn.nonEmpty)
+    hn.foreach(r => assert(r.getInt(1) != r.getInt(3),
+      s"neighbor shares label: $r"))
+    assert(hn.groupBy(_.getLong(0)).values.forall(_.length <= 3))
+    // the best cross-label score can never beat the best unconstrained score
+    val best = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    hn.groupBy(_.getLong(0)).foreach { case (q, rows) =>
+      assert(rows.map(_.getDouble(4)).max <= best(q) + 1e-12)
+    }
+  }
+
+  test("label centroids: hand-computed means, singleton label = its vector") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 3.0f), 0),
+      (2L, Array(3.0f, 5.0f), 0),
+      (3L, Array(7.0f, 9.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(vecs, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(out((0, 1)) == (2.0, 2L) && out((0, 2)) == (4.0, 2L))
+    assert(out((1, 1)) == (7.0, 1L) && out((1, 2)) == (9.0, 1L))
+  }
+
   test("plane coefficients are deterministic and bounded") {
     val c = for (j <- 0 until 16; d <- 0 until 64) yield Similarity.planeCoef(j, d)
     assert(c.forall(v => v >= -1000 && v <= 1000))
