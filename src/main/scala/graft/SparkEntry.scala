@@ -180,7 +180,9 @@ object SparkEntry {
     "q_tpch_q17" -> (Ext9Queries.tpchQ17 _),
     "q_doc_pipeline" -> (Ext11Queries.docPipeline _),
     "q_hard_negatives" -> (LlmQueries.hardNegatives _),
-    "q_class_centroids" -> (LlmQueries.classCentroids _)
+    "q_class_centroids" -> (LlmQueries.classCentroids _),
+    "q_source_balance" -> (Ext11Queries.sourceBalance _),
+    "q_schema_evolution" -> (Ext11Queries.schemaEvolution _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -534,6 +536,8 @@ object SparkEntry {
     "q_tpch_q17" -> Ext9Queries.tpchQ17Oracle,
     "q_doc_pipeline" -> Ext11Queries.docPipelineOracle,
     "q_hard_negatives" -> LlmQueries.hardNegativesOracle,
-    "q_class_centroids" -> LlmQueries.classCentroidsOracle
+    "q_class_centroids" -> LlmQueries.classCentroidsOracle,
+    "q_source_balance" -> Ext11Queries.sourceBalanceOracle,
+    "q_schema_evolution" -> Ext11Queries.schemaEvolutionOracle
   )
 }

