@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -182,7 +182,19 @@ object SparkEntry {
     "q_hard_negatives" -> (LlmQueries.hardNegatives _),
     "q_class_centroids" -> (LlmQueries.classCentroids _),
     "q_source_balance" -> (Ext11Queries.sourceBalance _),
-    "q_schema_evolution" -> (Ext11Queries.schemaEvolution _)
+    "q_schema_evolution" -> (Ext11Queries.schemaEvolution _),
+    "q_semdedup" -> (Ext12Queries.semDedup _),
+    "q_kanonymity" -> (Ext12Queries.kAnonymity _),
+    "q_curriculum" -> (Ext12Queries.curriculum _),
+    "q_winsorize" -> (Ext12Queries.winsorize _),
+    "q_mad_outliers" -> (Ext12Queries.madOutliers _),
+    "q_tpch_q6" -> (Ext12Queries.tpchQ6 _),
+    "q_tpch_q14" -> (Ext12Queries.tpchQ14 _),
+    "q_triangle_count" -> (Ext12Queries.triangleCount _),
+    "q_class_weights" -> (Ext12Queries.classWeights _),
+    "q_interleave_shards" -> (Ext12Queries.interleaveShards _),
+    "q_freshness_decay" -> (Ext12Queries.freshnessDecay _),
+    "q_tokenizer_fertility" -> (Ext12Queries.tokenizerFertility _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -538,6 +550,18 @@ object SparkEntry {
     "q_hard_negatives" -> LlmQueries.hardNegativesOracle,
     "q_class_centroids" -> LlmQueries.classCentroidsOracle,
     "q_source_balance" -> Ext11Queries.sourceBalanceOracle,
-    "q_schema_evolution" -> Ext11Queries.schemaEvolutionOracle
+    "q_schema_evolution" -> Ext11Queries.schemaEvolutionOracle,
+    "q_semdedup" -> Ext12Queries.semDedupOracle,
+    "q_kanonymity" -> Ext12Queries.kAnonymityOracle,
+    "q_curriculum" -> Ext12Queries.curriculumOracle,
+    "q_winsorize" -> Ext12Queries.winsorizeOracle,
+    "q_mad_outliers" -> Ext12Queries.madOutliersOracle,
+    "q_tpch_q6" -> Ext12Queries.tpchQ6Oracle,
+    "q_tpch_q14" -> Ext12Queries.tpchQ14Oracle,
+    "q_triangle_count" -> Ext12Queries.triangleCountOracle,
+    "q_class_weights" -> Ext12Queries.classWeightsOracle,
+    "q_interleave_shards" -> Ext12Queries.interleaveShardsOracle,
+    "q_freshness_decay" -> Ext12Queries.freshnessDecayOracle,
+    "q_tokenizer_fertility" -> Ext12Queries.tokenizerFertilityOracle
   )
 }

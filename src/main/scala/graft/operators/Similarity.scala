@@ -240,4 +240,38 @@ object Similarity {
         cosine(col("va.v"), col("vb.v")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster embeddings, then drop any vector whose
+    * cluster contains a LOWER-id vector with cosine >= threshold. The
+    * deterministic keep-the-minimum-id rule replaces the paper's
+    * keep-one-random so the operator is oracle-checkable; duplicate tests
+    * are direct pairs (not transitive closure — a kept vector can still be
+    * near a dropped one, matching the paper's within-cluster pairwise form).
+    *
+    * Scale posture: the pairwise pass is bucketed BY CLUSTER — O(sum of
+    * cluster_size^2), not O(n^2) — and the cluster assignment is one
+    * broadcast-join pass over the corpus. At 100 TB the cluster count
+    * scales with the corpus (SemDeDup uses ~100k clusters for 5B docs) so
+    * each bucket stays executor-sized; skewed clusters split by re-running
+    * assignment inside the oversized bucket (same operator, sub-centroids).
+    * The assignment is localCheckpoint'd so the two pairwise sides and the
+    * final anti-join share one materialization instead of recomputing the
+    * centroid argmax three times.
+    */
+  def semDedup(vectors: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, threshold: Double): DataFrame = {
+    val assigned = assignToCentroids(vectors, centroids, idCol, vecCol)
+      .select(col(idCol), col(vecCol), col("centroid_id"))
+      .localCheckpoint(eager = false)
+    val a = assigned.select(col("centroid_id"), col(idCol).as("_ida"), col(vecCol).as("_va"))
+    val b = assigned.select(col("centroid_id"), col(idCol).as("_idb"), col(vecCol).as("_vb"))
+    val dropped = a.join(b, Seq("centroid_id"))
+      .filter(col("_ida") < col("_idb"))
+      .filter(cosine(col("_va"), col("_vb")) >= threshold)
+      .select(col("_idb").as(idCol))
+      .distinct()
+    assigned.join(dropped, Seq(idCol), "left_anti")
+      .select(col(idCol), col("centroid_id"))
+  }
 }
