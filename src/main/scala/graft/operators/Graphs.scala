@@ -33,27 +33,32 @@ object Graphs {
     // endpoint (ties by node id), bounding out-degrees at O(sqrt(|E|))
     val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
+    // each edge carries its dst's degree so the two-path pair below can be
+    // canonicalized by ORIENTATION order — then the closing edge, if it
+    // exists, is oriented a->b and the closure is a pure equi-join (an OR
+    // over both directions would plan as a cartesian product)
+    val fwd = col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v"))
     val oriented = e
       .join(deg.withColumnRenamed("node", "u").withColumnRenamed("d", "du"), Seq("u"))
       .join(deg.withColumnRenamed("node", "v").withColumnRenamed("d", "dv"), Seq("v"))
       .select(
-        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-          col("u")).otherwise(col("v")).as("src"),
-        when(col("du") < col("dv") || (col("du") === col("dv") && col("u") < col("v")),
-          col("v")).otherwise(col("u")).as("dst"))
+        when(fwd, col("u")).otherwise(col("v")).as("src"),
+        when(fwd, col("v")).otherwise(col("u")).as("dst"),
+        when(fwd, col("dv")).otherwise(col("du")).as("dstDeg"))
       .localCheckpoint(eager = false)
-    // two-paths src->a, src->b (a<b by orientation order) closed by edge a->b
+    // two-paths src->a, src->b with a before b in orientation order,
+    // closed by the (necessarily a->b oriented) edge
     val p = oriented.as("e1").join(oriented.as("e2"),
-        col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        col("e1.src") === col("e2.src") &&
+          (col("e1.dstDeg") < col("e2.dstDeg") ||
+            (col("e1.dstDeg") === col("e2.dstDeg") && col("e1.dst") < col("e2.dst"))))
       .select(col("e1.dst").as("a"), col("e2.dst").as("b"))
     val closed = p.join(oriented.as("e3"),
-      (col("a") === col("e3.src") && col("b") === col("e3.dst")) ||
-        (col("b") === col("e3.src") && col("a") === col("e3.dst")))
-    val nNodes = deg.count()
-    val nEdges = e.count()
-    val nTris = closed.count()
-    val s = edges.sparkSession
-    import s.implicits._
-    Seq((nNodes, nEdges, nTris)).toDF("n_nodes", "n_edges", "n_triangles")
+      col("a") === col("e3.src") && col("b") === col("e3.dst"))
+    // three scalar aggregates cross-joined (all single-row) — fully
+    // declarative, no driver-side actions, one inspectable plan
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
 }
