@@ -194,7 +194,10 @@ object SparkEntry {
     "q_class_weights" -> (Ext12Queries.classWeights _),
     "q_interleave_shards" -> (Ext12Queries.interleaveShards _),
     "q_freshness_decay" -> (Ext12Queries.freshnessDecay _),
-    "q_tokenizer_fertility" -> (Ext12Queries.tokenizerFertility _)
+    "q_tokenizer_fertility" -> (Ext12Queries.tokenizerFertility _),
+    "q_vocab_growth" -> (Ext12Queries.vocabGrowth _),
+    "q_matryoshka" -> (Ext12Queries.matryoshkaRecall _),
+    "q_compaction_plan" -> (Ext12Queries.compactionPlan _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -562,6 +565,9 @@ object SparkEntry {
     "q_class_weights" -> Ext12Queries.classWeightsOracle,
     "q_interleave_shards" -> Ext12Queries.interleaveShardsOracle,
     "q_freshness_decay" -> Ext12Queries.freshnessDecayOracle,
-    "q_tokenizer_fertility" -> Ext12Queries.tokenizerFertilityOracle
+    "q_tokenizer_fertility" -> Ext12Queries.tokenizerFertilityOracle,
+    "q_vocab_growth" -> Ext12Queries.vocabGrowthOracle,
+    "q_matryoshka" -> Ext12Queries.matryoshkaRecallOracle,
+    "q_compaction_plan" -> Ext12Queries.compactionPlanOracle
   )
 }

@@ -358,6 +358,118 @@ object Ext12Queries {
         round(sum(col("_bpe")).cast("double") / sum(col("_ws")), 6)
           .as("fertility"))
 
+  // --- vocabulary growth ------------------------------------------------------
+
+  /** Heaps'-law vocabulary accounting per source: total tokens, distinct
+    * vocabulary, and the growth exponent proxy ln(V)/ln(N) — the statistic
+    * that says whether a source is repetitive boilerplate (low) or diverse
+    * prose (high). One explode + one two-level aggregate; the distinct is
+    * a (source, token) pre-aggregation so the wide shuffle carries each
+    * distinct pair once, not each occurrence.
+    */
+  def vocabGrowth(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("m"))
+      .groupBy("source")
+      .agg(sum("m").cast("bigint").as("n_tokens"),
+        count(lit(1)).as("n_vocab"))
+      .select(col("source"), col("n_tokens"), col("n_vocab"),
+        round(log(col("n_vocab").cast("double"))
+          / log(col("n_tokens").cast("double")), 6).as("heaps_ratio"))
+
+  val vocabGrowthOracle: String =
+    """WITH st AS (
+      |  SELECT source, tok, COUNT(*) AS m FROM (
+      |    SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents
+      |  ) GROUP BY source, tok
+      |)
+      |SELECT source, CAST(SUM(m) AS BIGINT) AS n_tokens,
+      |  COUNT(*) AS n_vocab,
+      |  ROUND(ln(CAST(COUNT(*) AS DOUBLE)) / ln(CAST(SUM(m) AS DOUBLE)), 6)
+      |    AS heaps_ratio
+      |FROM st GROUP BY source""".stripMargin
+
+  // --- matryoshka truncation recall ---------------------------------------------
+
+  /** Matryoshka-truncation recall (Kusupati et al. 2022): top-3 neighbors by
+    * full-dimension cosine vs top-3 by the first-16-dims prefix (cosine is
+    * scale-invariant, so no renormalization is needed for ranking). Returns
+    * per-query overlap and recall — the measurement that decides how far an
+    * embedding column can be truncated before ANN quality collapses. Both
+    * rankings are deterministic (cos desc, neighbor id); the truncated pass
+    * reads 4x less vector payload, which at 100 TB of embeddings is the
+    * entire point.
+    */
+  def matryoshkaRecall(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val queries = emb.filter(col("vec_id") < 20)
+    val full = Similarity.bruteForceTopK(queries, emb, "vec_id", "embedding", 3)
+    val truncEmb = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val trunc = Similarity.bruteForceTopK(
+      truncEmb.filter(col("vec_id") < 20), truncEmb, "vec_id", "embedding", 3)
+    // LEFT join so zero-recall queries still report (recall = 0.0)
+    full.select(col("query_id"), col("neighbor_id"))
+      .join(trunc.select(col("query_id"), col("neighbor_id"))
+          .withColumn("_hit", lit(1)),
+        Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(sum(coalesce(col("_hit"), lit(0))).cast("bigint").as("n_overlap"))
+      .select(col("query_id"), col("n_overlap"),
+        round(col("n_overlap").cast("double") / 3.0, 6).as("recall"))
+  }
+
+  val matryoshkaRecallOracle: String = {
+    def topk(vec: String): String =
+      s"""SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+         |  FROM emb q JOIN emb c ON q.vec_id < 20 AND c.vec_id <> q.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${cosSql(s"q.$vec", s"c.$vec")} DESC, c.vec_id) <= 3"""
+        .stripMargin
+    s"""WITH emb AS (
+       |  SELECT vec_id, embedding, embedding[1:16] AS emb16 FROM embeddings
+       |), full_k AS (${topk("embedding")}),
+       |trunc_k AS (${topk("emb16")})
+       |SELECT f.query_id, COUNT(t.neighbor_id) AS n_overlap,
+       |  ROUND(COUNT(t.neighbor_id) / 3.0, 6) AS recall
+       |FROM full_k f LEFT JOIN trunc_k t
+       |  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+       |GROUP BY f.query_id""".stripMargin
+  }
+
+  // --- compaction planning ------------------------------------------------------
+
+  /** Small-file compaction planning: within each source partition, files
+    * (docs as proxies, n_chars as size) are packed in doc_id order into
+    * target-sized output bins — bin id = completed-target count of the
+    * RUNNING size before the file. One per-partition window cumsum; no
+    * global coordination, which is what makes the plan computable over a
+    * 100 TB file listing. Returns the per-(source, bin) manifest.
+    */
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .withColumn("_cum_before", coalesce(sum(col("n_chars")).over(w), lit(0L)))
+      .withColumn("bin", floor(col("_cum_before") / lit(5000L)).cast("int"))
+      .groupBy("source", "bin")
+      .agg(count(lit(1)).as("n_files"),
+        sum(col("n_chars")).cast("bigint").as("bytes"))
+  }
+
+  val compactionPlanOracle: String =
+    """SELECT source, CAST(FLOOR(cum_before / 5000) AS INT) AS bin,
+      |  COUNT(*) AS n_files, CAST(SUM(n_chars) AS BIGINT) AS bytes
+      |FROM (
+      |  SELECT source, n_chars,
+      |    COALESCE(SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM documents
+      |)
+      |GROUP BY 1, 2""".stripMargin
+
   val tokenizerFertilityOracle: String =
     """SELECT lang, COUNT(*) AS n_docs,
       |  CAST(SUM(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))) AS BIGINT)

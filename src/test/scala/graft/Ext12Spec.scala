@@ -128,6 +128,43 @@ class Ext12Spec extends SparkTestBase {
     assert(pct > 0.0 && pct < 100.0)
   }
 
+  // --- vocab / matryoshka / compaction ------------------------------------------
+
+  test("q_vocab_growth: vocabulary never exceeds token count, ratio in (0,1]") {
+    val rows = Ext12Queries.vocabGrowth(spark, sf).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_vocab") <= r.getAs[Long]("n_tokens"))
+      val h = r.getAs[Double]("heaps_ratio")
+      assert(h > 0.0 && h <= 1.0)
+    }
+  }
+
+  test("q_matryoshka: every query reports, recall in [0,1]") {
+    val rows = Ext12Queries.matryoshkaRecall(spark, sf).collect()
+    assert(rows.length == 20) // zero-recall queries included via left join
+    rows.foreach { r =>
+      val rec = r.getAs[Double]("recall")
+      assert(rec >= 0.0 && rec <= 1.0)
+      assert(r.getAs[Long]("n_overlap") <= 3)
+    }
+  }
+
+  test("q_compaction_plan: bins conserve files and bytes, fill near target") {
+    val plan = Ext12Queries.compactionPlan(spark, sf)
+    val total = plan.agg(sum("n_files"), sum("bytes")).collect()(0)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    assert(total.getLong(0) == docs.count())
+    assert(total.getLong(1) == docs.agg(sum("n_chars")).collect()(0).getLong(0))
+    // every bin except possibly each source's last fills to at least the
+    // target minus one max file size (the undershoot bound of the scheme)
+    val maxFile = docs.agg(max("n_chars")).collect()(0).getLong(0)
+    val under = plan.filter(col("bytes") < 5000L - maxFile)
+      .groupBy("source").count().as[(String, Long)].collect()
+    assert(under.forall(_._2 <= 1))
+    assert(plan.select("source", "bin").distinct().count() == plan.count())
+  }
+
   // --- decay ------------------------------------------------------------------
 
   test("q_freshness_decay: decayed sum is strictly below the raw sum") {
