@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -197,7 +197,12 @@ object SparkEntry {
     "q_tokenizer_fertility" -> (Ext12Queries.tokenizerFertility _),
     "q_vocab_growth" -> (Ext12Queries.vocabGrowth _),
     "q_matryoshka" -> (Ext12Queries.matryoshkaRecall _),
-    "q_compaction_plan" -> (Ext12Queries.compactionPlan _)
+    "q_compaction_plan" -> (Ext12Queries.compactionPlan _),
+    "q_abtest_welch" -> (Ext13Queries.abtestWelch _),
+    "q_psi_drift" -> (Ext13Queries.psiDrift _),
+    "q_data_quality" -> (Ext13Queries.dataQuality _),
+    "q_skyline" -> (Ext13Queries.skyline _),
+    "q_ks_stat" -> (Ext13Queries.ksStat _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -568,6 +573,11 @@ object SparkEntry {
     "q_tokenizer_fertility" -> Ext12Queries.tokenizerFertilityOracle,
     "q_vocab_growth" -> Ext12Queries.vocabGrowthOracle,
     "q_matryoshka" -> Ext12Queries.matryoshkaRecallOracle,
-    "q_compaction_plan" -> Ext12Queries.compactionPlanOracle
+    "q_compaction_plan" -> Ext12Queries.compactionPlanOracle,
+    "q_abtest_welch" -> Ext13Queries.abtestWelchOracle,
+    "q_psi_drift" -> Ext13Queries.psiDriftOracle,
+    "q_data_quality" -> Ext13Queries.dataQualityOracle,
+    "q_skyline" -> Ext13Queries.skylineOracle,
+    "q_ks_stat" -> Ext13Queries.ksStatOracle
   )
 }

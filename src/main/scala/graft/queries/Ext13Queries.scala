@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Round-7 extension batch: the statistics tier an experimentation /
+  * data-quality platform runs on the warehouse — Welch's two-sample test,
+  * population-stability drift (PSI), Deequ-style quality checks, skyline
+  * (Pareto frontier), and the Kolmogorov-Smirnov statistic. All exact
+  * arithmetic over the shared tables, DuckDB-oracled.
+  */
+object Ext13Queries {
+
+  // --- A/B testing -------------------------------------------------------------
+
+  /** Welch's two-sample t statistic between the 'click' and 'purchase'
+    * event-value populations: one grouped aggregate (n, mean, var_samp per
+    * arm), then scalar arithmetic on the two rows — the entire test is one
+    * shuffle regardless of corpus size.
+    */
+  def abtestWelch(s: SparkSession, dir: String): DataFrame = {
+    val arms = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("double").as("n"),
+        avg(col("value")).as("m"), var_samp(col("value")).as("v"))
+    val a = arms.filter(col("event_type") === "click")
+      .select(col("n").as("n1"), col("m").as("m1"), col("v").as("v1"))
+    val b = arms.filter(col("event_type") === "purchase")
+      .select(col("n").as("n2"), col("m").as("m2"), col("v").as("v2"))
+    a.crossJoin(b)
+      .withColumn("_se2", col("v1") / col("n1") + col("v2") / col("n2"))
+      .select(
+        col("n1").cast("bigint").as("n_click"),
+        col("n2").cast("bigint").as("n_purchase"),
+        round(col("m1"), 6).as("mean_click"),
+        round(col("m2"), 6).as("mean_purchase"),
+        round((col("m1") - col("m2")) / sqrt(col("_se2")), 6).as("t_welch"),
+        round(pow(col("_se2"), 2) /
+          (pow(col("v1") / col("n1"), 2) / (col("n1") - 1) +
+            pow(col("v2") / col("n2"), 2) / (col("n2") - 1)), 6).as("df"))
+  }
+
+  val abtestWelchOracle: String =
+    """WITH arms AS (
+      |  SELECT event_type, CAST(COUNT(*) AS DOUBLE) AS n, AVG(value) AS m,
+      |    var_samp(value) AS v
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |  GROUP BY event_type
+      |), a AS (SELECT n AS n1, m AS m1, v AS v1 FROM arms WHERE event_type = 'click'),
+      |b AS (SELECT n AS n2, m AS m2, v AS v2 FROM arms WHERE event_type = 'purchase')
+      |SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_purchase,
+      |  ROUND(m1, 6) AS mean_click, ROUND(m2, 6) AS mean_purchase,
+      |  ROUND((m1 - m2) / sqrt(v1/n1 + v2/n2), 6) AS t_welch,
+      |  ROUND(POWER(v1/n1 + v2/n2, 2) /
+      |    (POWER(v1/n1, 2)/(n1-1) + POWER(v2/n2, 2)/(n2-1)), 6) AS df
+      |FROM a CROSS JOIN b""".stripMargin
+
+  // --- distribution drift (PSI) --------------------------------------------------
+
+  /** Population stability index between the src0 and src1 document-length
+    * distributions: 10 fixed-width bins over the global [min, max],
+    * Laplace-smoothed proportions so empty bins stay defined. PSI < 0.1 is
+    * the standard "no drift" band. Global min/max is one scalar aggregate
+    * broadcast onto the scan; everything else is a 10-row aggregate.
+    */
+  def psiDrift(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+      .filter(col("source").isin("src0", "src1"))
+      .select(col("source"), col("n_chars").cast("double").as("x"))
+    val mm = docs.agg(min(col("x")).as("_mn"), max(col("x")).as("_mx"))
+    val binned = docs.crossJoin(broadcast(mm))
+      .withColumn("bin", least(floor((col("x") - col("_mn"))
+        / (col("_mx") - col("_mn")) * 10).cast("int"), lit(9)))
+      .groupBy("source", "bin").agg(count(lit(1)).as("c"))
+    val tot = binned.groupBy("source").agg(sum("c").as("nsrc"))
+    val props = binned.join(tot, Seq("source"))
+      .select(col("source"), col("bin"),
+        ((col("c") + lit(1)).cast("double") / (col("nsrc") + lit(10)))
+          .as("p"))
+    val pa = props.filter(col("source") === "src0").select(col("bin"), col("p").as("pa"))
+    val pb = props.filter(col("source") === "src1").select(col("bin"), col("p").as("pb"))
+    // bins observed by only one source are excluded (inner join) — the
+    // Laplace smoothing already keeps every COMPARED bin away from zero,
+    // and the oracle applies the identical convention
+    pa.join(pb, Seq("bin"))
+      .agg(round(sum((col("pa") - col("pb")) * log(col("pa") / col("pb"))), 6)
+        .as("psi"), count(lit(1)).as("n_bins_compared"))
+  }
+
+  val psiDriftOracle: String =
+    """WITH d AS (
+      |  SELECT source, CAST(n_chars AS DOUBLE) AS x FROM documents
+      |  WHERE source IN ('src0', 'src1')
+      |), mm AS (SELECT MIN(x) AS mn, MAX(x) AS mx FROM d),
+      |binned AS (
+      |  SELECT source,
+      |    least(CAST(FLOOR((x - mn) / (mx - mn) * 10) AS INT), 9) AS bin,
+      |    COUNT(*) AS c
+      |  FROM d CROSS JOIN mm GROUP BY 1, 2
+      |), tot AS (SELECT source, SUM(c) AS nsrc FROM binned GROUP BY source),
+      |props AS (
+      |  SELECT binned.source, bin,
+      |    CAST(c + 1 AS DOUBLE) / (nsrc + 10) AS p
+      |  FROM binned JOIN tot ON binned.source = tot.source
+      |)
+      |SELECT ROUND(SUM((pa.p - pb.p) * ln(pa.p / pb.p)), 6) AS psi,
+      |  COUNT(*) AS n_bins_compared
+      |FROM (SELECT bin, p FROM props WHERE source = 'src0') pa
+      |JOIN (SELECT bin, p FROM props WHERE source = 'src1') pb USING (bin)"""
+      .stripMargin
+
+  // --- data-quality manifest -----------------------------------------------------
+
+  /** Deequ-style data-quality manifest over orders: completeness,
+    * distinctness, conformity, and range checks as one unioned report —
+    * each check is a scalar aggregate over the same single scan (Spark
+    * collapses the union of aggregates into one pass per leaf), emitted as
+    * (check, metric, passed).
+    */
+  def dataQuality(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+    val checks = o.agg(
+      (sum(when(col("o_custkey").isNotNull, 1L).otherwise(0L)).cast("double")
+        / count(lit(1))).as("completeness_custkey"),
+      (count_distinct(col("o_orderkey")).cast("double") / count(lit(1)))
+        .as("distinctness_orderkey"),
+      (sum(when(col("o_totalprice") > 0, 1L).otherwise(0L)).cast("double")
+        / count(lit(1))).as("positive_totalprice"),
+      (sum(when(col("o_orderstatus").isin("F", "O", "P"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1))).as("status_in_set"),
+      count(lit(1)).cast("double").as("row_count"))
+    checks.select(
+      explode(map(
+        lit("completeness_custkey"), col("completeness_custkey"),
+        lit("distinctness_orderkey"), col("distinctness_orderkey"),
+        lit("positive_totalprice"), col("positive_totalprice"),
+        lit("status_in_set"), col("status_in_set"),
+        lit("row_count"), col("row_count"))).as(Seq("check_name", "metric")))
+      .select(col("check_name"), round(col("metric"), 6).as("metric"),
+        (when(col("check_name") === "row_count", col("metric") > 0)
+          .otherwise(col("metric") === 1.0)).as("passed"))
+  }
+
+  val dataQualityOracle: String =
+    """WITH m AS (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / COUNT(*) AS completeness_custkey,
+      |    CAST(COUNT(DISTINCT o_orderkey) AS DOUBLE) / COUNT(*)
+      |      AS distinctness_orderkey,
+      |    CAST(SUM(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / COUNT(*) AS positive_totalprice,
+      |    CAST(SUM(CASE WHEN o_orderstatus IN ('F','O','P') THEN 1 ELSE 0 END)
+      |      AS DOUBLE) / COUNT(*) AS status_in_set,
+      |    CAST(COUNT(*) AS DOUBLE) AS row_count
+      |  FROM orders
+      |), u AS (
+      |  SELECT 'completeness_custkey' AS check_name, completeness_custkey AS metric FROM m
+      |  UNION ALL SELECT 'distinctness_orderkey', distinctness_orderkey FROM m
+      |  UNION ALL SELECT 'positive_totalprice', positive_totalprice FROM m
+      |  UNION ALL SELECT 'status_in_set', status_in_set FROM m
+      |  UNION ALL SELECT 'row_count', row_count FROM m
+      |)
+      |SELECT check_name, ROUND(metric, 6) AS metric,
+      |  CASE WHEN check_name = 'row_count' THEN metric > 0
+      |       ELSE metric = 1.0 END AS passed
+      |FROM u""".stripMargin
+
+  // --- skyline (Pareto frontier) ---------------------------------------------------
+
+  /** Skyline of parts: the Pareto frontier maximizing p_retailprice while
+    * minimizing p_size (a part is dominated if another is >= on price, <=
+    * on size, and strictly better on one). Two-window formulation over
+    * DISTINCT (price, size) points: per-price minimum size, then a strict
+    * running-minimum sweep in descending price order. No all-pairs
+    * anti-join anywhere; the distributed form pre-filters each partition's
+    * local skyline before the (tiny) global sweep — the classic two-phase
+    * skyline (Borzsony/Kossmann/Stocker 2001).
+    */
+  def skyline(s: SparkSession, dir: String): DataFrame = {
+    val pts = Tables.part(s, dir)
+      .select(col("p_retailprice").as("price"), col("p_size").as("size"))
+      .distinct()
+    // per-price minimum size (equal-price, larger-size points are dominated)
+    val perPrice = pts.groupBy("price").agg(min(col("size")).as("size"))
+    // strict sweep: keep iff size < every size at strictly higher price
+    val w = Window.orderBy(col("price").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    perPrice
+      .withColumn("_minBefore", min(col("size")).over(w))
+      .filter(col("_minBefore").isNull || col("size") < col("_minBefore"))
+      .select(col("price"), col("size"))
+  }
+
+  val skylineOracle: String =
+    """WITH pts AS (
+      |  SELECT DISTINCT p_retailprice AS price, p_size AS size FROM part
+      |), pp AS (SELECT price, MIN(size) AS size FROM pts GROUP BY price),
+      |sweep AS (
+      |  SELECT price, size, MIN(size) OVER (ORDER BY price DESC
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS min_before
+      |  FROM pp
+      |)
+      |SELECT price, size FROM sweep
+      |WHERE min_before IS NULL OR size < min_before""".stripMargin
+
+  // --- Kolmogorov-Smirnov -----------------------------------------------------------
+
+  /** Two-sample KS statistic between the 'click' and 'purchase' value
+    * distributions: per-value counts, cumulative ECDFs over the ordered
+    * distinct values, max absolute difference. The global ordered window is
+    * the exact form; at 100 TB the same statistic runs on a binned ECDF
+    * (quantile-sketch grid) with error bounded by the bin width.
+    */
+  def ksStat(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select(col("value"),
+        when(col("event_type") === "click", 1L).otherwise(0L).as("ca"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L).as("cb"))
+    val byVal = ev.groupBy("value")
+      .agg(sum("ca").as("a"), sum("cb").as("b"))
+    val tot = byVal.agg(sum("a").cast("double").as("_na"),
+      sum("b").cast("double").as("_nb"))
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byVal.crossJoin(broadcast(tot))
+      .withColumn("_cda", sum("a").over(w) / col("_na"))
+      .withColumn("_cdb", sum("b").over(w) / col("_nb"))
+      .agg(round(max(abs(col("_cda") - col("_cdb"))), 6).as("ks"),
+        count(lit(1)).as("n_points"))
+  }
+
+  val ksStatOracle: String =
+    """WITH ev AS (
+      |  SELECT value,
+      |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ca,
+      |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS cb
+      |  FROM events WHERE event_type IN ('click', 'purchase')
+      |), byval AS (
+      |  SELECT value, SUM(ca) AS a, SUM(cb) AS b FROM ev GROUP BY value
+      |), tot AS (
+      |  SELECT CAST(SUM(a) AS DOUBLE) AS na, CAST(SUM(b) AS DOUBLE) AS nb
+      |  FROM byval
+      |), cdf AS (
+      |  SELECT SUM(a) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / na AS cda,
+      |    SUM(b) OVER (ORDER BY value
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / nb AS cdb
+      |  FROM byval CROSS JOIN tot
+      |)
+      |SELECT ROUND(MAX(ABS(cda - cdb)), 6) AS ks, COUNT(*) AS n_points
+      |FROM cdf""".stripMargin
+}
