@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -202,7 +202,12 @@ object SparkEntry {
     "q_psi_drift" -> (Ext13Queries.psiDrift _),
     "q_data_quality" -> (Ext13Queries.dataQuality _),
     "q_skyline" -> (Ext13Queries.skyline _),
-    "q_ks_stat" -> (Ext13Queries.ksStat _)
+    "q_ks_stat" -> (Ext13Queries.ksStat _),
+    "q_tpch_q1" -> (Ext14Queries.tpchQ1 _),
+    "q_tpch_q7" -> (Ext14Queries.tpchQ7 _),
+    "q_tpch_q8" -> (Ext14Queries.tpchQ8 _),
+    "q_tpch_q13" -> (Ext14Queries.tpchQ13 _),
+    "q_tpch_q15" -> (Ext14Queries.tpchQ15 _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -578,6 +583,11 @@ object SparkEntry {
     "q_psi_drift" -> Ext13Queries.psiDriftOracle,
     "q_data_quality" -> Ext13Queries.dataQualityOracle,
     "q_skyline" -> Ext13Queries.skylineOracle,
-    "q_ks_stat" -> Ext13Queries.ksStatOracle
+    "q_ks_stat" -> Ext13Queries.ksStatOracle,
+    "q_tpch_q1" -> Ext14Queries.tpchQ1Oracle,
+    "q_tpch_q7" -> Ext14Queries.tpchQ7Oracle,
+    "q_tpch_q8" -> Ext14Queries.tpchQ8Oracle,
+    "q_tpch_q13" -> Ext14Queries.tpchQ13Oracle,
+    "q_tpch_q15" -> Ext14Queries.tpchQ15Oracle
   )
 }

@@ -3,6 +3,8 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.types.DecimalType
+
 import graft.operators.{Anonymize, Graphs, RobustStats, Similarity, TextAnalysis}
 import graft.sources.Tables
 
@@ -178,11 +180,12 @@ object Ext12Queries {
       .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
         col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
         col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
-      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2)
-        .as("revenue"))
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast(DecimalType(18, 6))).cast("double").as("revenue"))
 
   val tpchQ6Oracle: String =
-    """SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+      |    AS DOUBLE) AS revenue
       |FROM lineitem
       |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
       |  AND l_shipdate < TIMESTAMP '1998-01-01'
@@ -199,15 +202,19 @@ object Ext12Queries {
     li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
       .agg(round(
         lit(100.0) * sum(when(col("p_type") === "PROMO",
-          col("l_extendedprice") * (lit(1) - col("l_discount"))))
-          / sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6)
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double")
+          / sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .cast(DecimalType(18, 6))).cast("double"), 6)
         .as("promo_revenue"))
   }
 
   val tpchQ14Oracle: String =
-    """SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO'
-      |    THEN l_extendedprice * (1 - l_discount) END)
-      |  / SUM(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue
+    """SELECT ROUND(100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+      |    THEN l_extendedprice * (1 - l_discount) END AS DECIMAL(18,6)))
+      |    AS DOUBLE)
+      |  / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+      |    AS DOUBLE), 6) AS promo_revenue
       |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
       |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
       |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin

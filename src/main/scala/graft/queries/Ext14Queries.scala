@@ -1,0 +1,201 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import org.apache.spark.sql.types.DecimalType
+
+import graft.sources.Tables
+
+/** TPC-H completion batch: the remaining dialect-expressible TPC-H
+  * topologies over the driver corpus (which omits partsupp and the
+  * comment/shipmode/phone columns, so Q2/Q4/Q9/Q11/Q12/Q16/Q19/Q20/Q22
+  * have no faithful rendering): full Q1 pricing summary, Q7 volume
+  * shipping, Q8 market share, Q13 order-count distribution, Q15 top
+  * supplier. Together with Q3/Q5/Q6/Q10/Q14/Q17/Q18/Q21 this closes out
+  * every expressible TPC-H shape.
+  */
+object Ext14Queries {
+
+  /** TPC-H Q1 (full pricing summary): the complete eight-aggregate version
+    * of q1_agg — one pass, partial aggregation before the single 6-group
+    * shuffle.
+    */
+  def tpchQ1(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(DecimalType(18, 6))).cast("double").as("sum_disc_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))
+          * (lit(1) + col("l_tax"))).cast(DecimalType(18, 6))).cast("double")
+          .as("sum_charge"),
+        round(avg("l_quantity"), 6).as("avg_qty"),
+        round(avg("l_extendedprice"), 6).as("avg_price"),
+        round(avg("l_discount"), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  val tpchQ1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+      |    AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+      |  ROUND(AVG(l_quantity), 6) AS avg_qty,
+      |  ROUND(AVG(l_extendedprice), 6) AS avg_price,
+      |  ROUND(AVG(l_discount), 6) AS avg_disc,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+      |GROUP BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q7 (volume shipping), generalized to the full nation-pair
+    * matrix (the corpus's synthetic nation list makes any fixed pair
+    * scale-factor-fragile): revenue by (supplier nation, customer nation,
+    * ship year) for cross-nation flows. Six-table join; both nation dims
+    * broadcast, supplier broadcast, the two fact joins shuffle once each.
+    */
+  def tpchQ7(s: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val n2 = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("s_nk"))
+      .join(broadcast(n2), col("c_nationkey") === col("c_nk"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).as("l_year"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 6))).cast("double").as("revenue"))
+  }
+
+  val tpchQ7Oracle: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+      |    AS DOUBLE) AS revenue
+      |FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |WHERE n1.n_name <> n2.n_name
+      |GROUP BY 1, 2, 3""".stripMargin
+
+  /** TPC-H Q8 (national market share): the share of ASIA-region customer
+    * revenue supplied by each supplier nation, by order year — the
+    * two-level aggregate (nation revenue / total revenue per year) done
+    * with a window over the grouped result, not a self-join.
+    */
+  def tpchQ8(s: SparkSession, dir: String): DataFrame = {
+    val asiaNations = Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey").as("c_nk"))
+    val suppNation = Tables.nation(s, dir)
+      .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+    val vol = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(asiaNations), col("c_nationkey") === col("c_nk"), "left_semi")
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(suppNation), col("s_nationkey") === col("s_nk"))
+      .groupBy(year(col("o_orderdate")).as("o_year"), col("supp_nation"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 6))).as("v")) // stays DECIMAL through the window
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("o_year")
+    vol.withColumn("share",
+        col("v").cast("double") / sum(col("v")).over(w).cast("double"))
+      .select(col("o_year"), col("supp_nation"),
+        col("v").cast("double").as("volume"), round(col("share"), 6).as("mkt_share"))
+  }
+
+  val tpchQ8Oracle: String =
+    """WITH vol AS (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+      |    ns.n_name AS supp_nation,
+      |    SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))) AS v
+      |  FROM lineitem l
+      |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |    JOIN customer c ON o.o_custkey = c.c_custkey
+      |    JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      |    JOIN region r ON nc.n_regionkey = r.r_regionkey AND r.r_name = 'ASIA'
+      |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |    JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      |  GROUP BY 1, 2
+      |)
+      |SELECT o_year, supp_nation, CAST(v AS DOUBLE) AS volume,
+      |  ROUND(CAST(v AS DOUBLE)
+      |    / CAST(SUM(v) OVER (PARTITION BY o_year) AS DOUBLE), 6) AS mkt_share
+      |FROM vol""".stripMargin
+
+  /** TPC-H Q13 (customer order-count distribution): LEFT join so
+    * zero-order customers count, two-level aggregate — the canonical
+    * "distribution of a grouped count" shape.
+    */
+  def tpchQ13(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.customer(s, dir)
+      .join(Tables.orders(s, dir),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+    perCust.groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+  }
+
+  val tpchQ13Oracle: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey
+      |)
+      |GROUP BY c_count""".stripMargin
+
+  /** TPC-H Q15 (top supplier): quarterly revenue per supplier, suppliers
+    * achieving the maximum — the max is a 1-row aggregate broadcast back,
+    * exactly the view + subquery of the spec without recomputing revenue.
+    */
+  def tpchQ15(s: SparkSession, dir: String): DataFrame = {
+    val revenue = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey").as("supplier_no"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 6))).cast("double").as("total_revenue"))
+    val mx = revenue.agg(max(col("total_revenue")).as("_mx"))
+    revenue.crossJoin(broadcast(mx))
+      .filter(col("total_revenue") === col("_mx"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("supplier_no") === col("s_suppkey"))
+      .select(col("supplier_no"), col("s_name"), col("total_revenue"))
+  }
+
+  val tpchQ15Oracle: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+      |      AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey
+      |)
+      |SELECT supplier_no, s_name, total_revenue
+      |FROM revenue JOIN supplier ON supplier_no = s_suppkey
+      |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin
+}
