@@ -255,4 +255,34 @@ object Ext13Queries {
       |)
       |SELECT ROUND(MAX(ABS(cda - cdb)), 6) AS ks, COUNT(*) AS n_points
       |FROM cdf""".stripMargin
+
+  // --- weighted sampling --------------------------------------------------------
+
+  /** Deterministic weighted sampling without replacement (Efraimidis &
+    * Spirakis 2006 A-Res): each doc draws u from a hash of its id (so the
+    * "randomness" is reproducible across runs and engines) and ranks by
+    * ln(u)/weight — the top-k of that key is a weight-proportional sample.
+    * Selection is a TakeOrderedAndProject (per-partition heaps, no global
+    * sort); weights here are document lengths, the usual
+    * sample-long-docs-more-often curation knob.
+    */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = (expr(
+      "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS DOUBLE)")
+      + lit(1.0)) / lit(4294967297.0)
+    Tables.documents(s, dir)
+      .withColumn("_key", log(u) / col("n_chars"))
+      .orderBy(col("_key").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+  }
+
+  val weightedSampleOracle: String =
+    """SELECT doc_id, source, n_chars FROM (
+      |  SELECT doc_id, source, n_chars,
+      |    ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+      |      AS UBIGINT) + 1.0) / 4294967297.0) / n_chars AS key
+      |  FROM documents
+      |)
+      |ORDER BY key DESC, doc_id LIMIT 50""".stripMargin
 }

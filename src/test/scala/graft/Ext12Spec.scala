@@ -120,7 +120,9 @@ class Ext12Spec extends SparkTestBase {
 
   test("q_tpch_q6 matches the hand-checked sf0.001 revenue") {
     val rev = Ext12Queries.tpchQ6(spark, sf).as[Double].collect()(0)
-    assert(rev == 365888.56) // verified against DuckDB on the same parquet
+    // 365888.56 verified against DuckDB (ROUND of the double sum); the
+    // exact-DECIMAL per-row-rounded sum agrees to well under a cent/row
+    assert(math.abs(rev - 365888.56) < 0.01)
   }
 
   test("q_tpch_q14 promo share is a sane percentage") {
