@@ -191,4 +191,66 @@ class PlanSpec extends SparkTestBase {
       assert(aggs.size >= 2, "minhash aggregate not split partial/final")
     }
   }
+
+  test("TPC-H Q7: supplier and both nation dims broadcast, no cartesian") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext14Queries.tpchQ7(spark, sf))
+      val bhj = plan.collect { case j: BroadcastHashJoinExec => j }
+      assert(bhj.size >= 3, s"expected >=3 broadcast joins, got ${bhj.size}")
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "cartesian product in Q7")
+    }
+  }
+
+  test("triangle count: the edge-data joins are equi-joins (the OR-closure " +
+      "cartesian regression stays fixed)") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext12Queries.triangleCount(spark, sf))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "cartesian product over edge data")
+      // the only nested-loop joins are the two 1-row scalar-aggregate crosses
+      val bnlj = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnlj.size <= 2, s"unexpected nested-loop joins: ${bnlj.size}")
+    }
+  }
+
+  test("weighted sample: top-k via TakeOrderedAndProject, no global sort") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext13Queries.weightedSample(spark, sf))
+      assert(plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, "expected TakeOrderedAndProject")
+      val sorts = plan.collect { case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.isEmpty, "global sort where a top-k heap suffices")
+    }
+  }
+
+  test("TPC-H Q6: every predicate reaches the parquet scan") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext12Queries.tpchQ6(spark, sf))
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      assert(scans.size == 1)
+      val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+      assert(pushed.contains("l_discount") && pushed.contains("l_quantity")
+        && pushed.contains("l_shipdate"),
+        s"missing pushdown: $pushed")
+      // projection pruned to the 4 referenced columns
+      assert(scans.head.schema.fieldNames.toSet ==
+        Set("l_quantity", "l_extendedprice", "l_discount", "l_shipdate"))
+    }
+  }
+
+  test("semdedup: pairwise pass is bucketed by centroid (equi-join), " +
+      "no all-pairs join over the corpus") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext12Queries.semDedup(spark, sf))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "all-pairs cartesian in semdedup")
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+        .count(_.joinType.toString != "Cross") == 0)
+    }
+  }
 }
