@@ -208,7 +208,8 @@ object SparkEntry {
     "q_tpch_q8" -> (Ext14Queries.tpchQ8 _),
     "q_tpch_q13" -> (Ext14Queries.tpchQ13 _),
     "q_tpch_q15" -> (Ext14Queries.tpchQ15 _),
-    "q_weighted_sample" -> (Ext13Queries.weightedSample _)
+    "q_weighted_sample" -> (Ext13Queries.weightedSample _),
+    "q_tpch_q19" -> (Ext14Queries.tpchQ19 _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -590,6 +591,7 @@ object SparkEntry {
     "q_tpch_q8" -> Ext14Queries.tpchQ8Oracle,
     "q_tpch_q13" -> Ext14Queries.tpchQ13Oracle,
     "q_tpch_q15" -> Ext14Queries.tpchQ15Oracle,
-    "q_weighted_sample" -> Ext13Queries.weightedSampleOracle
+    "q_weighted_sample" -> Ext13Queries.weightedSampleOracle,
+    "q_tpch_q19" -> Ext14Queries.tpchQ19Oracle
   )
 }

@@ -198,4 +198,38 @@ object Ext14Queries {
       |SELECT supplier_no, s_name, total_revenue
       |FROM revenue JOIN supplier ON supplier_no = s_suppkey
       |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)""".stripMargin
+
+  /** TPC-H Q19 (discounted revenue, adapted: the corpus has no
+    * p_container, so each disjunct pairs brand + size band + quantity
+    * band): the point of the query is a DISJUNCTIVE join predicate that
+    * still plans as a broadcast equi-join on partkey with the OR residual
+    * as a post-join filter — not a nested loop.
+    */
+  def tpchQ19(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val p = Tables.part(s, dir).select("p_partkey", "p_brand", "p_size")
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 15)
+          && col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#2" && col("p_size").between(1, 25)
+          && col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 50)
+          && col("l_quantity").between(20, 30)))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast(DecimalType(18, 6))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val tpchQ19Oracle: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+      |    AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+      |    AND l_quantity BETWEEN 1 AND 11)
+      |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+      |    AND l_quantity BETWEEN 10 AND 20)
+      |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
+      |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin
 }
