@@ -209,7 +209,9 @@ object SparkEntry {
     "q_tpch_q13" -> (Ext14Queries.tpchQ13 _),
     "q_tpch_q15" -> (Ext14Queries.tpchQ15 _),
     "q_weighted_sample" -> (Ext13Queries.weightedSample _),
-    "q_tpch_q19" -> (Ext14Queries.tpchQ19 _)
+    "q_tpch_q19" -> (Ext14Queries.tpchQ19 _),
+    "q_observe_metrics" -> (Ext13Queries.observeMetrics _),
+    "q_temperature_mix" -> (Ext13Queries.temperatureMix _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -592,6 +594,8 @@ object SparkEntry {
     "q_tpch_q13" -> Ext14Queries.tpchQ13Oracle,
     "q_tpch_q15" -> Ext14Queries.tpchQ15Oracle,
     "q_weighted_sample" -> Ext13Queries.weightedSampleOracle,
-    "q_tpch_q19" -> Ext14Queries.tpchQ19Oracle
+    "q_tpch_q19" -> Ext14Queries.tpchQ19Oracle,
+    "q_observe_metrics" -> Ext13Queries.observeMetricsOracle,
+    "q_temperature_mix" -> Ext13Queries.temperatureMixOracle
   )
 }

@@ -285,4 +285,83 @@ object Ext13Queries {
       |  FROM documents
       |)
       |ORDER BY key DESC, doc_id LIMIT 50""".stripMargin
+
+  // --- observation metrics --------------------------------------------------------
+
+  /** Pipeline observability via the Observation API: metrics collected ON
+    * the running job (zero extra scan — the aggregates piggyback on the
+    * write) and then emitted as a result row. At 100 TB this is the only
+    * affordable way to account a pipeline: a second counting pass over the
+    * input is a second full read.
+    */
+  def observeMetrics(s: SparkSession, dir: String): DataFrame = {
+    val obs = new org.apache.spark.sql.Observation("doc_metrics")
+    val observed = Tables.documents(s, dir)
+      .observe(obs,
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        max(col("n_chars")).as("max_chars")) // DISTINCT aggs are not
+        // observable (INVALID_OBSERVED_METRICS), so plain aggregates only
+      .filter(col("n_chars") > 0)
+    observed.write.format("noop").mode("overwrite").save()
+    val row = obs.get
+    import s.implicits._
+    Seq((row("n_docs").asInstanceOf[Long],
+      row("total_chars").asInstanceOf[Long],
+      row("max_chars").asInstanceOf[Long]))
+      .toDF("n_docs", "total_chars", "max_chars")
+  }
+
+  val observeMetricsOracle: String =
+    """SELECT COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+      |  MAX(n_chars) AS max_chars
+      |FROM documents""".stripMargin
+
+  // --- temperature-scaled source mixing ---------------------------------------------
+
+  /** UniMax-style temperature-scaled source mixing (alpha = 0.7): target
+    * shares proportional to n^alpha flatten the source distribution (the
+    * standard LLM data-mixing knob), allocated to an integer budget of
+    * 10000 samples by largest-remainder apportionment with a deterministic
+    * source-name tiebreak. One tiny per-source aggregate; nothing scales
+    * with corpus size except the first groupBy.
+    */
+  def temperatureMix(s: SparkSession, dir: String): DataFrame = {
+    val bySource = Tables.documents(s, dir)
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val tot = bySource.agg(
+      sum(pow(col("n").cast("double"), 0.7)).as("_z"),
+      count(lit(1)).as("_k"))
+    val scored = bySource.crossJoin(broadcast(tot))
+      .withColumn("_share", pow(col("n").cast("double"), 0.7) / col("_z"))
+      .withColumn("_exact", col("_share") * 10000.0)
+      .withColumn("base", floor(col("_exact")).cast("bigint"))
+      .withColumn("_frac", col("_exact") - col("base"))
+    val leftW = org.apache.spark.sql.expressions.Window
+      .orderBy(col("_frac").desc, col("source"))
+    val totBase = scored.agg(sum("base").as("_tb"))
+    scored.crossJoin(broadcast(totBase))
+      .withColumn("_rk", row_number().over(leftW))
+      .withColumn("target",
+        col("base") + when(col("_rk") <= lit(10000) - col("_tb"), 1L)
+          .otherwise(0L))
+      .select(col("source"), col("n"), round(col("_share"), 6).as("share"),
+        col("target"))
+  }
+
+  val temperatureMixOracle: String =
+    """WITH bys AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+      |tot AS (SELECT SUM(POWER(CAST(n AS DOUBLE), 0.7)) AS z FROM bys),
+      |scored AS (
+      |  SELECT source, n,
+      |    POWER(CAST(n AS DOUBLE), 0.7) / z AS share,
+      |    FLOOR(POWER(CAST(n AS DOUBLE), 0.7) / z * 10000.0) AS base,
+      |    POWER(CAST(n AS DOUBLE), 0.7) / z * 10000.0
+      |      - FLOOR(POWER(CAST(n AS DOUBLE), 0.7) / z * 10000.0) AS frac
+      |  FROM bys CROSS JOIN tot
+      |), tb AS (SELECT SUM(base) AS total_base FROM scored)
+      |SELECT source, n, ROUND(share, 6) AS share,
+      |  CAST(base + CASE WHEN row_number() OVER (ORDER BY frac DESC, source)
+      |    <= 10000 - total_base THEN 1 ELSE 0 END AS BIGINT) AS target
+      |FROM scored CROSS JOIN tb""".stripMargin
 }
