@@ -211,7 +211,8 @@ object SparkEntry {
     "q_weighted_sample" -> (Ext13Queries.weightedSample _),
     "q_tpch_q19" -> (Ext14Queries.tpchQ19 _),
     "q_observe_metrics" -> (Ext13Queries.observeMetrics _),
-    "q_temperature_mix" -> (Ext13Queries.temperatureMix _)
+    "q_temperature_mix" -> (Ext13Queries.temperatureMix _),
+    "q_binary_source" -> (Ext14Queries.binarySource _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -596,6 +597,7 @@ object SparkEntry {
     "q_weighted_sample" -> Ext13Queries.weightedSampleOracle,
     "q_tpch_q19" -> Ext14Queries.tpchQ19Oracle,
     "q_observe_metrics" -> Ext13Queries.observeMetricsOracle,
-    "q_temperature_mix" -> Ext13Queries.temperatureMixOracle
+    "q_temperature_mix" -> Ext13Queries.temperatureMixOracle,
+    "q_binary_source" -> Ext14Queries.binarySourceOracle
   )
 }

@@ -232,4 +232,49 @@ object Ext14Queries {
       |    AND l_quantity BETWEEN 10 AND 20)
       |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 50
       |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  // --- binaryFile source ------------------------------------------------------------
+
+  /** Staged binary landing zone: the first 100 docs written as UTF-8 .bin
+    * files, once per JVM — a fixture for the binaryFile-source claim, not
+    * the behavior under measurement (same convention as
+    * Ext6Queries.ensureStaged).
+    */
+  private val binDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def ensureBinStaged(s: SparkSession, dir: String): String =
+    binDirs.computeIfAbsent(dir, _ => {
+      val staged = java.nio.file.Files.createTempDirectory("graft-bin")
+      staged.toFile.deleteOnExit()
+      Tables.documents(s, dir).filter(col("doc_id") < 100)
+        .select("doc_id", "text").collect().foreach { r =>
+          java.nio.file.Files.write(
+            staged.resolve(f"doc_${r.getLong(0)}%05d.bin"),
+            r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      staged.toString
+    })
+
+  /** `binaryFile` source scan — the ingestion shape for raw media/blob
+    * corpora (each file one row: path, length, binary content). The query
+    * parses ids out of file paths and digests the payloads; the oracle
+    * recomputes the digests from the documents table, proving a lossless
+    * bytes round trip. At 100 TB this source partitions by file and prunes
+    * with pathGlobFilter/modifiedAfter predicates.
+    */
+  def binarySource(s: SparkSession, dir: String): DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .load(ensureBinStaged(s, dir))
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("bigint").as("doc_id"),
+        col("length").as("n_bytes"),
+        md5(col("content")).as("content_md5"))
+
+  val binarySourceOracle: String =
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |  md5(text) AS content_md5
+      |FROM documents WHERE doc_id < 100""".stripMargin
 }
