@@ -332,9 +332,15 @@ object Ext13Queries {
     val tot = bySource.agg(
       sum(pow(col("n").cast("double"), 0.7)).as("_z"),
       count(lit(1)).as("_k"))
+    // _exact is rounded to 6 dp BEFORE the floor: the parallel-summed z
+    // carries ulp-level jitter, and when a share lands exactly on an
+    // integer boundary (uniform corpora) a raw floor() flips
+    // nondeterministically run-to-run (observed at sf0.001: 500 +- 1 ulp).
+    // Rounding first puts the decision 6 orders of magnitude away from
+    // the noise, identically on both engines.
     val scored = bySource.crossJoin(broadcast(tot))
       .withColumn("_share", pow(col("n").cast("double"), 0.7) / col("_z"))
-      .withColumn("_exact", col("_share") * 10000.0)
+      .withColumn("_exact", round(col("_share") * 10000.0, 6))
       .withColumn("base", floor(col("_exact")).cast("bigint"))
       .withColumn("_frac", col("_exact") - col("base"))
     val leftW = org.apache.spark.sql.expressions.Window
@@ -355,9 +361,10 @@ object Ext13Queries {
       |scored AS (
       |  SELECT source, n,
       |    POWER(CAST(n AS DOUBLE), 0.7) / z AS share,
-      |    FLOOR(POWER(CAST(n AS DOUBLE), 0.7) / z * 10000.0) AS base,
-      |    POWER(CAST(n AS DOUBLE), 0.7) / z * 10000.0
-      |      - FLOOR(POWER(CAST(n AS DOUBLE), 0.7) / z * 10000.0) AS frac
+      |    FLOOR(ROUND(POWER(CAST(n AS DOUBLE), 0.7) / z * 10000.0, 6)) AS base,
+      |    ROUND(POWER(CAST(n AS DOUBLE), 0.7) / z * 10000.0, 6)
+      |      - FLOOR(ROUND(POWER(CAST(n AS DOUBLE), 0.7) / z * 10000.0, 6))
+      |      AS frac
       |  FROM bys CROSS JOIN tot
       |), tb AS (SELECT SUM(base) AS total_base FROM scored)
       |SELECT source, n, ROUND(share, 6) AS share,
