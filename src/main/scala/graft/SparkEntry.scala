@@ -212,7 +212,8 @@ object SparkEntry {
     "q_tpch_q19" -> (Ext14Queries.tpchQ19 _),
     "q_observe_metrics" -> (Ext13Queries.observeMetrics _),
     "q_temperature_mix" -> (Ext13Queries.temperatureMix _),
-    "q_binary_source" -> (Ext14Queries.binarySource _)
+    "q_binary_source" -> (Ext14Queries.binarySource _),
+    "q_incremental_agg" -> (Ext13Queries.incrementalAgg _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -598,6 +599,7 @@ object SparkEntry {
     "q_tpch_q19" -> Ext14Queries.tpchQ19Oracle,
     "q_observe_metrics" -> Ext13Queries.observeMetricsOracle,
     "q_temperature_mix" -> Ext13Queries.temperatureMixOracle,
-    "q_binary_source" -> Ext14Queries.binarySourceOracle
+    "q_binary_source" -> Ext14Queries.binarySourceOracle,
+    "q_incremental_agg" -> Ext13Queries.incrementalAggOracle
   )
 }

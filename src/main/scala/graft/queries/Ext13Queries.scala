@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
@@ -371,4 +372,46 @@ object Ext13Queries {
       |  CAST(base + CASE WHEN row_number() OVER (ORDER BY frac DESC, source)
       |    <= 10000 - total_base THEN 1 ELSE 0 END AS BIGINT) AS target
       |FROM scored CROSS JOIN tb""".stripMargin
+
+  // --- incremental aggregate maintenance ----------------------------------------------
+
+  /** Incremental aggregate maintenance: a precomputed per-type state (rows
+    * before the temporal midpoint) merged with a new-batch delta (rows
+    * after) via the aggregate merge algebra — counts add, exact DECIMAL
+    * sums add, mins/maxes combine through least/greatest with null
+    * handling. The output is proven equal to a from-scratch recompute by
+    * the oracle, which IS the full recompute: the contract that lets a
+    * 100 TB pipeline update aggregates from the new partition alone
+    * instead of rescanning history.
+    */
+  def incrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val mm = ev.agg(((min(col("ts_us")) + max(col("ts_us"))) / 2)
+      .cast("long").as("_cut"))
+    val tagged = ev.crossJoin(broadcast(mm))
+    def aggSide(cond: org.apache.spark.sql.Column) = tagged.filter(cond)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).as("s"),
+        min(col("value")).as("mn"), max(col("value")).as("mx"))
+    val state = aggSide(col("ts_us") < col("_cut"))
+    val delta = aggSide(col("ts_us") >= col("_cut"))
+    state.as("a").join(delta.as("b"), Seq("event_type"), "full_outer")
+      .select(col("event_type"),
+        (coalesce(col("a.n"), lit(0L)) + coalesce(col("b.n"), lit(0L))).as("n"),
+        (coalesce(col("a.s"), lit(0).cast(DecimalType(18, 6)))
+          + coalesce(col("b.s"), lit(0).cast(DecimalType(18, 6))))
+          .cast("double").as("total"),
+        least(coalesce(col("a.mn"), col("b.mn")),
+          coalesce(col("b.mn"), col("a.mn"))).as("mn"),
+        greatest(coalesce(col("a.mx"), col("b.mx")),
+          coalesce(col("b.mx"), col("a.mx"))).as("mx"))
+  }
+
+  /** The oracle is the FULL recompute — merged state+delta must equal it. */
+  val incrementalAggOracle: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total,
+      |  MIN(value) AS mn, MAX(value) AS mx
+      |FROM events GROUP BY event_type""".stripMargin
 }
