@@ -7,11 +7,14 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
-/** Round-7 extension batch: the statistics tier an experimentation /
-  * data-quality platform runs on the warehouse — Welch's two-sample test,
-  * population-stability drift (PSI), Deequ-style quality checks, skyline
-  * (Pareto frontier), and the Kolmogorov-Smirnov statistic. All exact
-  * arithmetic over the shared tables, DuckDB-oracled.
+/** Round-7 extension batch: the statistics and pipeline-accounting tier an
+  * experimentation / data-quality platform runs on the warehouse — Welch's
+  * two-sample test, population-stability drift (PSI), Deequ-style quality
+  * checks, skyline (Pareto frontier), the Kolmogorov-Smirnov statistic,
+  * deterministic A-Res weighted sampling, Observation-API job metrics,
+  * UniMax temperature-scaled source mixing, and incremental aggregate
+  * maintenance. All exact arithmetic over the shared tables,
+  * DuckDB-oracled.
   */
 object Ext13Queries {
 

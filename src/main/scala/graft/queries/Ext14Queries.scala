@@ -9,11 +9,13 @@ import graft.sources.Tables
 
 /** TPC-H completion batch: the remaining dialect-expressible TPC-H
   * topologies over the driver corpus (which omits partsupp and the
-  * comment/shipmode/phone columns, so Q2/Q4/Q9/Q11/Q12/Q16/Q19/Q20/Q22
-  * have no faithful rendering): full Q1 pricing summary, Q7 volume
-  * shipping, Q8 market share, Q13 order-count distribution, Q15 top
-  * supplier. Together with Q3/Q5/Q6/Q10/Q14/Q17/Q18/Q21 this closes out
-  * every expressible TPC-H shape.
+  * comment/shipmode/phone/container columns, so Q2/Q4/Q9/Q11/Q12/Q16/
+  * Q20/Q22 have no faithful rendering): full Q1 pricing summary, Q7
+  * volume shipping, Q8 market share, Q13 order-count distribution, Q15
+  * top supplier, Q19 adapted (disjunctive predicates without
+  * p_container), plus the binaryFile blob source. Together with
+  * Q3/Q5/Q6/Q10/Q14/Q17/Q18/Q21 this closes out every expressible TPC-H
+  * shape.
   */
 object Ext14Queries {
 
