@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -213,7 +213,17 @@ object SparkEntry {
     "q_observe_metrics" -> (Ext13Queries.observeMetrics _),
     "q_temperature_mix" -> (Ext13Queries.temperatureMix _),
     "q_binary_source" -> (Ext14Queries.binarySource _),
-    "q_incremental_agg" -> (Ext13Queries.incrementalAgg _)
+    "q_incremental_agg" -> (Ext13Queries.incrementalAgg _),
+    "q_ewma" -> (Ext15Queries.ewma _),
+    "q_drawdown" -> (Ext15Queries.drawdown _),
+    "q_markov_transitions" -> (Ext15Queries.markovTransitions _),
+    "q_chi_square" -> (Ext15Queries.chiSquare _),
+    "q_mann_whitney" -> (Ext15Queries.mannWhitney _),
+    "q_benford" -> (Ext15Queries.benford _),
+    "q_kmeans_step" -> (Ext15Queries.kmeansStep _),
+    "q_rrf_fusion" -> (Ext15Queries.rrfFusion _),
+    "q_bigram_lm" -> (Ext15Queries.bigramLm _),
+    "q_lorenz_share" -> (Ext15Queries.lorenzShare _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -600,6 +610,16 @@ object SparkEntry {
     "q_observe_metrics" -> Ext13Queries.observeMetricsOracle,
     "q_temperature_mix" -> Ext13Queries.temperatureMixOracle,
     "q_binary_source" -> Ext14Queries.binarySourceOracle,
-    "q_incremental_agg" -> Ext13Queries.incrementalAggOracle
+    "q_incremental_agg" -> Ext13Queries.incrementalAggOracle,
+    "q_ewma" -> Ext15Queries.ewmaOracle,
+    "q_drawdown" -> Ext15Queries.drawdownOracle,
+    "q_markov_transitions" -> Ext15Queries.markovTransitionsOracle,
+    "q_chi_square" -> Ext15Queries.chiSquareOracle,
+    "q_mann_whitney" -> Ext15Queries.mannWhitneyOracle,
+    "q_benford" -> Ext15Queries.benfordOracle,
+    "q_kmeans_step" -> Ext15Queries.kmeansStepOracle,
+    "q_rrf_fusion" -> Ext15Queries.rrfFusionOracle,
+    "q_bigram_lm" -> Ext15Queries.bigramLmOracle,
+    "q_lorenz_share" -> Ext15Queries.lorenzShareOracle
   )
 }
