@@ -56,7 +56,11 @@ object Plans {
       "q_triangle_count" -> "Triangle count: degree-oriented two-path equi-join — out-degrees bounded O(sqrt(E)), no hub blowup",
       "q_winsorize" -> "Winsorized mean: one percentile buffer per group, 1-row-per-group bounds broadcast back onto the fact scan",
       "q_tpch_q7" -> "TPC-H Q7: six-table volume-shipping join — supplier + both nation dims broadcast, facts shuffle once each, exact DECIMAL revenue",
-      "q_weighted_sample" -> "A-Res weighted sampling: hash-derived keys, TakeOrderedAndProject top-k (per-partition heaps, no global sort)")
+      "q_weighted_sample" -> "A-Res weighted sampling: hash-derived keys, TakeOrderedAndProject top-k (per-partition heaps, no global sort)",
+      "q_kmeans_step" -> "k-means Lloyd step: k centroids broadcast into a single corpus scan, per-vector argmin window, k-group final aggregate — the corpus never re-partitions across iterations",
+      "q_rrf_fusion" -> "Reciprocal-rank fusion: query vectors broadcast once, both rankers and the fused top-k run as windows over one scored pass",
+      "q_mann_whitney" -> "Mann-Whitney U: corpus collapses to the distinct-value histogram (partial agg before the shuffle); the global rank window only ever sees the histogram",
+      "q_ewma" -> "EWMA: one shuffle to the per-key ordered fold — no per-row window state, no iterative joins")
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the headline queries\n\n")

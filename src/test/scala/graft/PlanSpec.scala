@@ -253,4 +253,50 @@ class PlanSpec extends SparkTestBase {
         .count(_.joinType.toString != "Cross") == 0)
     }
   }
+
+  test("kmeans step: centroids broadcast — corpus scans once, no shuffle " +
+      "before the k-group aggregate") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext15Queries.kmeansStep(spark, sf))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "corpus-side cartesian in kmeans assignment")
+      val bnl = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnl.nonEmpty, "centroid join is not broadcast")
+      // assignment argmin (per-vec window) + final aggregate: the corpus
+      // never shuffles on anything wider than vec_id / centroid_id
+      assert(plan.collect { case s: SortMergeJoinExec => s }.isEmpty)
+    }
+  }
+
+  test("rrf fusion: query vectors broadcast; fused top-k via window, " +
+      "no sort-merge join anywhere") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext15Queries.rrfFusion(spark, sf))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "candidate-side cartesian in rrf scoring")
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+        "query-vector join is not broadcast")
+      assert(plan.collect { case s: SortMergeJoinExec => s }.isEmpty)
+    }
+  }
+
+  test("mann-whitney: corpus collapses in a partial-aggregated groupBy " +
+      "before any global window") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext15Queries.mannWhitney(spark, sf))
+      // partial + final HashAggregate pairs around the value-histogram
+      // shuffle: the single-partition window only ever sees distinct values
+      val aggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggs.size >= 2, "value histogram not partial-aggregated")
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.size == 1)
+      windows.head.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }.orElse(sys.error("window input is the raw corpus, not the histogram"))
+    }
+  }
 }
