@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -223,7 +223,14 @@ object SparkEntry {
     "q_kmeans_step" -> (Ext15Queries.kmeansStep _),
     "q_rrf_fusion" -> (Ext15Queries.rrfFusion _),
     "q_bigram_lm" -> (Ext15Queries.bigramLm _),
-    "q_lorenz_share" -> (Ext15Queries.lorenzShare _)
+    "q_lorenz_share" -> (Ext15Queries.lorenzShare _),
+    "q_assoc_rules" -> (Ext16Queries.assocRules _),
+    "q_item_similarity" -> (Ext16Queries.itemSimilarity _),
+    "q_candle_patterns" -> (Ext16Queries.candlePatterns _),
+    "q_twap" -> (Ext16Queries.twap _),
+    "q_gini" -> (Ext16Queries.gini _),
+    "q_km_survival" -> (Ext16Queries.kmSurvival _),
+    "q_autocorr" -> (Ext16Queries.autocorr _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -620,6 +627,13 @@ object SparkEntry {
     "q_kmeans_step" -> Ext15Queries.kmeansStepOracle,
     "q_rrf_fusion" -> Ext15Queries.rrfFusionOracle,
     "q_bigram_lm" -> Ext15Queries.bigramLmOracle,
-    "q_lorenz_share" -> Ext15Queries.lorenzShareOracle
+    "q_lorenz_share" -> Ext15Queries.lorenzShareOracle,
+    "q_assoc_rules" -> Ext16Queries.assocRulesOracle,
+    "q_item_similarity" -> Ext16Queries.itemSimilarityOracle,
+    "q_candle_patterns" -> Ext16Queries.candlePatternsOracle,
+    "q_twap" -> Ext16Queries.twapOracle,
+    "q_gini" -> Ext16Queries.giniOracle,
+    "q_km_survival" -> Ext16Queries.kmSurvivalOracle,
+    "q_autocorr" -> Ext16Queries.autocorrOracle
   )
 }
