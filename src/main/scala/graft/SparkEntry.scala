@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -230,7 +230,12 @@ object SparkEntry {
     "q_twap" -> (Ext16Queries.twap _),
     "q_gini" -> (Ext16Queries.gini _),
     "q_km_survival" -> (Ext16Queries.kmSurvival _),
-    "q_autocorr" -> (Ext16Queries.autocorr _)
+    "q_autocorr" -> (Ext16Queries.autocorr _),
+    "q_attribution" -> (Ext17Queries.attribution _),
+    "q_cusum_changepoint" -> (Ext17Queries.cusumChangepoint _),
+    "q_theil_sen" -> (Ext17Queries.theilSen _),
+    "q_feature_hash" -> (Ext17Queries.featureHash _),
+    "q_holt_smoothing" -> (Ext17Queries.holtSmoothing _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -634,6 +639,11 @@ object SparkEntry {
     "q_twap" -> Ext16Queries.twapOracle,
     "q_gini" -> Ext16Queries.giniOracle,
     "q_km_survival" -> Ext16Queries.kmSurvivalOracle,
-    "q_autocorr" -> Ext16Queries.autocorrOracle
+    "q_autocorr" -> Ext16Queries.autocorrOracle,
+    "q_attribution" -> Ext17Queries.attributionOracle,
+    "q_cusum_changepoint" -> Ext17Queries.cusumChangepointOracle,
+    "q_theil_sen" -> Ext17Queries.theilSenOracle,
+    "q_feature_hash" -> Ext17Queries.featureHashOracle,
+    "q_holt_smoothing" -> Ext17Queries.holtSmoothingOracle
   )
 }
