@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -235,7 +235,11 @@ object SparkEntry {
     "q_cusum_changepoint" -> (Ext17Queries.cusumChangepoint _),
     "q_theil_sen" -> (Ext17Queries.theilSen _),
     "q_feature_hash" -> (Ext17Queries.featureHash _),
-    "q_holt_smoothing" -> (Ext17Queries.holtSmoothing _)
+    "q_holt_smoothing" -> (Ext17Queries.holtSmoothing _),
+    "q_rfm" -> (Ext18Queries.rfm _),
+    "q_lpa_communities" -> (Ext18Queries.lpaCommunities _),
+    "q_forecast_backtest" -> (Ext18Queries.forecastBacktest _),
+    "q_rolling_beta" -> (Ext18Queries.rollingBeta _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -644,6 +648,10 @@ object SparkEntry {
     "q_cusum_changepoint" -> Ext17Queries.cusumChangepointOracle,
     "q_theil_sen" -> Ext17Queries.theilSenOracle,
     "q_feature_hash" -> Ext17Queries.featureHashOracle,
-    "q_holt_smoothing" -> Ext17Queries.holtSmoothingOracle
+    "q_holt_smoothing" -> Ext17Queries.holtSmoothingOracle,
+    "q_rfm" -> Ext18Queries.rfmOracle,
+    "q_lpa_communities" -> Ext18Queries.lpaCommunitiesOracle,
+    "q_forecast_backtest" -> Ext18Queries.forecastBacktestOracle,
+    "q_rolling_beta" -> Ext18Queries.rollingBetaOracle
   )
 }
