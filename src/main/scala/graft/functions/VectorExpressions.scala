@@ -73,6 +73,100 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Squared L2 distance between two array<float> columns, summed
+  * left-to-right in double — bit-identical to the HOF
+  * `aggregate(zip_with((x-y)*(x-y)))` formulation and DuckDB's
+  * `list_sum(list_transform(...))`, but inside whole-stage codegen (the
+  * k-means assignment scan runs this k times per vector).
+  */
+case class SquaredL2Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "sq_l2_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $x.getFloat($i) - (double) $y.getFloat($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+/** L1 (Manhattan) distance between two array<float> columns — same codegen
+  * and parity contract as [[SquaredL2Distance]]; the second ranker of the
+  * reciprocal-rank-fusion pass.
+  */
+case class L1Distance(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "l1_distance"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += math.abs(x.getFloat(i).toDouble - y.getFloat(i).toDouble)
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += java.lang.Math.abs(
+         |    (double) $x.getFloat($i) - (double) $y.getFloat($i));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Fraction of positions where two long arrays agree — the MinHash-signature
   * Jaccard estimator. Codegen'd for the same reason as CosineSimilarity: it
   * runs once per LSH candidate pair, and candidate sets are orders of
@@ -196,6 +290,16 @@ object VectorFunctions {
   /** Codegen'd cosine similarity over two array<float> columns. */
   def cosine_sim(a: Column, b: Column): Column =
     GraftColumnBridge.column(CosineSimilarity(GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b)))
+
+  /** Codegen'd squared L2 distance over two array<float> columns. */
+  def sq_l2_distance(a: Column, b: Column): Column =
+    GraftColumnBridge.column(SquaredL2Distance(GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b)))
+
+  /** Codegen'd L1 (Manhattan) distance over two array<float> columns. */
+  def l1_distance(a: Column, b: Column): Column =
+    GraftColumnBridge.column(L1Distance(GraftColumnBridge.expression(a),
       GraftColumnBridge.expression(b)))
 
   /** Codegen'd positional match fraction over two array<long> columns. */

@@ -275,15 +275,14 @@ object Ext15Queries {
 
   // --- clustering / retrieval --------------------------------------------------
 
-  /** Squared-L2 distance between two float vectors, computed in double —
-    * the same left-fold shape as DuckDB's list_sum(list_transform(...)).
+  /** Squared-L2 distance between two float vectors: the codegen'd native
+    * expression ([[graft.functions.SquaredL2Distance]]) — bit-identical to
+    * the HOF `aggregate(zip_with(...))` left fold and to DuckDB's
+    * list_sum(list_transform(...)), but it runs as a tight Java loop inside
+    * whole-stage codegen instead of interpreted lambda dispatch.
     */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b,
-        (x, y) => (x.cast("double") - y.cast("double"))
-          * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.sq_l2_distance(a, b)
 
   private def sqDistSql(a: String, b: String): String =
     s"""list_sum(list_transform(range(1, len($a) + 1),
@@ -361,10 +360,9 @@ object Ext15Queries {
       .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
     val c = emb.filter(col("vec_id") >= 10)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("cvec"))
-    val l1 = aggregate(
-      zip_with(col("qvec"), col("cvec"),
-        (x, y) => abs(x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, v) => acc + v)
+    // codegen'd native L1 — same sequential-sum parity contract as the
+    // cosine expression (see functions.L1Distance)
+    val l1 = graft.functions.VectorFunctions.l1_distance(col("qvec"), col("cvec"))
     val wq = Window.partitionBy("query_id")
     val scored = c.crossJoin(broadcast(q))
       .withColumn("cos", Similarity.cosine(col("qvec"), col("cvec")))

@@ -25,6 +25,29 @@ class VectorExpressionsSpec extends SparkTestBase {
     assert(diff == 0, s"$diff pairs differ bit-wise between native and HOF cosine")
   }
 
+  test("native sq_l2 / l1 == HOF folds, bit-for-bit, on real embeddings") {
+    import graft.functions.VectorFunctions.{l1_distance, sq_l2_distance}
+    val emb = graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val a = emb.filter($"vec_id" < 50).select($"vec_id".as("ida"), $"embedding".as("va"))
+    val b = emb.filter($"vec_id" >= 50 && $"vec_id" < 100)
+      .select($"vec_id".as("idb"), $"embedding".as("vb"))
+    val hofSq = aggregate(
+      zip_with($"va", $"vb",
+        (x, y) => (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val hofL1 = aggregate(
+      zip_with($"va", $"vb",
+        (x, y) => abs(x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, v) => acc + v)
+    val diff = a.crossJoin(b).select(
+      sq_l2_distance($"va", $"vb").as("nsq"), hofSq.as("hsq"),
+      l1_distance($"va", $"vb").as("nl1"), hofL1.as("hl1"))
+      .filter($"nsq" =!= $"hsq" || $"nl1" =!= $"hl1")
+      .count()
+    assert(diff == 0, s"$diff pairs differ bit-wise between native and HOF distances")
+  }
+
   test("interpreted eval path (codegen disabled) matches too") {
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
