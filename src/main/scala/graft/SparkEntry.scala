@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -239,7 +239,17 @@ object SparkEntry {
     "q_rfm" -> (Ext18Queries.rfm _),
     "q_lpa_communities" -> (Ext18Queries.lpaCommunities _),
     "q_forecast_backtest" -> (Ext18Queries.forecastBacktest _),
-    "q_rolling_beta" -> (Ext18Queries.rollingBeta _)
+    "q_rolling_beta" -> (Ext18Queries.rollingBeta _),
+    "q_stochastic" -> (Ext19Queries.stochastic _),
+    "q_atr" -> (Ext19Queries.atr _),
+    "q_donchian" -> (Ext19Queries.donchian _),
+    "q_obv" -> (Ext19Queries.obv _),
+    "q_williams_r" -> (Ext19Queries.williamsR _),
+    "q_mfi" -> (Ext19Queries.mfi _),
+    "q_pivot_points" -> (Ext19Queries.pivotPoints _),
+    "q_cci" -> (Ext19Queries.cci _),
+    "q_macd" -> (Ext19Queries.macd _),
+    "q_heikin_ashi" -> (Ext19Queries.heikinAshi _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -652,6 +662,16 @@ object SparkEntry {
     "q_rfm" -> Ext18Queries.rfmOracle,
     "q_lpa_communities" -> Ext18Queries.lpaCommunitiesOracle,
     "q_forecast_backtest" -> Ext18Queries.forecastBacktestOracle,
-    "q_rolling_beta" -> Ext18Queries.rollingBetaOracle
+    "q_rolling_beta" -> Ext18Queries.rollingBetaOracle,
+    "q_stochastic" -> Ext19Queries.stochasticOracle,
+    "q_atr" -> Ext19Queries.atrOracle,
+    "q_donchian" -> Ext19Queries.donchianOracle,
+    "q_obv" -> Ext19Queries.obvOracle,
+    "q_williams_r" -> Ext19Queries.williamsROracle,
+    "q_mfi" -> Ext19Queries.mfiOracle,
+    "q_pivot_points" -> Ext19Queries.pivotPointsOracle,
+    "q_cci" -> Ext19Queries.cciOracle,
+    "q_macd" -> Ext19Queries.macdOracle,
+    "q_heikin_ashi" -> Ext19Queries.heikinAshiOracle
   )
 }
