@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -249,7 +249,15 @@ object SparkEntry {
     "q_pivot_points" -> (Ext19Queries.pivotPoints _),
     "q_cci" -> (Ext19Queries.cci _),
     "q_macd" -> (Ext19Queries.macd _),
-    "q_heikin_ashi" -> (Ext19Queries.heikinAshi _)
+    "q_heikin_ashi" -> (Ext19Queries.heikinAshi _),
+    "q_adamic_adar" -> (Ext20Queries.adamicAdar _),
+    "q_khop_reach" -> (Ext20Queries.khopReach _),
+    "q_degree_dist" -> (Ext20Queries.degreeDist _),
+    "q_perplexity_filter" -> (Ext20Queries.perplexityFilter _),
+    "q_target_encode" -> (Ext20Queries.targetEncode _),
+    "q_mi_features" -> (Ext20Queries.miFeatures _),
+    "q_bot_detection" -> (Ext20Queries.botDetection _),
+    "q_power_iteration" -> (Ext20Queries.powerIteration _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -672,6 +680,14 @@ object SparkEntry {
     "q_pivot_points" -> Ext19Queries.pivotPointsOracle,
     "q_cci" -> Ext19Queries.cciOracle,
     "q_macd" -> Ext19Queries.macdOracle,
-    "q_heikin_ashi" -> Ext19Queries.heikinAshiOracle
+    "q_heikin_ashi" -> Ext19Queries.heikinAshiOracle,
+    "q_adamic_adar" -> Ext20Queries.adamicAdarOracle,
+    "q_khop_reach" -> Ext20Queries.khopReachOracle,
+    "q_degree_dist" -> Ext20Queries.degreeDistOracle,
+    "q_perplexity_filter" -> Ext20Queries.perplexityFilterOracle,
+    "q_target_encode" -> Ext20Queries.targetEncodeOracle,
+    "q_mi_features" -> Ext20Queries.miFeaturesOracle,
+    "q_bot_detection" -> Ext20Queries.botDetectionOracle,
+    "q_power_iteration" -> Ext20Queries.powerIterationOracle
   )
 }

@@ -61,4 +61,46 @@ object Graphs {
       .crossJoin(e.agg(count(lit(1)).as("n_edges")))
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
+
+  /** Adamic–Adar link prediction: for every NON-adjacent node pair (a, b)
+    * sharing at least one neighbor, score = Σ_z 1/ln(deg(z)) over shared
+    * neighbors z (deg(z) ≥ 2 whenever z is shared, so ln is safe). Returns
+    * (u, v, common, aa_score) with u < v.
+    *
+    * Scale posture: candidate pairs come from the wedge join (adjacency
+    * self-joined on the center z), which is O(Σ deg(z)²) — the same hub
+    * blow-up the triangle count dodges with degree orientation. Orientation
+    * can't help here (both wedge endpoints are outputs, not probes), so the
+    * standard mitigation at 100 TB is capping the center degree: pairs
+    * through a hub with deg(z) > maxCenterDegree contribute at most
+    * 1/ln(maxCenterDegree) each — numerically negligible exactly when the
+    * cap is high — and are dropped with the hub. Pass maxCenterDegree =
+    * Int.MaxValue for exact scores on bounded graphs (the default used by
+    * the oracle-gated query).
+    */
+  def adamicAdar(edges: DataFrame, uCol: String, vCol: String,
+      maxCenterDegree: Int = Int.MaxValue): DataFrame = {
+    val e = edges
+      .select(least(col(uCol), col(vCol)).as("u"),
+        greatest(col(uCol), col(vCol)).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(eager = false) // adjacency + anti-join both read it
+    val adj = e.select(col("u").as("z"), col("v").as("n"))
+      .unionAll(e.select(col("v").as("z"), col("u").as("n")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
+      .filter(col("d") <= maxCenterDegree)
+    // wedge a—z—b with a < b; the center carries its degree weight
+    val degZ = deg.select(col("z").as("dz"), col("d"))
+    val wedges = adj.as("l")
+      .join(adj.as("r"), col("l.z") === col("r.z") && col("l.n") < col("r.n"))
+      .join(degZ, col("l.z") === col("dz"))
+      .select(col("l.n").as("wu"), col("r.n").as("wv"),
+        (lit(1.0) / log(col("d").cast("double"))).as("w"))
+    wedges
+      .groupBy(col("wu").as("u"), col("wv").as("v"))
+      .agg(count(lit(1)).as("common"), round(sum(col("w")), 6).as("aa_score"))
+      // link PREDICTION: only pairs not already connected
+      .join(e, Seq("u", "v"), "left_anti")
+  }
 }
