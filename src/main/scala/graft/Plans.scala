@@ -60,7 +60,12 @@ object Plans {
       "q_kmeans_step" -> "k-means Lloyd step: k centroids broadcast into a single corpus scan, per-vector argmin window, k-group final aggregate — the corpus never re-partitions across iterations",
       "q_rrf_fusion" -> "Reciprocal-rank fusion: query vectors broadcast once, both rankers and the fused top-k run as windows over one scored pass",
       "q_mann_whitney" -> "Mann-Whitney U: corpus collapses to the distinct-value histogram (partial agg before the shuffle); the global rank window only ever sees the histogram",
-      "q_ewma" -> "EWMA: one shuffle to the per-key ordered fold — no per-row window state, no iterative joins")
+      "q_ewma" -> "EWMA: one shuffle to the per-key ordered fold — no per-row window state, no iterative joins",
+      "q_stochastic" -> "Stochastic %K/%D: one Exchange builds the (symbol, hour) bars, one Exchange re-keys to symbol — all three windows (channel min/max, %D SMA, row_number) share the second Sort",
+      "q_macd" -> "MACD: bar build + one shuffle to the per-symbol struct fold (ema12/ema26/signal in one pass) — recursive indicator with zero iterative joins and zero window state",
+      "q_adamic_adar" -> "Adamic-Adar: adjacency wedge equi-join on the center node (no cartesian), degree weight joined once, left-anti against existing edges",
+      "q_power_iteration" -> "PCA power step: corpus outer-product collapses to dim^2 cells (partial agg before the shuffle); means/norm broadcast back — no |corpus| x |corpus| anything",
+      "q_auc_roc" -> "AUC-ROC: corpus collapses to the per-score histogram (partial agg), rank-sum window runs over |distinct scores| rows only")
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the headline queries\n\n")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -257,7 +257,13 @@ object SparkEntry {
     "q_target_encode" -> (Ext20Queries.targetEncode _),
     "q_mi_features" -> (Ext20Queries.miFeatures _),
     "q_bot_detection" -> (Ext20Queries.botDetection _),
-    "q_power_iteration" -> (Ext20Queries.powerIteration _)
+    "q_power_iteration" -> (Ext20Queries.powerIteration _),
+    "q_auc_roc" -> (Ext21Queries.aucRoc _),
+    "q_calibration_bins" -> (Ext21Queries.calibrationBins _),
+    "q_lift_curve" -> (Ext21Queries.liftCurve _),
+    "q_kalman_1d" -> (Ext21Queries.kalman1d _),
+    "q_two_core" -> (Ext21Queries.twoCore _),
+    "q_entity_blocking" -> (Ext21Queries.entityBlocking _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -688,6 +694,12 @@ object SparkEntry {
     "q_target_encode" -> Ext20Queries.targetEncodeOracle,
     "q_mi_features" -> Ext20Queries.miFeaturesOracle,
     "q_bot_detection" -> Ext20Queries.botDetectionOracle,
-    "q_power_iteration" -> Ext20Queries.powerIterationOracle
+    "q_power_iteration" -> Ext20Queries.powerIterationOracle,
+    "q_auc_roc" -> Ext21Queries.aucRocOracle,
+    "q_calibration_bins" -> Ext21Queries.calibrationBinsOracle,
+    "q_lift_curve" -> Ext21Queries.liftCurveOracle,
+    "q_kalman_1d" -> Ext21Queries.kalman1dOracle,
+    "q_two_core" -> Ext21Queries.twoCoreOracle,
+    "q_entity_blocking" -> Ext21Queries.entityBlockingOracle
   )
 }
