@@ -299,4 +299,90 @@ class PlanSpec extends SparkTestBase {
       }.orElse(sys.error("window input is the raw corpus, not the histogram"))
     }
   }
+
+  test("stochastic: bar build + symbol re-key — exactly two shuffles, all " +
+      "indicator windows share the second sort") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext19Queries.stochastic(spark, sf))
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size == 2,
+        s"expected bars + symbol re-key shuffles only, got ${shuffles.size}")
+      val sorts = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      // one sort inside the bar build (open/close windows), one for the
+      // symbol-ordered indicator windows — fragmentation would add more
+      assert(sorts.size <= 2, s"indicator windows re-sorting: ${sorts.size}")
+    }
+  }
+
+  test("macd fold: no window state, no iterative joins — one shuffle to the " +
+      "per-symbol aggregate after the bar build") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext19Queries.macd(spark, sf))
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        "macd should not join at all")
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size <= 2,
+        s"bar build + fold shuffle only, got ${shuffles.size}")
+      // the collect_list fold must partial-aggregate map-side
+      assert(plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+      }.size >= 2, "per-symbol fold not partial-aggregated")
+    }
+  }
+
+  test("adamic-adar: wedge join is an equi-join — no cartesian anywhere") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext20Queries.adamicAdar(spark, sf))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "wedge enumeration degenerated to a cartesian")
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+        .count(_.joinType.toString != "Cross") == 0,
+        "non-trivial nested-loop join in the wedge pass")
+    }
+  }
+
+  test("power iteration: corpus collapses to dim^2 cells with partial " +
+      "aggregation before the shuffle; no cartesian") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext20Queries.powerIteration(spark, sf))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "outer-product pass built a cartesian")
+      // the (i, j) sxy aggregate must have a partial stage under the join
+      val aggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggs.size >= 2, "outer-product cells not partial-aggregated")
+    }
+  }
+
+  test("auc-roc: rank-sum window runs over the score histogram, not the corpus") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext21Queries.aucRoc(spark, sf))
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.size == 1)
+      windows.head.collectFirst {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }.orElse(sys.error("rank window input is the raw corpus, not the histogram"))
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      assert(scans.forall(
+        _.requiredSchema.fieldNames.toSet.subsetOf(
+          Set("l_discount", "l_returnflag"))),
+        "AUC scan reads more than the score/label columns")
+    }
+  }
+
+  test("entity blocking: the fuzzy join is an equi-join on the block key " +
+      "(levenshtein never gates the join itself)") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext21Queries.entityBlocking(spark, sf))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "blocked join degenerated to all-pairs")
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        "blocked join degenerated to a nested loop")
+    }
+  }
 }
