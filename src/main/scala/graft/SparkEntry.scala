@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -263,7 +263,19 @@ object SparkEntry {
     "q_lift_curve" -> (Ext21Queries.liftCurve _),
     "q_kalman_1d" -> (Ext21Queries.kalman1d _),
     "q_two_core" -> (Ext21Queries.twoCore _),
-    "q_entity_blocking" -> (Ext21Queries.entityBlocking _)
+    "q_entity_blocking" -> (Ext21Queries.entityBlocking _),
+    "q_streaks" -> (Ext22Queries.streaks _),
+    "q_seasonality" -> (Ext22Queries.seasonality _),
+    "q_silhouette" -> (Ext22Queries.silhouette _),
+    "q_js_divergence" -> (Ext22Queries.jsDivergence _),
+    "q_portfolio_var" -> (Ext22Queries.portfolioVar _),
+    "q_jarque_bera" -> (Ext22Queries.jarqueBera _),
+    "q_sharpe_sortino" -> (Ext23Queries.sharpeSortino _),
+    "q_updown_capture" -> (Ext23Queries.upDownCapture _),
+    "q_drawdown_duration" -> (Ext23Queries.drawdownDuration _),
+    "q_hurst" -> (Ext23Queries.hurst _),
+    "q_information_ratio" -> (Ext23Queries.informationRatio _),
+    "q_var_es" -> (Ext23Queries.varEs _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -700,6 +712,18 @@ object SparkEntry {
     "q_lift_curve" -> Ext21Queries.liftCurveOracle,
     "q_kalman_1d" -> Ext21Queries.kalman1dOracle,
     "q_two_core" -> Ext21Queries.twoCoreOracle,
-    "q_entity_blocking" -> Ext21Queries.entityBlockingOracle
+    "q_entity_blocking" -> Ext21Queries.entityBlockingOracle,
+    "q_streaks" -> Ext22Queries.streaksOracle,
+    "q_seasonality" -> Ext22Queries.seasonalityOracle,
+    "q_silhouette" -> Ext22Queries.silhouetteOracle,
+    "q_js_divergence" -> Ext22Queries.jsDivergenceOracle,
+    "q_portfolio_var" -> Ext22Queries.portfolioVarOracle,
+    "q_jarque_bera" -> Ext22Queries.jarqueBeraOracle,
+    "q_sharpe_sortino" -> Ext23Queries.sharpeSortinoOracle,
+    "q_updown_capture" -> Ext23Queries.upDownCaptureOracle,
+    "q_drawdown_duration" -> Ext23Queries.drawdownDurationOracle,
+    "q_hurst" -> Ext23Queries.hurstOracle,
+    "q_information_ratio" -> Ext23Queries.informationRatioOracle,
+    "q_var_es" -> Ext23Queries.varEsOracle
   )
 }
