@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, Ext24Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -275,7 +275,8 @@ object SparkEntry {
     "q_drawdown_duration" -> (Ext23Queries.drawdownDuration _),
     "q_hurst" -> (Ext23Queries.hurst _),
     "q_information_ratio" -> (Ext23Queries.informationRatio _),
-    "q_var_es" -> (Ext23Queries.varEs _)
+    "q_var_es" -> (Ext23Queries.varEs _),
+    "q_topk_agg" -> (Ext24Queries.topkAgg _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -724,6 +725,7 @@ object SparkEntry {
     "q_drawdown_duration" -> Ext23Queries.drawdownDurationOracle,
     "q_hurst" -> Ext23Queries.hurstOracle,
     "q_information_ratio" -> Ext23Queries.informationRatioOracle,
-    "q_var_es" -> Ext23Queries.varEsOracle
+    "q_var_es" -> Ext23Queries.varEsOracle,
+    "q_topk_agg" -> Ext24Queries.topkAggOracle
   )
 }

@@ -7,8 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [nameSubstring...] — extra args (dev-only; the
     // driver passes two) restrict the dump to matching query names.
+    // Comma-separated lists inside one arg split too — "a,b" as a single
+    // substring can never match a query name, only mask everything silently.
     val Array(sfDir, outDir) = args.take(2)
-    val nameFilter = args.drop(2)
+    val nameFilter = args.drop(2).flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
