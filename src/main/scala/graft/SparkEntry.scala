@@ -276,7 +276,10 @@ object SparkEntry {
     "q_hurst" -> (Ext23Queries.hurst _),
     "q_information_ratio" -> (Ext23Queries.informationRatio _),
     "q_var_es" -> (Ext23Queries.varEs _),
-    "q_topk_agg" -> (Ext24Queries.topkAgg _)
+    "q_topk_agg" -> (Ext24Queries.topkAgg _),
+    "q_tpch_q4" -> (Ext9Queries.tpchQ4 _),
+    "q_tpch_q12" -> (Ext9Queries.tpchQ12 _),
+    "q_tpch_q22" -> (Ext9Queries.tpchQ22 _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -726,6 +729,9 @@ object SparkEntry {
     "q_hurst" -> Ext23Queries.hurstOracle,
     "q_information_ratio" -> Ext23Queries.informationRatioOracle,
     "q_var_es" -> Ext23Queries.varEsOracle,
-    "q_topk_agg" -> Ext24Queries.topkAggOracle
+    "q_topk_agg" -> Ext24Queries.topkAggOracle,
+    "q_tpch_q4" -> Ext9Queries.tpchQ4Oracle,
+    "q_tpch_q12" -> Ext9Queries.tpchQ12Oracle,
+    "q_tpch_q22" -> Ext9Queries.tpchQ22Oracle
   )
 }

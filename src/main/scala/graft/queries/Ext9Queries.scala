@@ -651,4 +651,123 @@ object Ext9Queries {
        |QUALIFY row_number() OVER (
        |  PARTITION BY c.query_id
        |  ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, c.neighbor_id) <= 5""".stripMargin
+
+  /** TPC-H Q4 shape (order-priority checking): the EXISTS-decorrelated
+    * left-semi join — orders in a quarter window that have at least one
+    * "late" line (adapted predicate: shipped >60 days after order date;
+    * the synthetic lineitem carries no commit/receipt dates — same
+    * adaptation as Q21), counted per priority class. Scale: one semi-join
+    * shuffle on the order key, integer-exact counts, 5-row result.
+    */
+  def tpchQ4(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-04-01").cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val l = Tables.lineitem(s, dir).select("l_orderkey", "l_shipdate")
+    o.join(l,
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val tpchQ4Oracle: String =
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (
+      |    SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q12 shape (shipping-mode priority split): fact-fact join with a
+    * conditional two-class aggregate — high/low priority line counts per
+    * class over a one-year ship window. The synthetic lineitem has no
+    * l_shipmode, so the class column adapts to l_returnflag; counts stay
+    * integer-exact. Scale: one shuffle on the order key, partial
+    * aggregation on both classes before it.
+    */
+  def tpchQ12(s: SparkSession, dir: String): DataFrame = {
+    val l = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag")
+    val o = Tables.orders(s, dir).select("o_orderkey", "o_orderpriority")
+    val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag").as("ship_class"))
+      .agg(
+        sum(when(high, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(high, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy(col("ship_class"))
+  }
+
+  val tpchQ12Oracle: String =
+    """SELECT l_returnflag AS ship_class,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY ship_class""".stripMargin
+
+  /** TPC-H Q22 shape (global sales opportunity): scalar-subquery threshold +
+    * anti join — rich customers (balance above the positive-balance mean of
+    * their cohort) with no RECENT orders (none on/after 1999-01-01 — the
+    * original's "no orders in 7 years" flavor; the synthetic corpus has no
+    * orderless customers at all), grouped by country. The synthetic
+    * customer has no phone, so "country code" adapts to c_nationkey over a
+    * 7-nation cohort. The mean is DECIMAL-staged (exact sum, one double
+    * division) so the threshold compare is deterministic; balance totals
+    * are DECIMAL-exact. Scale: threshold broadcast (1 row), anti join
+    * shuffles on custkey with the date predicate pushed into the build-side
+    * scan, 7-row result.
+    */
+  def tpchQ22(s: SparkSession, dir: String): DataFrame = {
+    val cohort = Tables.customer(s, dir)
+      .filter(col("c_nationkey") < 7)
+      .select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast(DecimalType(18, 2)).as("bal"))
+    val thr = cohort.filter(col("bal") > 0)
+      .agg((sum(col("bal")).cast("double") / count(lit(1))).as("thr"))
+    val rich = cohort.crossJoin(broadcast(thr))
+      .filter(col("bal").cast("double") > col("thr"))
+    val recent = Tables.orders(s, dir)
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    rich.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey").as("cntrycode"))
+      .agg(count(lit(1)).as("numcust"),
+        sum(col("bal")).cast("double").as("totacctbal"))
+      .orderBy(col("cntrycode"))
+  }
+
+  val tpchQ22Oracle: String =
+    """WITH cohort AS (
+      |  SELECT c_custkey, c_nationkey,
+      |    CAST(c_acctbal AS DECIMAL(18,2)) AS bal
+      |  FROM customer WHERE c_nationkey < 7
+      |), thr AS (
+      |  SELECT CAST(SUM(bal) AS DOUBLE) / COUNT(*) AS thr
+      |  FROM cohort WHERE bal > 0
+      |)
+      |SELECT c_nationkey AS cntrycode,
+      |  CAST(COUNT(*) AS BIGINT) AS numcust,
+      |  CAST(SUM(bal) AS DOUBLE) AS totacctbal
+      |FROM cohort CROSS JOIN thr
+      |WHERE CAST(bal AS DOUBLE) > thr
+      |  AND NOT EXISTS (
+      |    SELECT 1 FROM orders WHERE o_custkey = c_custkey
+      |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+      |GROUP BY c_nationkey
+      |ORDER BY cntrycode""".stripMargin
 }
