@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, Ext24Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, Ext24Queries, Ext25Queries, Ext26Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -279,7 +279,20 @@ object SparkEntry {
     "q_topk_agg" -> (Ext24Queries.topkAgg _),
     "q_tpch_q4" -> (Ext9Queries.tpchQ4 _),
     "q_tpch_q12" -> (Ext9Queries.tpchQ12 _),
-    "q_tpch_q22" -> (Ext9Queries.tpchQ22 _)
+    "q_tpch_q22" -> (Ext9Queries.tpchQ22 _),
+    "q_tpch_q2" -> (Ext25Queries.tpchQ2 _),
+    "q_tpch_q9" -> (Ext25Queries.tpchQ9 _),
+    "q_tpch_q11" -> (Ext25Queries.tpchQ11 _),
+    "q_tpch_q16" -> (Ext25Queries.tpchQ16 _),
+    "q_tpch_q20" -> (Ext25Queries.tpchQ20 _),
+    "q_bm25" -> (Ext26Queries.bm25 _),
+    "q_ecdf" -> (Ext26Queries.ecdf _),
+    "q_cv_folds" -> (Ext26Queries.cvFolds _),
+    "q_group_split" -> (Ext26Queries.groupSplit _),
+    "q_calmar_omega" -> (Ext23Queries.calmarOmega _),
+    "q_pairs_spread" -> (Ext23Queries.pairsSpread _),
+    "q_turnover" -> (Ext23Queries.turnover _),
+    "q_jensen_alpha" -> (Ext23Queries.jensenAlpha _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -732,6 +745,19 @@ object SparkEntry {
     "q_topk_agg" -> Ext24Queries.topkAggOracle,
     "q_tpch_q4" -> Ext9Queries.tpchQ4Oracle,
     "q_tpch_q12" -> Ext9Queries.tpchQ12Oracle,
-    "q_tpch_q22" -> Ext9Queries.tpchQ22Oracle
+    "q_tpch_q22" -> Ext9Queries.tpchQ22Oracle,
+    "q_tpch_q2" -> Ext25Queries.tpchQ2Oracle,
+    "q_tpch_q9" -> Ext25Queries.tpchQ9Oracle,
+    "q_tpch_q11" -> Ext25Queries.tpchQ11Oracle,
+    "q_tpch_q16" -> Ext25Queries.tpchQ16Oracle,
+    "q_tpch_q20" -> Ext25Queries.tpchQ20Oracle,
+    "q_bm25" -> Ext26Queries.bm25Oracle,
+    "q_ecdf" -> Ext26Queries.ecdfOracle,
+    "q_cv_folds" -> Ext26Queries.cvFoldsOracle,
+    "q_group_split" -> Ext26Queries.groupSplitOracle,
+    "q_calmar_omega" -> Ext23Queries.calmarOmegaOracle,
+    "q_pairs_spread" -> Ext23Queries.pairsSpreadOracle,
+    "q_turnover" -> Ext23Queries.turnoverOracle,
+    "q_jensen_alpha" -> Ext23Queries.jensenAlphaOracle
   )
 }

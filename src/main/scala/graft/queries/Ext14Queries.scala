@@ -7,15 +7,14 @@ import org.apache.spark.sql.types.DecimalType
 
 import graft.sources.Tables
 
-/** TPC-H completion batch: the remaining dialect-expressible TPC-H
-  * topologies over the driver corpus (which omits partsupp and the
-  * comment/shipmode/phone/container columns, so Q2/Q4/Q9/Q11/Q12/Q16/
-  * Q20/Q22 have no faithful rendering): full Q1 pricing summary, Q7
-  * volume shipping, Q8 market share, Q13 order-count distribution, Q15
-  * top supplier, Q19 adapted (disjunctive predicates without
-  * p_container), plus the binaryFile blob source. Together with
-  * Q3/Q5/Q6/Q10/Q14/Q17/Q18/Q21 this closes out every expressible TPC-H
-  * shape.
+/** TPC-H completion batch: full Q1 pricing summary, Q7 volume shipping,
+  * Q8 market share, Q13 order-count distribution, Q15 top supplier, Q19
+  * adapted (disjunctive predicates without p_container), plus the
+  * binaryFile blob source. The corpus omits partsupp and the
+  * comment/shipmode/phone/container columns; Q4/Q12/Q22 live in
+  * [[Ext9Queries]] with adapted predicates, and the partsupp-dependent
+  * Q2/Q9/Q11/Q16/Q20 live in [[Ext25Queries]] over a derived partsupp —
+  * together all 22 TPC-H shapes are represented.
   */
 object Ext14Queries {
 

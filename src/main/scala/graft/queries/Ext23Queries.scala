@@ -238,4 +238,109 @@ object Ext23Queries {
       |  ROUND(-a[k], 6) AS var_95,
       |  ROUND(-list_sum(a[1:k]) / k, 6) AS es_95
       |FROM kk""".stripMargin
+
+  /** Calmar (annualized return over max drawdown) and Omega (gain/loss
+    * ratio at threshold 0) per symbol — the two drawdown/partial-moment
+    * ratios the Sharpe/Sortino pair misses. Running peak via cumulative
+    * MAX window; drawdown algebra on raw doubles, round(6) at the edge.
+    */
+  private val calmarBody: String =
+    """, p AS (
+      |  SELECT event_type, hr_us, close,
+      |    MAX(close) OVER (PARTITION BY event_type ORDER BY hr_us
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+      |  FROM bars
+      |), dd AS (
+      |  SELECT event_type, MIN(close / peak - 1) AS maxdd FROM p GROUP BY 1
+      |), agg AS (
+      |  SELECT event_type, AVG(ret) * 8760.0 AS ann_ret,
+      |    SUM(CASE WHEN ret > 0 THEN ret ELSE 0 END) AS gains,
+      |    SUM(CASE WHEN ret < 0 THEN -ret ELSE 0 END) AS losses
+      |  FROM rr GROUP BY 1
+      |)
+      |SELECT a.event_type,
+      |  ROUND(a.ann_ret / (-d.maxdd), 6) AS calmar,
+      |  ROUND(a.gains / a.losses, 6) AS omega,
+      |  ROUND(-d.maxdd, 6) AS max_drawdown
+      |FROM agg a JOIN dd d ON a.event_type = d.event_type""".stripMargin
+
+  def calmarOmega(s: SparkSession, dir: String): DataFrame =
+    sparkQ(s, dir, calmarBody)
+  val calmarOmegaOracle: String = duckQ(calmarBody)
+
+  /** Pairs-trading spread monitor for the (click, view) pair: log price
+    * ratio of the hourly closes, z-scored against the full-sample spread
+    * mean/σ, emitting the divergence hours (|z| > 1.5) a stat-arb desk
+    * would trade. The mean/σ is a 1-row aggregate broadcast back — the
+    * same scalar-threshold topology as q_tpch_q11/q22.
+    */
+  private val pairsBody: String =
+    """, c1 AS (SELECT hr_us, close FROM bars WHERE event_type = 'click'),
+      |c2 AS (SELECT hr_us, close FROM bars WHERE event_type = 'view'),
+      |sp AS (
+      |  SELECT c1.hr_us, ln(c1.close / c2.close) AS spread
+      |  FROM c1 JOIN c2 ON c1.hr_us = c2.hr_us
+      |), st AS (
+      |  SELECT AVG(spread) AS mu, stddev_samp(spread) AS sd FROM sp
+      |)
+      |SELECT sp.hr_us, ROUND(sp.spread, 6) AS spread,
+      |  ROUND((sp.spread - st.mu) / st.sd, 6) AS z
+      |FROM sp CROSS JOIN st
+      |WHERE abs((sp.spread - st.mu) / st.sd) > 1.5""".stripMargin
+
+  def pairsSpread(s: SparkSession, dir: String): DataFrame =
+    sparkQ(s, dir, pairsBody)
+  val pairsSpreadOracle: String = duckQ(pairsBody)
+
+  /** Portfolio turnover of the value-weighted 5-symbol book: per-hour
+    * weights w = close/Σclose (hours where all 5 symbols print), turnover
+    * = ½·Σ|Δw| vs the previous complete hour. One bar aggregate, one
+    * per-hour total (broadcastable), one symbol-partitioned lag — then a
+    * 1-row audit (mean/max turnover).
+    */
+  private val turnoverBody: String =
+    """, tot AS (
+      |  SELECT hr_us, SUM(close) AS tot, COUNT(*) AS k FROM bars GROUP BY 1
+      |), wts AS (
+      |  SELECT b.event_type, b.hr_us, b.close / t.tot AS w
+      |  FROM bars b JOIN tot t ON b.hr_us = t.hr_us WHERE t.k = 5
+      |), ch AS (
+      |  SELECT event_type, hr_us,
+      |    abs(w - lag(w) OVER (PARTITION BY event_type ORDER BY hr_us)) AS dw
+      |  FROM wts
+      |), per_hr AS (
+      |  SELECT hr_us, SUM(dw) / 2 AS turnover
+      |  FROM ch WHERE dw IS NOT NULL
+      |  GROUP BY hr_us HAVING COUNT(*) = 5
+      |)
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |  ROUND(AVG(turnover), 6) AS avg_turnover,
+      |  ROUND(MAX(turnover), 6) AS max_turnover
+      |FROM per_hr""".stripMargin
+
+  def turnover(s: SparkSession, dir: String): DataFrame =
+    sparkQ(s, dir, turnoverBody)
+  val turnoverOracle: String = duckQ(turnoverBody)
+
+  /** Jensen's alpha vs the equal-weight market: per-symbol CAPM beta from
+    * population covariance/variance, alpha = (mean return − β·mean market
+    * return), annualized. Same joined base as the information ratio; the
+    * regression moments are single-pass aggregates.
+    */
+  private val jensenBody: String =
+    """, mkt AS (
+      |  SELECT hr_us, AVG(ret) AS mret FROM rr GROUP BY hr_us
+      |), j AS (
+      |  SELECT rr.event_type, rr.ret, mkt.mret
+      |  FROM rr JOIN mkt ON rr.hr_us = mkt.hr_us
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  ROUND(covar_pop(ret, mret) / var_pop(mret), 6) AS beta,
+      |  ROUND((AVG(ret) - covar_pop(ret, mret) / var_pop(mret) * AVG(mret))
+      |    * 8760.0, 6) AS jensen_alpha
+      |FROM j GROUP BY event_type""".stripMargin
+
+  def jensenAlpha(s: SparkSession, dir: String): DataFrame =
+    sparkQ(s, dir, jensenBody)
+  val jensenAlphaOracle: String = duckQ(jensenBody)
 }
