@@ -65,7 +65,13 @@ object Plans {
       "q_macd" -> "MACD: bar build + one shuffle to the per-symbol struct fold (ema12/ema26/signal in one pass) — recursive indicator with zero iterative joins and zero window state",
       "q_adamic_adar" -> "Adamic-Adar: adjacency wedge equi-join on the center node (no cartesian), degree weight joined once, left-anti against existing edges",
       "q_power_iteration" -> "PCA power step: corpus outer-product collapses to dim^2 cells (partial agg before the shuffle); means/norm broadcast back — no |corpus| x |corpus| anything",
-      "q_auc_roc" -> "AUC-ROC: corpus collapses to the per-score histogram (partial agg), rank-sum window runs over |distinct scores| rows only")
+      "q_auc_roc" -> "AUC-ROC: corpus collapses to the per-score histogram (partial agg), rank-sum window runs over |distinct scores| rows only",
+      "q_tpch_q2" -> "TPC-H Q2 (derived partsupp): correlated min-cost subquery rewritten to a window MIN over ps_partkey — one shuffle replaces per-part re-aggregation; part + region-filtered supplier dims broadcast",
+      "q_tpch_q9" -> "TPC-H Q9 (derived partsupp): part semi-filter + supplier/nation broadcast; the one genuine fact x fact join (lineitem x partsupp) meets on the composite key; DECIMAL-exact profit",
+      "q_tpch_q11" -> "TPC-H Q11 (derived partsupp): scalar threshold as a 1-row aggregate broadcast back (cross join), cohort semi-join before the value aggregate",
+      "q_bm25" -> "Okapi BM25: one explode feeds doclen + query-term tf aggregates; df broadcast back; only doc-keyed exchanges — no cartesian, no UDF",
+      "q_ecdf" -> "ECDF normalization: one type-partitioned Sort under the cume_dist window, decile histogram partial-aggregates after it, 2-column pruned scan",
+      "q_group_split" -> "Group-aware split: md5-bucket assignment is a pure projection — zero joins, the audit aggregate is the only wide work")
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the headline queries\n\n")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, Ext24Queries, Ext25Queries, Ext26Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, Ext24Queries, Ext25Queries, Ext26Queries, Ext27Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -292,7 +292,11 @@ object SparkEntry {
     "q_calmar_omega" -> (Ext23Queries.calmarOmega _),
     "q_pairs_spread" -> (Ext23Queries.pairsSpread _),
     "q_turnover" -> (Ext23Queries.turnover _),
-    "q_jensen_alpha" -> (Ext23Queries.jensenAlpha _)
+    "q_jensen_alpha" -> (Ext23Queries.jensenAlpha _),
+    "q_zipf_fit" -> (Ext27Queries.zipfFit _),
+    "q_pmi_collocations" -> (Ext27Queries.pmiCollocations _),
+    "q_fk_discovery" -> (Ext27Queries.fkDiscovery _),
+    "q_anomaly_resid" -> (Ext27Queries.anomalyResid _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -758,6 +762,10 @@ object SparkEntry {
     "q_calmar_omega" -> Ext23Queries.calmarOmegaOracle,
     "q_pairs_spread" -> Ext23Queries.pairsSpreadOracle,
     "q_turnover" -> Ext23Queries.turnoverOracle,
-    "q_jensen_alpha" -> Ext23Queries.jensenAlphaOracle
+    "q_jensen_alpha" -> Ext23Queries.jensenAlphaOracle,
+    "q_zipf_fit" -> Ext27Queries.zipfFitOracle,
+    "q_pmi_collocations" -> Ext27Queries.pmiCollocationsOracle,
+    "q_fk_discovery" -> Ext27Queries.fkDiscoveryOracle,
+    "q_anomaly_resid" -> Ext27Queries.anomalyResidOracle
   )
 }

@@ -292,35 +292,45 @@ object Ext23Queries {
     sparkQ(s, dir, pairsBody)
   val pairsSpreadOracle: String = duckQ(pairsBody)
 
-  /** Portfolio turnover of the value-weighted 5-symbol book: per-hour
-    * weights w = close/Σclose (hours where all 5 symbols print), turnover
-    * = ½·Σ|Δw| vs the previous complete hour. One bar aggregate, one
-    * per-hour total (broadcastable), one symbol-partitioned lag — then a
-    * 1-row audit (mean/max turnover).
+  /** Portfolio turnover of the value-weighted 5-symbol book at DAILY
+    * rebalance grain (hourly bars are too sparse at the smallest scale
+    * factor to ever print all 5 symbols in one hour): last hourly close
+    * per day → weights w = close/Σclose on days where all 5 symbols
+    * print → turnover = ½·Σ|Δw| vs the previous complete day. One bar
+    * re-aggregate, one per-day total (broadcastable), one
+    * symbol-partitioned lag — then a 1-row audit (mean/max).
     */
   private val turnoverBody: String =
-    """, tot AS (
-      |  SELECT hr_us, SUM(close) AS tot, COUNT(*) AS k FROM bars GROUP BY 1
+    """, db AS (
+      |  SELECT event_type, hr_us div 86400000000 AS day_no, close,
+      |    row_number() OVER (PARTITION BY event_type,
+      |      hr_us div 86400000000 ORDER BY hr_us DESC) AS brn
+      |  FROM bars
+      |), dc AS (
+      |  SELECT event_type, day_no, close FROM db WHERE brn = 1
+      |), tot AS (
+      |  SELECT day_no, SUM(close) AS tot, COUNT(*) AS k FROM dc GROUP BY 1
       |), wts AS (
-      |  SELECT b.event_type, b.hr_us, b.close / t.tot AS w
-      |  FROM bars b JOIN tot t ON b.hr_us = t.hr_us WHERE t.k = 5
+      |  SELECT dc.event_type, dc.day_no, dc.close / t.tot AS w
+      |  FROM dc JOIN tot t ON dc.day_no = t.day_no WHERE t.k = 5
       |), ch AS (
-      |  SELECT event_type, hr_us,
-      |    abs(w - lag(w) OVER (PARTITION BY event_type ORDER BY hr_us)) AS dw
+      |  SELECT event_type, day_no,
+      |    abs(w - lag(w) OVER (PARTITION BY event_type ORDER BY day_no)) AS dw
       |  FROM wts
-      |), per_hr AS (
-      |  SELECT hr_us, SUM(dw) / 2 AS turnover
+      |), per_day AS (
+      |  SELECT day_no, SUM(dw) / 2 AS turnover
       |  FROM ch WHERE dw IS NOT NULL
-      |  GROUP BY hr_us HAVING COUNT(*) = 5
+      |  GROUP BY day_no HAVING COUNT(*) = 5
       |)
-      |SELECT CAST(COUNT(*) AS BIGINT) AS n_hours,
+      |SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
       |  ROUND(AVG(turnover), 6) AS avg_turnover,
       |  ROUND(MAX(turnover), 6) AS max_turnover
-      |FROM per_hr""".stripMargin
+      |FROM per_day""".stripMargin
 
   def turnover(s: SparkSession, dir: String): DataFrame =
     sparkQ(s, dir, turnoverBody)
   val turnoverOracle: String = duckQ(turnoverBody)
+    .replace(" div 86400000000", " // 86400000000")
 
   /** Jensen's alpha vs the equal-weight market: per-symbol CAPM beta from
     * population covariance/variance, alpha = (mean return − β·mean market

@@ -74,4 +74,50 @@ class Ext23Spec extends SparkTestBase {
       assert(k <= math.ceil(n * 0.05).toInt + 1)
     }
   }
+
+  test("calmar/omega: drawdown in (0,1], omega positive, finite ratios") {
+    val rows = Ext23Queries.calmarOmega(spark, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val dd = r.getAs[Double]("max_drawdown")
+      assert(dd > 0.0 && dd <= 1.0)
+      assert(r.getAs[Double]("omega") > 0.0)
+      val c = r.getAs[Double]("calmar")
+      assert(!c.isNaN && !c.isInfinite)
+    }
+  }
+
+  test("pairs spread: only divergence hours survive (|z| > 1.5), z finite") {
+    val rows = Ext23Queries.pairsSpread(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val z = r.getAs[Double]("z")
+      assert(math.abs(z) > 1.5 - 1e-9)
+      assert(!z.isNaN && !z.isInfinite)
+      assert(!r.getAs[Double]("spread").isNaN)
+    }
+  }
+
+  test("turnover: one audit row, 0 < avg <= max <= 1") {
+    val rows = Ext23Queries.turnover(spark, sf).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("n_days") > 0)
+    val (a, m) = (r.getAs[Double]("avg_turnover"), r.getAs[Double]("max_turnover"))
+    // turnover = half the L1 weight change: bounded by 1 by construction
+    assert(a > 0.0 && a <= m && m <= 1.0)
+  }
+
+  test("jensen alpha: betas average ~1 against the equal-weight market") {
+    val rows = Ext23Queries.jensenAlpha(spark, sf).collect()
+    assert(rows.length == 5)
+    val meanBeta = rows.map(_.getAs[Double]("beta")).sum / 5
+    // the market IS the average of the 5 series, so cross-sectional mean
+    // beta is ~1 (not exactly: per-symbol join drops differ)
+    assert(math.abs(meanBeta - 1.0) < 0.25, s"mean beta $meanBeta")
+    rows.foreach { r =>
+      val a = r.getAs[Double]("jensen_alpha")
+      assert(!a.isNaN && !a.isInfinite)
+    }
+  }
 }

@@ -385,4 +385,63 @@ class PlanSpec extends SparkTestBase {
         "blocked join degenerated to a nested loop")
     }
   }
+
+  test("TPC-H Q9: dims broadcast — the only sort-merge join pairs the two " +
+      "fact sides on the composite (partkey, suppkey)") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext25Queries.tpchQ9(spark, sf))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty)
+      // part semi, supplier/nation, orders side: broadcast; lineitem ⋈
+      // derived-partsupp may legitimately sort-merge (fact × fact)
+      val smj = plan.collect { case j: SortMergeJoinExec => j }
+      assert(smj.size <= 2, s"fact joins fragmented: ${smj.size} SMJs")
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
+        "dimension joins not broadcast")
+    }
+  }
+
+  test("bm25: df/stats broadcast back — no cartesian, no nested loop, and " +
+      "the score aggregate partial-aggregates map-side") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext26Queries.bm25(spark, sf))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty)
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty)
+      val aggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggs.size >= 2, "per-doc score sum not partial-aggregated")
+    }
+  }
+
+  test("ecdf: one type-partitioned sort feeds the rank window; the decile " +
+      "histogram partial-aggregates after it") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext26Queries.ecdf(spark, sf))
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.size == 1, s"rank window fragmented: ${windows.size}")
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      // type re-key for the window + the decile groupBy
+      assert(shuffles.size <= 2, s"expected <=2 shuffles, got ${shuffles.size}")
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      assert(scans.forall(_.requiredSchema.fieldNames.toSet
+          .subsetOf(Set("event_type", "value"))),
+        "ecdf scan reads more than (event_type, value)")
+    }
+  }
+
+  test("group split: assignment is a projection — the audit aggregate is " +
+      "the only wide work, no joins anywhere") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext26Queries.groupSplit(spark, sf))
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty)
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      // count-distinct expand: partial + final exchange pair at most
+      assert(shuffles.size <= 2, s"split audit over-shuffles: ${shuffles.size}")
+    }
+  }
 }
