@@ -71,7 +71,9 @@ object Plans {
       "q_tpch_q11" -> "TPC-H Q11 (derived partsupp): scalar threshold as a 1-row aggregate broadcast back (cross join), cohort semi-join before the value aggregate",
       "q_bm25" -> "Okapi BM25: one explode feeds doclen + query-term tf aggregates; df broadcast back; only doc-keyed exchanges — no cartesian, no UDF",
       "q_ecdf" -> "ECDF normalization: one type-partitioned Sort under the cume_dist window, decile histogram partial-aggregates after it, 2-column pruned scan",
-      "q_group_split" -> "Group-aware split: md5-bucket assignment is a pure projection — zero joins, the audit aggregate is the only wide work")
+      "q_group_split" -> "Group-aware split: md5-bucket assignment is a pure projection — zero joins, the audit aggregate is the only wide work",
+      "q_stickiness" -> "DAU/MAU stickiness: the 28-day trailing distinct explodes each user-day into its anchor buckets — equi-join shape, no per-day rescan, no range nested loop",
+      "q_dbscan_core" -> "DBSCAN core step: 3x3 grid-cell equi-join with exact-distance residual — bounded candidate sets, never corpus x corpus")
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the headline queries\n\n")

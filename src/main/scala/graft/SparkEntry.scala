@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, Ext24Queries, Ext25Queries, Ext26Queries, Ext27Queries, Ext28Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, Ext24Queries, Ext25Queries, Ext26Queries, Ext27Queries, Ext28Queries, Ext29Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -299,7 +299,9 @@ object SparkEntry {
     "q_anomaly_resid" -> (Ext27Queries.anomalyResid _),
     "q_knn_classify" -> (Ext28Queries.knnClassify _),
     "q_stickiness" -> (Ext28Queries.stickiness _),
-    "q_dbscan_core" -> (Ext28Queries.dbscanCore _)
+    "q_dbscan_core" -> (Ext28Queries.dbscanCore _),
+    "q_retrieval_eval" -> (Ext29Queries.retrievalEval _),
+    "q_churn_features" -> (Ext29Queries.churnFeatures _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -772,6 +774,8 @@ object SparkEntry {
     "q_anomaly_resid" -> Ext27Queries.anomalyResidOracle,
     "q_knn_classify" -> Ext28Queries.knnClassifyOracle,
     "q_stickiness" -> Ext28Queries.stickinessOracle,
-    "q_dbscan_core" -> Ext28Queries.dbscanCoreOracle
+    "q_dbscan_core" -> Ext28Queries.dbscanCoreOracle,
+    "q_retrieval_eval" -> Ext29Queries.retrievalEvalOracle,
+    "q_churn_features" -> Ext29Queries.churnFeaturesOracle
   )
 }

@@ -433,6 +433,32 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("dbscan core: neighborhood join is an equi-join on the grid cell — " +
+      "no cartesian, no nested loop over the corpus") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext28Queries.dbscanCore(spark, sf))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "epsilon-neighborhood search degenerated to all-pairs")
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        "epsilon-neighborhood search degenerated to a nested loop")
+    }
+  }
+
+  test("stickiness: trailing-window distinct is explode-to-bucket — " +
+      "equi-joins only, no range-predicate nested loop") {
+    withStaticPlans {
+      val plan = planOf(graft.queries.Ext28Queries.stickiness(spark, sf))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty)
+      // the 1-row span crossJoin is a trivial broadcast; anything else
+      // nested-loop would mean the 28-day window became a range join
+      val bnl = plan.collect { case j: BroadcastNestedLoopJoinExec => j }
+      assert(bnl.size <= 1, s"range-join shape crept in: ${bnl.size} BNLJs")
+    }
+  }
+
   test("group split: assignment is a projection — the audit aggregate is " +
       "the only wide work, no joins anywhere") {
     withStaticPlans {
