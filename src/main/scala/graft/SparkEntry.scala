@@ -301,7 +301,8 @@ object SparkEntry {
     "q_stickiness" -> (Ext28Queries.stickiness _),
     "q_dbscan_core" -> (Ext28Queries.dbscanCore _),
     "q_retrieval_eval" -> (Ext29Queries.retrievalEval _),
-    "q_churn_features" -> (Ext29Queries.churnFeatures _)
+    "q_churn_features" -> (Ext29Queries.churnFeatures _),
+    "q_jaro_winkler" -> (Ext29Queries.jaroWinklerPairs _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -776,6 +777,7 @@ object SparkEntry {
     "q_stickiness" -> Ext28Queries.stickinessOracle,
     "q_dbscan_core" -> Ext28Queries.dbscanCoreOracle,
     "q_retrieval_eval" -> Ext29Queries.retrievalEvalOracle,
-    "q_churn_features" -> Ext29Queries.churnFeaturesOracle
+    "q_churn_features" -> Ext29Queries.churnFeaturesOracle,
+    "q_jaro_winkler" -> Ext29Queries.jaroWinklerPairsOracle
   )
 }

@@ -150,6 +150,36 @@ object Ext29Queries {
         round(avg(col("total_value").cast("double")), 6).as("avg_value"))
   }
 
+  /** Fuzzy name matching with the codegen'd [[graft.functions.JaroWinkler]]
+    * expression (Spark has levenshtein but no Jaro-Winkler; the oracle uses
+    * DuckDB's built-in `jaro_winkler_similarity`, which pins the exact
+    * semantics — 0.7 boost gate, 4-char prefix cap, empty→0). Candidate
+    * pairs come from p_type blocks over DISTINCT names (the entity-
+    * resolution blocking discipline: Σ|block|² work, never corpus²), the
+    * expression stays inside whole-stage codegen, and `name_a < name_b`
+    * halves the symmetric pairs.
+    */
+  def jaroWinklerPairs(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(s, dir).select("p_type", "p_name").distinct()
+    val a = names.select(col("p_type"), col("p_name").as("name_a"))
+    val b = names.select(col("p_type"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_type"))
+      .filter(col("name_a") < col("name_b"))
+      .withColumn("jw", graft.functions.JaroWinklerFunctions
+        .jaro_winkler(col("name_a"), col("name_b")))
+      .filter(col("jw") >= 0.8)
+      .select(col("p_type"), col("name_a"), col("name_b"),
+        round(col("jw"), 6).as("jw"))
+  }
+
+  val jaroWinklerPairsOracle: String =
+    """WITH names AS (SELECT DISTINCT p_type, p_name FROM part)
+      |SELECT a.p_type, a.p_name AS name_a, b.p_name AS name_b,
+      |  ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+      |FROM names a JOIN names b
+      |  ON a.p_type = b.p_type AND a.p_name < b.p_name
+      |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.8""".stripMargin
+
   val churnFeaturesOracle: String =
     """WITH ev AS (
       |  SELECT user_id, event_type, value,
