@@ -429,37 +429,47 @@ object Ext15Queries {
   /** Add-one-smoothed bigram language-model scoring: corpus bigram and
     * first-token counts, vocabulary size V, then per-document mean
     * log p(w2|w1) = ln((c(w1 w2)+1)/(c(w1)+V)) — the contextual upgrade of
-    * q_unigram_lm and the classic KenLM-style quality filter. Counts are
-    * corpus aggregates (two shuffles over hashed token keys); the per-doc
-    * score re-joins occurrences to the two count tables on token keys and
-    * stages log terms through DECIMAL(28,12). Documents with fewer than two
-    * tokens have no bigrams and drop out, matching the oracle's inner joins.
+    * q_unigram_lm and the classic KenLM-style quality filter. The corpus
+    * collapses ONCE to (doc, w1, w2, cnt); both model tables re-aggregate
+    * from that and broadcast back (they are bigram-vocabulary-sized —
+    * Heaps'-law ≪ corpus; for adversarial vocabularies drop the broadcast
+    * hints and the same plan sort-merges, per the q_unigram_lm note), so
+    * the corpus-sized side shuffles exactly once. Each distinct triple's
+    * log term is staged through DECIMAL(28,12) and weighted by cnt —
+    * bit-identical to summing per occurrence, under any partitioning.
+    * Documents with fewer than two tokens have no bigrams and drop out,
+    * matching the oracle's inner joins.
     */
   def bigramLm(s: SparkSession, dir: String): DataFrame = {
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-    val pairs = toks.select(col("doc_id"),
+    val docPairs = toks.select(col("doc_id"),
       explode(zip_with(
         slice(col("t"), lit(1), greatest(size(col("t")) - 1, lit(0))),
         slice(col("t"), lit(2), greatest(size(col("t")) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("pr"))
       .select(col("doc_id"), col("pr.w1"), col("pr.w2"))
-    val c2 = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val c1 = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .groupBy("doc_id", "w1", "w2").agg(count(lit(1)).as("cnt"))
+    val c2 = docPairs.groupBy("w1", "w2").agg(sum("cnt").as("c2"))
+    val c1 = docPairs.groupBy("w1").agg(sum("cnt").as("c1"))
     val v = toks.select(explode(col("t")).as("tok"))
       .agg(countDistinct("tok").as("vsz"))
-    pairs
-      .join(c2, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
+    docPairs
+      .join(broadcast(c2), Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
       .crossJoin(broadcast(v))
       .withColumn("logp",
         log((col("c2") + 1).cast("double") / (col("c1") + col("vsz"))))
       .groupBy("doc_id")
       .agg(
-        count(lit(1)).as("n_bigrams"),
+        sum("cnt").as("n_bigrams"),
         round(
-          sum(col("logp").cast(DecimalType(28, 12))).cast("double")
-            / count(lit(1)), 6).as("avg_logp"))
+          // cnt as DECIMAL(9,0): 28+9+1 = 38 keeps the product inside
+          // exact decimal range (a raw long would widen past 38 and let
+          // Spark round the product — observed 1e-6 drift vs the oracle)
+          sum(col("logp").cast(DecimalType(28, 12))
+              * col("cnt").cast(DecimalType(9, 0)))
+            .cast("double") / sum("cnt"), 6).as("avg_logp"))
   }
 
   val bigramLmOracle: String =
