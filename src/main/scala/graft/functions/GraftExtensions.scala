@@ -29,6 +29,8 @@ object GraftExtensions {
       (args: Seq[Expression]) => RegexTokenize(args(0), args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize",
       (args: Seq[Expression]) => NfcNormalize(args(0)), "scala_udf")
+    reg.createOrReplaceTempFunction("jaro_winkler",
+      (args: Seq[Expression]) => JaroWinkler(args(0), args(1)), "scala_udf")
   }
 }
 
@@ -55,6 +57,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nfc_normalize"),
       info("nfc_normalize", "nfc_normalize(s) - Unicode NFC canonical composition"),
       (args: Seq[Expression]) => NfcNormalize(args(0))))
+    ext.injectFunction((
+      FunctionIdentifier("jaro_winkler"),
+      info("jaro_winkler", "jaro_winkler(a, b) - Jaro-Winkler similarity (DuckDB-parity semantics)"),
+      (args: Seq[Expression]) => JaroWinkler(args(0), args(1))))
     // the native as-of operator plans through this strategy; config-driven
     // sessions (spark.sql.extensions=graft.functions.GraftExtensions) get it
     // without touching spark.experimental

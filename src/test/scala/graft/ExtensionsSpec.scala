@@ -39,6 +39,14 @@ class ExtensionsSpec extends SparkTestBase {
     assert(spark.sql("SELECT nfc_normalize(NULL)").head().isNullAt(0))
   }
 
+  test("jaro_winkler is callable from spark.sql") {
+    graft.functions.GraftExtensions.register(spark)
+    val out = spark.sql("SELECT jaro_winkler('martha', 'marhta')")
+      .head().getDouble(0)
+    assert(math.abs(out - 0.9611111111111111) < 1e-12)
+    assert(spark.sql("SELECT jaro_winkler(NULL, 'x')").head().isNullAt(0))
+  }
+
   test("SQL cosine agrees with the Column API on real embeddings") {
     graft.functions.GraftExtensions.register(spark)
     graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001")
