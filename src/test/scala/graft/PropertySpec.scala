@@ -98,4 +98,32 @@ class PropertySpec extends SparkTestBase {
       assert(fresh.count() == 0, s"seed $seed: recompute appended rows")
     }
   }
+
+  test("jaro-winkler properties on random strings: symmetric, bounded, " +
+    "identity, and single-char-edit similarity beats disjoint strings") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double = graft.functions.JaroWinklerUtil
+      .sim(UTF8String.fromString(a), UTF8String.fromString(b))
+    val rnd = new scala.util.Random(42)
+    def randStr(alpha: String, maxLen: Int): String =
+      List.fill(1 + rnd.nextInt(maxLen))(alpha(rnd.nextInt(alpha.length)))
+        .mkString
+    (1 to 200).foreach { _ =>
+      val a = randStr("abcdef", 12)
+      val b = randStr("abcdef", 12)
+      val s = jw(a, b)
+      assert(s == jw(b, a), s"asymmetric on ($a, $b)")
+      assert(s >= 0.0 && s <= 1.0, s"out of bounds on ($a, $b): $s")
+      assert(jw(a, a) == 1.0)
+      // a one-substitution neighbor (same length, same alphabet position
+      // changed) is always at least as similar as a fully disjoint string
+      if (a.length >= 2) {
+        val i = rnd.nextInt(a.length)
+        val mutated = a.updated(i, if (a(i) == 'a') 'b' else 'a')
+        val disjoint = "z" * a.length
+        assert(jw(a, mutated) >= jw(a, disjoint),
+          s"mutation ($a -> $mutated) scored below disjoint")
+      }
+    }
+  }
 }
