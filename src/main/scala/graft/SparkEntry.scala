@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, Ext24Queries, Ext25Queries, Ext26Queries, Ext27Queries, Ext28Queries, Ext29Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, Ext24Queries, Ext25Queries, Ext26Queries, Ext27Queries, Ext28Queries, Ext29Queries, Ext30Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -302,7 +302,9 @@ object SparkEntry {
     "q_dbscan_core" -> (Ext28Queries.dbscanCore _),
     "q_retrieval_eval" -> (Ext29Queries.retrievalEval _),
     "q_churn_features" -> (Ext29Queries.churnFeatures _),
-    "q_jaro_winkler" -> (Ext29Queries.jaroWinklerPairs _)
+    "q_jaro_winkler" -> (Ext29Queries.jaroWinklerPairs _),
+    "q_weighted_percentile" -> (Ext30Queries.weightedPercentile _),
+    "q_interval_coverage" -> (Ext30Queries.intervalCoverage _)
   )
 
   /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
@@ -778,6 +780,8 @@ object SparkEntry {
     "q_dbscan_core" -> Ext28Queries.dbscanCoreOracle,
     "q_retrieval_eval" -> Ext29Queries.retrievalEvalOracle,
     "q_churn_features" -> Ext29Queries.churnFeaturesOracle,
-    "q_jaro_winkler" -> Ext29Queries.jaroWinklerPairsOracle
+    "q_jaro_winkler" -> Ext29Queries.jaroWinklerPairsOracle,
+    "q_weighted_percentile" -> Ext30Queries.weightedPercentileOracle,
+    "q_interval_coverage" -> Ext30Queries.intervalCoverageOracle
   )
 }
