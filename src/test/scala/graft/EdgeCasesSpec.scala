@@ -48,4 +48,81 @@ class EdgeCasesSpec extends SparkTestBase {
     assert(out(3L) == (100, 100))
     assert(out(4L) == (256, 256))
   }
+
+  test("jaro_winkler handles unicode, long strings, and degenerate pairs " +
+    "without exceptions; result stays bounded") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def jw(a: String, b: String): Double = graft.functions.JaroWinklerUtil
+      .sim(UTF8String.fromString(a), UTF8String.fromString(b))
+    // non-ASCII round trips through UTF8String.toString correctly
+    assert(jw("éclair", "éclair") == 1.0)
+    assert(jw("éclair", "eclair") < 1.0)
+    // surrogate pairs (emoji) must not crash char-level scanning
+    val e = "a😀b"
+    assert(jw(e, e) == 1.0)
+    val s = jw(e, "ab")
+    assert(s >= 0.0 && s <= 1.0)
+    // long inputs: O(n*m) flag scan stays well-behaved at doc-ish sizes
+    val long1 = "spark " * 400
+    val long2 = "table " * 400
+    val v = jw(long1, long2)
+    assert(v >= 0.0 && v <= 1.0)
+  }
+
+  test("weighted median equals plain median when all weights are equal") {
+    import spark.implicits._
+    // odd count, weight 1 each: weighted median == middle order statistic
+    val vals = Seq(5.0, 1.0, 9.0, 3.0, 7.0)
+    val df = vals.zipWithIndex
+      .map { case (v, i) => ("G", v, 1.0, i.toLong, i) }
+      .toDF("l_returnflag", "l_extendedprice", "l_quantity",
+        "l_orderkey", "l_linenumber")
+    df.createOrReplaceTempView("_wm_edge")
+    // replicate the operator's window logic on the tiny frame
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_returnflag")
+      .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+    val cum = df.withColumn("cumw",
+        sum(col("l_quantity")).over(
+          w.rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)))
+      .withColumn("totw", sum(col("l_quantity")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")))
+      .filter(col("cumw") * 2 >= col("totw"))
+      .orderBy("l_extendedprice").limit(1)
+      .select("l_extendedprice").head.getDouble(0)
+    assert(cum == 5.0, s"expected the middle order statistic, got $cum")
+  }
+
+  test("interval coverage with fully-nested spans counts the outer span " +
+    "once (no double counting)") {
+    import spark.implicits._
+    // one user, three spans where 2 and 3 nest inside 1
+    val ev = Seq((1L, 0L), (1L, 100L), (1L, 200L))
+      .toDF("user_id", "ts_us")
+    // replicate with a tiny span so all three overlap: island algebra
+    val spanUs = 1000L
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("lo", "hi")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("lo", "hi")
+    val out = ev
+      .select(col("user_id"), col("ts_us").as("lo"),
+        (col("ts_us") + spanUs).as("hi"))
+      .withColumn("pmh", max(col("hi")).over(w1))
+      .withColumn("ni", when(col("pmh").isNull ||
+        col("lo") > col("pmh"), 1L).otherwise(0L))
+      .withColumn("isl", sum(col("ni")).over(w2))
+      .groupBy("user_id", "isl")
+      .agg(min("lo").as("ilo"), max("hi").as("ihi"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n"), sum(col("ihi") - col("ilo")).as("cov"))
+      .head
+    assert(out.getAs[Long]("n") == 1, "overlapping spans split islands")
+    assert(out.getAs[Long]("cov") == 1200L,
+      s"union of [0,1000),[100,1100),[200,1200) must be 1200, " +
+        s"got ${out.getAs[Long]("cov")}")
+  }
 }
