@@ -114,6 +114,9 @@ object Dedup {
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, hashShingles: Boolean = true,
       broadcastSizes: Boolean = true): DataFrame = {
+    ScaleFence.guard(df, "Dedup.jaccardPairs",
+      "Dedup.jaccardPrefixPairs (lossless prefix filter, identical output) " +
+        "or Dedup.minhashNearDup (LSH candidates + exact verify)")
     // The postings feed three consumers (sizes + both sides of the
     // self-join); persisting materializes the tokenize+hash pipeline ONCE
     // instead of three times (the dominant cost at sf0.1). persist — not

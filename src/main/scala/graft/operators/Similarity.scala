@@ -50,6 +50,10 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
+    ScaleFence.guard(queries, "Similarity.bruteForceTopK (query side)",
+      "Similarity.ivfTopK (bucketed probe, identical scores on returned pairs)")
+    ScaleFence.guard(corpus, "Similarity.bruteForceTopK (corpus side)",
+      "Similarity.ivfTopK (bucketed probe, identical scores on returned pairs)")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
@@ -113,6 +117,9 @@ object Similarity {
     */
   def cosineNearDup(vectors: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
+    ScaleFence.guard(vectors, "Similarity.cosineNearDup",
+      "Similarity.lshNearDup (random-hyperplane LSH + exact verify) " +
+        "or Similarity.semDedup (cluster-bucketed pairs)")
     val a = vectors.select(col(idCol).as("id_1"), col(vecCol).as("va"))
     val b = vectors.select(col(idCol).as("id_2"), col(vecCol).as("vb"))
     a.join(b, col("id_1") < col("id_2"))
@@ -132,6 +139,10 @@ object Similarity {
     */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int): DataFrame = {
+    ScaleFence.guard(queries, "Similarity.hardNegatives (query side)",
+      "Similarity.ivfTopK probe buckets as the candidate stream, then this ranking")
+    ScaleFence.guard(corpus, "Similarity.hardNegatives (corpus side)",
+      "Similarity.ivfTopK probe buckets as the candidate stream, then this ranking")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       col(labelCol).as("query_label"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
