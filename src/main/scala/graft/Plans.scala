@@ -73,7 +73,17 @@ object Plans {
       "q_ecdf" -> "ECDF normalization: one type-partitioned Sort under the cume_dist window, decile histogram partial-aggregates after it, 2-column pruned scan",
       "q_group_split" -> "Group-aware split: md5-bucket assignment is a pure projection — zero joins, the audit aggregate is the only wide work",
       "q_stickiness" -> "DAU/MAU stickiness: the 28-day trailing distinct explodes each user-day into its anchor buckets — equi-join shape, no per-day rescan, no range nested loop",
-      "q_dbscan_core" -> "DBSCAN core step: 3x3 grid-cell equi-join with exact-distance residual — bounded candidate sets, never corpus x corpus")
+      "q_dbscan_core" -> "DBSCAN core step: 3x3 grid-cell equi-join with exact-distance residual — bounded candidate sets, never corpus x corpus",
+      "q_zipf_fit" -> "Zipf fit: rank window runs over the (lang,term) histogram, not the corpus — partial-aggregated term counts are the only corpus-wide shuffle",
+      "q_pmi_collocations" -> "PMI collocations: unigram model broadcast onto the bigram histogram (2 BroadcastHashJoins, zero SMJ); global top-20 via TakeOrderedAndProject heaps",
+      "q_fk_discovery" -> "FK discovery: candidate key sets broadcast-left-semi into each fact scan; every fact scan column-pruned to exactly its key",
+      "q_anomaly_resid" -> "Seasonal-residual anomalies: hour-of-day mu and per-type sd profiles broadcast back onto the fact — zero windows, zero SortMergeJoins",
+      "q_knn_classify" -> "kNN label audit: candidate generation rides the IVF index (centroid equi-join), label tables broadcast — no cartesian over the corpus",
+      "q_retrieval_eval" -> "Retrieval eval (P@5/MRR/NDCG): both label joins broadcast; ranking windows see k rows per query, never the corpus",
+      "q_churn_features" -> "Churn features: the 1-row observation span broadcasts (scalar nested-loop), holdout flags broadcast — zero SortMergeJoins",
+      "q_jaro_winkler" -> "Jaro-Winkler fuzzy match: native codegen'd BinaryExpression inside the WholeStageCodegen span; scan pruned to (p_type, p_name)",
+      "q_weighted_percentile" -> "Weighted percentile: all three windows (cum weight, total, pick) share ONE shuffle on the group key",
+      "q_interval_coverage" -> "Interval union coverage: sweep-line windows + island aggregate ride ONE user_id shuffle — no self-join, no interval explosion")
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the headline queries\n\n")

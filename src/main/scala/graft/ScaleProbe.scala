@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale-up probe: synthesize a `factor`× corpus ("sf1" for
+  * factor=10 over sf0.1), run the most expensive queries at BOTH scales in
+  * one process, and report sec-ratios. A plan audited as scale-safe should
+  * come in well under `factor`× wall-clock on 32 local cores (sub-linear is
+  * common: fixed per-query overhead amortizes); anything super-linear has a
+  * hidden quadratic term and gets flagged.
+  *
+  * Replication semantics — a 10× corpus, not 10 copies of one corpus:
+  *   - every key column is offset per copy (`key + i·10⁹`), so TPC-H joins
+  *     keep their exact fan-out and group counts scale linearly;
+  *   - document text is token-salted per copy (each token gets a copy
+  *     suffix), so the copies are disjoint sub-corpora: shingle/minhash/
+  *     simhash buckets never match across copies and the near-dup pair
+  *     count scales linearly, like a real corpus with constant duplicate
+  *     density. Naive replication would put 10 identical docs in every
+  *     bucket and inflate all-pairs work 100× — a measurement artifact, not
+  *     a scale signal;
+  *   - embedding vectors get a small deterministic per-copy jitter for the
+  *     same reason (identical vectors across copies would multiply
+  *     every cosine-threshold candidate set).
+  *   - dims (region, nation) stay single-copy: they are genuinely fixed.
+  *
+  * q_ngram_jaccard is deliberately NOT probed: it is the fenced all-pairs
+  * verifier whose cost is quadratic BY DESIGN; its scale path
+  * (q_jaccard_prefix / q_minhash_neardup) is what gets measured.
+  *
+  * Usage: sbt "runMain graft.ScaleProbe [factor] [srcDir] [outDir]"
+  */
+object ScaleProbe {
+
+  private val KeyOffset = 1000000000L
+
+  /** Key columns to offset per copy, by table. */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  private val singleCopy = Set("region", "nation")
+
+  private val probeQueries = Seq(
+    "q_bigram_lm", "q_dedup_clusters", "q_jaccard_prefix", "q_assoc_rules",
+    "q_lpa_communities", "q_minhash_neardup", "q_simhash_fast",
+    "q_simhash_neardup", "q_tfidf", "q_bm25", "q_dbscan_core",
+    "q_triangle_count", "q_tpch_q1", "q_tpch_q2", "q_tpch_q7", "q_tpch_q9",
+    "q_tpch_q11", "q_tpch_q16", "q_tpch_q18", "q_tpch_q21",
+    "q_stream_dedup", "q_stream_tumbling")
+
+  def main(args: Array[String]): Unit = {
+    val factor = args.headOption.map(_.toInt).getOrElse(10)
+    val srcDir = args.lift(1).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(2).getOrElse("/tmp/graft-sfscale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    generate(spark, srcDir, outDir, factor)
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, dir)
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[scaleprobe] $name @ $dir failed: ${e.getMessage}")
+        -1.0
+      } finally {
+        graft.operators.Dedup.unpersistIntermediates()
+        spark.catalog.clearCache()
+      }
+    }
+
+    // Warmup: JIT + page cache, untimed (same methodology as Bench).
+    time("q_tpch_q1", srcDir)
+
+    val rows = probeQueries.map { name =>
+      val base = time(name, srcDir)
+      val scaled = time(name, outDir)
+      val ratio = if (base > 0 && scaled > 0) scaled / base else -1.0
+      println(f"[scaleprobe] $name%-22s sf0.1=$base%7.2fs  x$factor=$scaled%7.2fs  ratio=$ratio%6.2f")
+      (name, base, scaled, ratio)
+    }
+
+    println("| query | sf0.1 (s) | sf1 (s) | ratio |")
+    println("|---|---|---|---|")
+    rows.foreach { case (n, b, s, r) =>
+      println(f"| $n | $b%.2f | $s%.2f | $r%.1f× |")
+    }
+    spark.stop()
+  }
+
+  /** Build the scaled tables under `outDir` (skipped if already present). */
+  def generate(spark: SparkSession, srcDir: String, outDir: String,
+      factor: Int): Unit = {
+    val marker = java.nio.file.Paths.get(outDir, s"_GENERATED_x$factor")
+    if (java.nio.file.Files.exists(marker)) {
+      println(s"[scaleprobe] reusing generated corpus at $outDir")
+      return
+    }
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    tables.foreach { t =>
+      val src = spark.read.parquet(s"$srcDir/$t.parquet")
+      val scaled: DataFrame =
+        if (singleCopy(t)) src
+        else (0 until factor).map(i => copyOf(src, t, i)).reduce(_ unionByName _)
+      scaled.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[scaleprobe] wrote $t x${if (singleCopy(t)) 1 else factor}")
+    }
+    java.nio.file.Files.createFile(marker)
+  }
+
+  private def copyOf(src: DataFrame, table: String, i: Int): DataFrame = {
+    var df = src
+    keyCols.getOrElse(table, Nil).foreach { k =>
+      df = df.withColumn(k, col(k) + lit(i * KeyOffset))
+    }
+    if (i > 0) table match {
+      case "documents" =>
+        // Disjoint sub-corpus: suffix every token with the copy tag so no
+        // shingle/band/fingerprint bucket matches across copies.
+        df = df.withColumn("text",
+          array_join(transform(split(col("text"), " "),
+            t => concat(t, lit(s"x$i"))), " "))
+      case "embeddings" =>
+        // Deterministic jitter breaks exact/near-identity across copies
+        // while keeping vector scale (IVF centroids, norms) realistic.
+        df = df.withColumn("embedding",
+          transform(col("embedding"), (x, j) =>
+            (x + sin(col("vec_id") * 31 + j * 7 + lit(i * 13)) * lit(0.05))
+              .cast("float")))
+      case _ => ()
+    }
+    df
+  }
+}

@@ -34,24 +34,18 @@ object Dedup {
     * action — the contract is: consume the result, then call
     * [[unpersistIntermediates]] (or `spark.catalog.clearCache()`). Verify and
     * Bench both do; a library caller that skips it leaks MEMORY_AND_DISK
-    * blocks for the session's lifetime.
+    * blocks for the session's lifetime. Tracking is shared with every other
+    * persisting operator via [[CachedIntermediates]].
     */
-  private val persistedIntermediates =
-    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]
+  private def track(df: DataFrame): DataFrame = CachedIntermediates.track(df)
 
-  private def track(df: DataFrame): DataFrame = {
-    persistedIntermediates.add(df)
-    df
-  }
-
-  /** Drop every intermediate persisted by dedup operators since the last
-    * drain. Safe to call any time after the terminal action on the consumed
-    * results; `blocking = true` waits for the block eviction (tests).
+  /** Drop every intermediate persisted by graft operators since the last
+    * drain (delegates to [[CachedIntermediates.unpersistAll]]). Safe to call
+    * any time after the terminal action on the consumed results;
+    * `blocking = true` waits for the block eviction (tests).
     */
-  def unpersistIntermediates(blocking: Boolean = false): Unit = {
-    var d = persistedIntermediates.poll()
-    while (d != null) { d.unpersist(blocking); d = persistedIntermediates.poll() }
-  }
+  def unpersistIntermediates(blocking: Boolean = false): Unit =
+    CachedIntermediates.unpersistAll(blocking)
 
   // --- exact -----------------------------------------------------------------
 

@@ -10,43 +10,137 @@ import org.apache.spark.sql.DataFrame
   * scale-safe siblings ([[Dedup.jaccardPrefixPairs]], [[Dedup.minhashNearDup]],
   * [[Similarity.lshNearDup]], [[Similarity.ivfTopK]]) are verified against.
   * Documentation alone does not stop a caller from pointing one of them at a
-  * 100 TB corpus, so each entry point calls [[guard]] first: inputs larger
-  * than `spark.graft.allPairs.maxInputRows` (default 100,000 rows) throw
-  * with a pointer to the scale-safe sibling instead of launching an O(n²)
-  * job that can never finish.
+  * 100 TB corpus, so each entry point is guarded: self-join operators cap the
+  * input at `spark.graft.allPairs.maxInputRows` rows (default 100,000 →
+  * ≤5·10⁹ unordered pairs); two-sided operators cap the CANDIDATE PRODUCT
+  * |left|·|right| at `spark.graft.allPairs.maxPairs` (default 5·10⁹), so a
+  * small query set against a large corpus — or vice versa — is judged by the
+  * work it implies, not by either side alone. Oversized inputs throw with a
+  * pointer to the scale-safe sibling instead of launching an O(n²) job that
+  * can never finish.
   *
-  * The probe is `limit(cap + 1).count()` — a GlobalLimit that early-stops
-  * after cap+1 rows, so the guard costs a bounded scan, never a full pass
-  * over the input. Set the conf to `-1` to disable (e.g. a deliberate
-  * large verification run on a throwaway cluster).
+  * Cost of the guard: the size check consults Catalyst plan statistics first
+  * (`optimizedPlan.stats.rowCount`, available when CBO stats exist) and only
+  * falls back to a `limit(cutoff).count()` probe. The probe early-stops at
+  * `cutoff` rows for scan-like inputs, but if the guarded DataFrame contains
+  * a shuffle boundary (aggregate/join upstream) the limit cannot push below
+  * it and the probe pays the full upstream computation — and that upstream
+  * work runs AGAIN when the real job executes. Callers guarding an expensive
+  * uncached pipeline should persist it first, or `ANALYZE` the source so the
+  * stats path short-circuits the probe. Set either conf to `-1` to disable
+  * the fence (e.g. a deliberate large verification run on a throwaway
+  * cluster).
+  *
+  * The guarded operators are batch-only: the size probe (and the crossJoin
+  * they all build) is undefined on a streaming DataFrame, so streaming
+  * inputs are rejected up front with a clear message rather than failing
+  * later inside Spark's unsupported-operation checker.
   */
 object ScaleFence {
 
-  /** Session conf key for the all-pairs input-row cap; `-1` disables. */
+  /** Session conf key for the self-pairs input-row cap; `-1` disables. */
   val MaxInputRowsKey = "spark.graft.allPairs.maxInputRows"
 
-  /** Default cap: 100k rows → ≤5·10⁹ candidate pairs, the upper edge of
-    * what a single-site exact verification can justify. Far above every
-    * test SF (sf0.1 ships 5k documents / 2k embeddings) and far below any
-    * corpus the LSH/prefix-filter paths exist for.
+  /** Default self-pairs cap: 100k rows → ≤5·10⁹ unordered candidate pairs,
+    * the upper edge of what a single-site exact verification can justify.
+    * Far above every test SF (sf0.1 ships 5k documents / 2k embeddings) and
+    * far below any corpus the LSH/prefix-filter paths exist for.
     */
   val DefaultMaxInputRows = 100000L
 
+  /** Session conf key for the two-sided |left|·|right| product cap; `-1`
+    * disables. */
+  val MaxPairsKey = "spark.graft.allPairs.maxPairs"
+
+  /** Default two-sided cap: 5·10⁹ candidate pairs — the same work budget as
+    * the self-pairs default, expressed directly as a product so 100 queries
+    * against a 10M-row corpus passes (10⁹ pairs) while 100k × 100k (10¹⁰)
+    * does not.
+    */
+  val DefaultMaxPairs = 5000000000L
+
   /** Throw `IllegalArgumentException` if `df` has more than the configured
     * cap of rows. `op` names the guarded operator, `alternative` the
-    * scale-safe sibling(s) named in the error message.
+    * scale-safe sibling(s) named in the error message. See the object doc
+    * for the cost model (stats-first, bounded probe fallback) and the
+    * batch-only restriction.
     */
   def guard(df: DataFrame, op: String, alternative: String): Unit = {
-    val cap = df.sparkSession.conf
-      .get(MaxInputRowsKey, DefaultMaxInputRows.toString).toLong
+    rejectStreaming(df, op)
+    val cap = confLong(df, MaxInputRowsKey, DefaultMaxInputRows)
     if (cap >= 0L) {
-      val probeLimit = math.min(cap + 1L, Int.MaxValue.toLong).toInt
-      val n = df.limit(probeLimit).count()
+      val n = boundedCount(df, cap + 1L)
       require(n <= cap,
         s"$op is an all-pairs exact verifier fenced at $cap input rows " +
           s"(input has >= $n). For corpus-scale runs use $alternative. " +
           s"Raise or disable the fence via $MaxInputRowsKey (-1 disables) " +
           "only for deliberate exact verification at known cost.")
+    }
+  }
+
+  /** Two-sided guard for query×corpus operators: throw if
+    * |left|·|right| exceeds `spark.graft.allPairs.maxPairs`. Probes the
+    * left (query) side first — callers pass the typically-small side as
+    * `left` — then gives the right side the remaining budget, so the probe
+    * on a huge corpus early-stops at `maxPairs / |left| + 1` rows rather
+    * than scanning it.
+    */
+  def guardPair(left: DataFrame, right: DataFrame, op: String,
+      alternative: String): Unit = {
+    rejectStreaming(left, op)
+    rejectStreaming(right, op)
+    val maxPairs = confLong(left, MaxPairsKey, DefaultMaxPairs)
+    if (maxPairs >= 0L) {
+      val nLeft = boundedCount(left, maxPairs + 1L)
+      // nLeft == 0 → zero pairs, nothing to fence. Otherwise the right side
+      // may have at most maxPairs / nLeft rows. If the left probe itself was
+      // truncated (nLeft > maxPairs is impossible here, but nLeft may equal
+      // the Int.MaxValue probe ceiling), the derived budget is conservative —
+      // correct, since the true product can only be larger.
+      if (nLeft > 0L) {
+        val rightBudget = maxPairs / nLeft
+        val nRight = boundedCount(right, rightBudget + 1L)
+        // nRight <= rightBudget ⟹ nLeft·nRight <= maxPairs by construction
+        require(nRight <= rightBudget,
+          s"$op is an all-pairs exact verifier fenced at $maxPairs " +
+            s"candidate pairs (input implies >= ${nLeft}x$nRight). For " +
+            s"corpus-scale runs use $alternative. Raise or disable the " +
+            s"fence via $MaxPairsKey (-1 disables) only for deliberate " +
+            "exact verification at known cost.")
+      }
+    }
+  }
+
+  /** Row count capped at `cutoff`: exact Catalyst stats when available
+    * (no job), else a `limit`-bounded `count()` probe (early-stops at
+    * `cutoff` for scan-like inputs; see object doc for the shuffle caveat).
+    */
+  private def boundedCount(df: DataFrame, cutoff: Long): Long =
+    df.queryExecution.optimizedPlan.stats.rowCount match {
+      case Some(exact) => exact.min(BigInt(Long.MaxValue)).toLong
+      case None =>
+        val probeLimit = cutoff.min(Int.MaxValue.toLong).toInt
+        df.limit(probeLimit).count()
+    }
+
+  private def rejectStreaming(df: DataFrame, op: String): Unit =
+    if (df.isStreaming)
+      throw new UnsupportedOperationException(
+        s"$op is batch-only: all-pairs exact verification (and its size " +
+          "fence) is undefined on a streaming DataFrame. Collect the " +
+          "stream to a table first, or use the streaming-safe dedup path " +
+          "(dropDuplicatesWithinWatermark / IdempotentWriter).")
+
+  /** Parse a long session conf, naming the key and offending value on a
+    * malformed setting instead of surfacing a bare NumberFormatException.
+    */
+  private def confLong(df: DataFrame, key: String, default: Long): Long = {
+    val raw = df.sparkSession.conf.get(key, default.toString)
+    try raw.trim.toLong
+    catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be a long (-1 disables the fence); got '$raw'")
     }
   }
 }

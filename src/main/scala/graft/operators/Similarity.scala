@@ -50,9 +50,7 @@ object Similarity {
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
       idCol: String, vecCol: String, k: Int): DataFrame = {
-    ScaleFence.guard(queries, "Similarity.bruteForceTopK (query side)",
-      "Similarity.ivfTopK (bucketed probe, identical scores on returned pairs)")
-    ScaleFence.guard(corpus, "Similarity.bruteForceTopK (corpus side)",
+    ScaleFence.guardPair(queries, corpus, "Similarity.bruteForceTopK",
       "Similarity.ivfTopK (bucketed probe, identical scores on returned pairs)")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
@@ -139,9 +137,7 @@ object Similarity {
     */
   def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
       vecCol: String, labelCol: String, k: Int): DataFrame = {
-    ScaleFence.guard(queries, "Similarity.hardNegatives (query side)",
-      "Similarity.ivfTopK probe buckets as the candidate stream, then this ranking")
-    ScaleFence.guard(corpus, "Similarity.hardNegatives (corpus side)",
+    ScaleFence.guardPair(queries, corpus, "Similarity.hardNegatives",
       "Similarity.ivfTopK probe buckets as the candidate stream, then this ranking")
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
       col(labelCol).as("query_label"))

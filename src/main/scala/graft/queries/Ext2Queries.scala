@@ -336,8 +336,7 @@ object Ext2Queries {
     import org.apache.spark.sql.streaming.Trigger
     def side(tpe: String) = StreamQueries.eventsStream(s, dir)
       .filter(col("event_type") === tpe)
-      .select(col("event_id"), col("user_id"), col("ts_t"),
-        expr("ts div 1000").as("ts_us"))
+      .select(col("event_id"), col("user_id"), col("ts_t"), col("ts_us"))
       .withWatermark("ts_t", "1 hour")
     val clicks = side("click")
       .select(col("event_id").as("click_id"), col("user_id"),

@@ -273,8 +273,11 @@ object Ext8Queries {
       // a downstream plan may prune to ONLY _corrupt_record (e.g. a bare
       // count of the groups), which Spark disallows against a raw scan
       // (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache() is the documented
-      // decoupling; the quarantine set is small and short-lived by design
+      // decoupling; the quarantine set is small and short-lived by design.
+      // Registered with CachedIntermediates so Dedup.unpersistIntermediates /
+      // unpersistAll reclaims it under the same consume-then-drain contract.
       .cache()
+      .transform(graft.operators.CachedIntermediates.track)
       .groupBy(col("_corrupt_record").isNotNull.as("is_corrupt"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))

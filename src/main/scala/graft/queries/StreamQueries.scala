@@ -15,9 +15,9 @@ import org.apache.spark.sql.types._
   */
 object StreamQueries {
 
-  private val eventsSchema = StructType(Seq(
+  private def eventsSchema(tsType: DataType) = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType), // TIMESTAMP(NANOS) read as long via nanosAsLong
+    StructField("ts", tsType), // matches the file: ns-longs or µs timestamp
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
@@ -25,6 +25,11 @@ object StreamQueries {
 
   private[queries] def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The stream source needs a DECLARED schema; probe the file's physical
+    // timestamp encoding with a batch schema read so the declaration matches
+    // whichever the generator shipped — TIMESTAMP(NANOS) (ns longs via the
+    // legacy conf) or TIMESTAMP(MICROS) (NTZ timestamp).
+    val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
     // The file stream source replays a DIRECTORY; stage the single table file
     // into a temp dir (simulating an arriving-files landing zone). Register
     // cleanup so repeated drains don't accumulate copies in /tmp.
@@ -35,8 +40,15 @@ object StreamQueries {
     val stagedFile = staged.resolve("events.parquet")
     java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), stagedFile)
     stagedFile.toFile.deleteOnExit()
-    s.readStream.schema(eventsSchema).parquet(staged.toString)
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+    val (tsT, tsUs) = tsType match {
+      case LongType =>
+        (timestamp_micros(expr("ts div 1000")), expr("ts div 1000"))
+      case _ => // NTZ→LTZ identity under UTC
+        (col("ts").cast("timestamp"), unix_micros(col("ts").cast("timestamp")))
+    }
+    s.readStream.schema(eventsSchema(tsType)).parquet(staged.toString)
+      .withColumn("ts_t", tsT)
+      .withColumn("ts_us", tsUs)
   }
 
   private def eventsBatch(s: SparkSession, dir: String): DataFrame =

@@ -17,12 +17,23 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** events with `ts` replaced by `ts_us` (epoch micros, long). */
+  /** events with `ts` replaced by `ts_us` (epoch micros, long).
+    *
+    * Adaptive on the generator's physical encoding: TIMESTAMP(NANOS)
+    * arrives as ns longs (via the legacy conf) → `div 1000`;
+    * TIMESTAMP(MICROS) arrives as a (NTZ) timestamp → `unix_micros`
+    * (the NTZ→timestamp cast is identity under the UTC session timezone
+    * every entry point pins). Both land on the same epoch-µs longs the
+    * DuckDB oracle convention (`epoch_us(ts)`) produces.
+    */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts_us", expr("ts div 1000"))
-      .drop("ts")
+    val raw = table(spark, sfDir, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    raw.withColumn("ts_us", tsUs).drop("ts")
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")

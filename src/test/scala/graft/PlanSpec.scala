@@ -470,4 +470,136 @@ class PlanSpec extends SparkTestBase {
       assert(shuffles.size <= 2, s"split audit over-shuffles: ${shuffles.size}")
     }
   }
+
+  // ---- round-6 tier pins: the scaladoc claims, asserted ----------------
+
+  private def q(name: String): DataFrame = SparkEntry.queries(name)(spark, sf)
+
+  test("zipf fit: rank window runs over the term histogram — one window, " +
+      "corpus touches at most the (lang,term) count shuffle") {
+    withStaticPlans {
+      val plan = planOf(q("q_zipf_fit"))
+      assert(plan.collect { case w: WindowExec => w }.size == 1)
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size <= 2, s"zipf over-shuffles: ${shuffles.size}")
+      val aggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggs.size >= 2, "no partial aggregation on the term count")
+    }
+  }
+
+  test("pmi collocations: unigram model broadcasts onto the bigram " +
+      "histogram; global top-20 is TakeOrderedAndProject, not a sort") {
+    withStaticPlans {
+      val plan = planOf(q("q_pmi_collocations"))
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.size == 2,
+        "u1/u2 unigram joins must broadcast")
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      assert(plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, "top-20 must be per-partition heaps, not a global sort")
+    }
+  }
+
+  test("fk discovery: key sets broadcast-semi-join; every fact scan reads " +
+      "exactly its key column") {
+    withStaticPlans {
+      val plan = planOf(q("q_fk_discovery"))
+      val semis = plan.collect { case j: BroadcastHashJoinExec => j }
+      assert(semis.size == 5, s"expected 5 broadcast semi-joins: ${semis.size}")
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      assert(scans.nonEmpty)
+      scans.foreach { sc =>
+        assert(sc.requiredSchema.fields.length == 1,
+          s"fact scan reads more than the key: " +
+            sc.requiredSchema.fieldNames.mkString(","))
+      }
+    }
+  }
+
+  test("anomaly resid: both profile tables broadcast back — zero windows, " +
+      "zero sort-merge joins over the fact") {
+    withStaticPlans {
+      val plan = planOf(q("q_anomaly_resid"))
+      // 3 broadcasts: the hour-of-day mu profile joins twice (once inside the
+      // sd-profile build to form residuals, once on the final scoring pass)
+      // and the sd profile broadcasts back onto the scored fact.
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.size == 3)
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      assert(plan.collect { case w: WindowExec => w }.isEmpty)
+    }
+  }
+
+  test("knn classify: candidate generation rides the IVF index — no " +
+      "cartesian product; label tables broadcast") {
+    withStaticPlans {
+      val plan = planOf(q("q_knn_classify"))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "corpus x corpus cartesian leaked into the kNN audit")
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= 2,
+        "neighbor/query label joins must broadcast")
+    }
+  }
+
+  test("retrieval eval: both label joins broadcast; ranking windows see " +
+      "k rows per query, never the corpus — no cartesian") {
+    withStaticPlans {
+      val plan = planOf(q("q_retrieval_eval"))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty)
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.size >= 2)
+    }
+  }
+
+  test("churn features: the 1-row span broadcasts (nested-loop on a " +
+      "scalar), holdout flags broadcast — zero sort-merge joins") {
+    withStaticPlans {
+      val plan = planOf(q("q_churn_features"))
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "retained-holdout join must broadcast")
+    }
+  }
+
+  test("jaro-winkler: the native expression evaluates inside a whole-stage " +
+      "codegen span; the scan reads only (p_type, p_name)") {
+    withStaticPlans {
+      val plan = planOf(q("q_jaro_winkler"))
+      val codegenSpans = plan.collect {
+        case w: org.apache.spark.sql.execution.WholeStageCodegenExec
+            if w.toString.contains("jaro_winkler") => w
+      }
+      assert(codegenSpans.nonEmpty,
+        "jaro_winkler fell out of whole-stage codegen")
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      scans.foreach { sc =>
+        assert(sc.requiredSchema.fieldNames.toSet == Set("p_type", "p_name"),
+          s"scan reads too much: ${sc.requiredSchema.fieldNames.mkString(",")}")
+      }
+    }
+  }
+
+  test("weighted percentile: all three windows share ONE shuffle on the " +
+      "group key") {
+    withStaticPlans {
+      val plan = planOf(q("q_weighted_percentile"))
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size == 1, s"windows re-shuffle: ${shuffles.size}")
+    }
+  }
+
+  test("interval coverage: sweep-line windows + island aggregates all ride " +
+      "ONE user_id shuffle — no self-join, no interval explosion") {
+    withStaticPlans {
+      val plan = planOf(q("q_interval_coverage"))
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size == 1, s"sweep line re-shuffles: ${shuffles.size}")
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      assert(plan.collect { case w: WindowExec => w }.size <= 2)
+    }
+  }
 }
