@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, Ext24Queries, Ext25Queries, Ext26Queries, Ext27Queries, Ext28Queries, Ext29Queries, Ext30Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, Ext24Queries, Ext25Queries, Ext26Queries, Ext27Queries, Ext28Queries, Ext29Queries, Ext30Queries, Ext31Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -250,6 +250,12 @@ object SparkEntry {
     "q_cci" -> (Ext19Queries.cci _),
     "q_macd" -> (Ext19Queries.macd _),
     "q_heikin_ashi" -> (Ext19Queries.heikinAshi _),
+    "q_vortex" -> (Ext31Queries.vortex _),
+    "q_ichimoku" -> (Ext31Queries.ichimoku _),
+    "q_cmf" -> (Ext31Queries.cmf _),
+    "q_ulcer_index" -> (Ext31Queries.ulcer _),
+    "q_cmo" -> (Ext31Queries.cmo _),
+    "q_keltner" -> (Ext31Queries.keltner _),
     "q_adamic_adar" -> (Ext20Queries.adamicAdar _),
     "q_khop_reach" -> (Ext20Queries.khopReach _),
     "q_degree_dist" -> (Ext20Queries.degreeDist _),
@@ -728,6 +734,12 @@ object SparkEntry {
     "q_cci" -> Ext19Queries.cciOracle,
     "q_macd" -> Ext19Queries.macdOracle,
     "q_heikin_ashi" -> Ext19Queries.heikinAshiOracle,
+    "q_vortex" -> Ext31Queries.vortexOracle,
+    "q_ichimoku" -> Ext31Queries.ichimokuOracle,
+    "q_cmf" -> Ext31Queries.cmfOracle,
+    "q_ulcer_index" -> Ext31Queries.ulcerOracle,
+    "q_cmo" -> Ext31Queries.cmoOracle,
+    "q_keltner" -> Ext31Queries.keltnerOracle,
     "q_adamic_adar" -> Ext20Queries.adamicAdarOracle,
     "q_khop_reach" -> Ext20Queries.khopReachOracle,
     "q_degree_dist" -> Ext20Queries.degreeDistOracle,

@@ -40,7 +40,7 @@ object Ext19Queries {
   /** Hourly OHLC bars per event_type — the `q_ohlc_resample` candle shape
     * with an integer volume column. Spark side (reads the `events_ta` view).
     */
-  private val barsSpark: String =
+  private[queries] val barsSpark: String =
     """WITH h AS (
       |  SELECT event_type, ts_us div 3600000000 * 3600000000 AS hr_us,
       |    value, ts_us, event_id
@@ -58,7 +58,7 @@ object Ext19Queries {
       |FROM w GROUP BY event_type, hr_us""".stripMargin
 
   /** The identical bars CTE for DuckDB (reads the `events` parquet). */
-  private val barsDuck: String =
+  private[queries] val barsDuck: String =
     """WITH h AS (
       |  SELECT event_type, epoch_us(ts) // 3600000000 * 3600000000 AS hr_us,
       |    value, epoch_us(ts) AS ts_us, event_id
@@ -81,13 +81,13 @@ object Ext19Queries {
   private val dailyBarsDuck: String =
     barsDuck.replace("3600000000", "86400000000")
 
-  private def sparkQ(s: SparkSession, dir: String, bars: String,
+  private[queries] def sparkQ(s: SparkSession, dir: String, bars: String,
       body: String): DataFrame = {
     Tables.events(s, dir).createOrReplaceTempView("events_ta")
     s.sql(s"WITH bars AS (\n$bars\n)\n$body")
   }
 
-  private def duckQ(bars: String, body: String): String =
+  private[queries] def duckQ(bars: String, body: String): String =
     s"WITH bars AS (\n$bars\n)\n$body"
 
   // --- window-expressible indicators (engine-neutral ANSI bodies) ------------

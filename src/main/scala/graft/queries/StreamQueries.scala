@@ -30,16 +30,34 @@ object StreamQueries {
     // whichever the generator shipped — TIMESTAMP(NANOS) (ns longs via the
     // legacy conf) or TIMESTAMP(MICROS) (NTZ timestamp).
     val tsType = s.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-    // The file stream source replays a DIRECTORY; stage the single table file
-    // into a temp dir (simulating an arriving-files landing zone). Register
-    // cleanup so repeated drains don't accumulate copies in /tmp.
+    // The file stream source replays a DIRECTORY; stage the table into a
+    // temp dir (simulating an arriving-files landing zone). The source may
+    // be a single parquet file (the driver's testdata) or a Spark-written
+    // DATASET DIRECTORY of part files — stage whichever data files it holds
+    // (a bare Files.copy of a directory would create an empty dir and the
+    // stream would silently drain nothing). Register cleanup so repeated
+    // drains don't accumulate copies in /tmp.
     val staged = java.nio.file.Files.createTempDirectory("graft-stream-events")
-    // deleteOnExit runs LIFO: register the dir BEFORE its file so the file
-    // deletes first and the (then-empty) dir deletion succeeds
+    // deleteOnExit runs LIFO: register the dir BEFORE its files so the files
+    // delete first and the (then-empty) dir deletion succeeds
     staged.toFile.deleteOnExit()
-    val stagedFile = staged.resolve("events.parquet")
-    java.nio.file.Files.copy(java.nio.file.Paths.get(s"$dir/events.parquet"), stagedFile)
-    stagedFile.toFile.deleteOnExit()
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val dataFiles: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        val s0 = java.nio.file.Files.list(src)
+        try {
+          import scala.jdk.CollectionConverters._
+          s0.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }.toList
+        } finally s0.close()
+      } else Seq(src)
+    dataFiles.zipWithIndex.foreach { case (f, i) =>
+      val stagedFile = staged.resolve(s"events-$i.parquet")
+      java.nio.file.Files.copy(f, stagedFile)
+      stagedFile.toFile.deleteOnExit()
+    }
     val (tsT, tsUs) = tsType match {
       case LongType =>
         (timestamp_micros(expr("ts div 1000")), expr("ts div 1000"))
