@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, Ext24Queries, Ext25Queries, Ext26Queries, Ext27Queries, Ext28Queries, Ext29Queries, Ext30Queries, Ext31Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, Ext24Queries, Ext25Queries, Ext26Queries, Ext27Queries, Ext28Queries, Ext29Queries, Ext30Queries, Ext31Queries, Ext32Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -256,6 +256,11 @@ object SparkEntry {
     "q_ulcer_index" -> (Ext31Queries.ulcer _),
     "q_cmo" -> (Ext31Queries.cmo _),
     "q_keltner" -> (Ext31Queries.keltner _),
+    "q_cluster_canonical" -> (Ext32Queries.clusterCanonical _),
+    "q_containment" -> (Ext32Queries.containment _),
+    "q_lexical_diversity" -> (Ext32Queries.lexicalDiversity _),
+    "q_woe_iv" -> (Ext32Queries.woeIv _),
+    "q_clustering_coeff" -> (Ext32Queries.clusteringCoeff _),
     "q_adamic_adar" -> (Ext20Queries.adamicAdar _),
     "q_khop_reach" -> (Ext20Queries.khopReach _),
     "q_degree_dist" -> (Ext20Queries.degreeDist _),
@@ -740,6 +745,11 @@ object SparkEntry {
     "q_ulcer_index" -> Ext31Queries.ulcerOracle,
     "q_cmo" -> Ext31Queries.cmoOracle,
     "q_keltner" -> Ext31Queries.keltnerOracle,
+    "q_cluster_canonical" -> Ext32Queries.clusterCanonicalOracle,
+    "q_containment" -> Ext32Queries.containmentOracle,
+    "q_lexical_diversity" -> Ext32Queries.lexicalDiversityOracle,
+    "q_woe_iv" -> Ext32Queries.woeIvOracle,
+    "q_clustering_coeff" -> Ext32Queries.clusteringCoeffOracle,
     "q_adamic_adar" -> Ext20Queries.adamicAdarOracle,
     "q_khop_reach" -> Ext20Queries.khopReachOracle,
     "q_degree_dist" -> Ext20Queries.degreeDistOracle,

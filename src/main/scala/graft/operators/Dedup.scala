@@ -133,6 +133,44 @@ object Dedup {
       .select(col("id_1"), col("id_2"), col("jaccard"))
   }
 
+  /** Directed containment pairs: C(sub ⊂ super) = |sub ∩ super| / |sub| —
+    * the asymmetric cousin of Jaccard that catches near-SUBSET duplicates
+    * (a quote, an excerpt, a doc embedded in a larger page) which
+    * symmetric Jaccard misses whenever the size ratio is large
+    * (J ≤ |sub|/|super| no matter how complete the overlap). Emits a row
+    * per DIRECTION crossing the threshold, so a near-identical pair emits
+    * both directions. Same all-pairs-verifier posture as [[jaccardPairs]]
+    * (shuffle on shingle, fenced); the LSH candidate path bounds it at
+    * corpus scale.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      broadcastSizes: Boolean = true): DataFrame = {
+    ScaleFence.guard(df, "Dedup.containmentPairs",
+      "Dedup.minhashNearDup candidates re-verified with the containment " +
+        "formula (banded LSH bounds the pair stream)")
+    val sh = track(hashedPostings(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sizes0 = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val sizes = if (broadcastSizes) broadcast(sizes0) else sizes0
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_1"), col("b.id").as("id_2"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.as("s1"), col("id_1") === col("s1.id"))
+      .join(sizes.as("s2"), col("id_2") === col("s2.id"))
+      .select(col("id_1"), col("id_2"), col("i"),
+        col("s1.sz").as("sz_1"), col("s2.sz").as("sz_2"))
+    val dir1 = inter.select(col("id_1").as("sub_id"),
+      col("id_2").as("super_id"),
+      (col("i").cast("double") / col("sz_1")).as("containment"))
+    val dir2 = inter.select(col("id_2").as("sub_id"),
+      col("id_1").as("super_id"),
+      (col("i").cast("double") / col("sz_2")).as("containment"))
+    dir1.unionByName(dir2).filter(col("containment") >= threshold)
+  }
+
   // --- MinHash + LSH ---------------------------------------------------------
 
   /** k minhash values per doc in ONE typed-aggregate pass

@@ -1,0 +1,258 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+import graft.sources.Tables
+
+/** Round-8 extension: training-data curation tier 2 — the steps a corpus
+  * pipeline runs AFTER near-dup detection and BEFORE feature handoff:
+  * canonical-representative selection per duplicate cluster, asymmetric
+  * containment dedup (near-subset docs), corpus lexical-diversity health
+  * metrics, categorical-feature WOE/IV screening, and graph clustering
+  * coefficients.
+  *
+  * Scale posture is inherited from the operators each query composes: the
+  * cluster walk is [[Dedup.clusterLabels]]' fused label propagation, the
+  * containment pass shares [[Dedup.jaccardPairs]]' fenced postings
+  * self-join (LSH is the corpus-scale candidate path), and everything else
+  * is partial-aggregated groupBy/window shapes with broadcast model sides.
+  */
+object Ext32Queries {
+
+  /** Canonical representative per near-dup cluster: the member with the
+    * most characters wins (quality proxy; ties break on min doc_id), the
+    * rest are the drop set. Emits per cluster: winner, member count, and
+    * how many chars survive vs are dropped — the dedup yield report.
+    * Composes [[LlmQueries.dedupClusters]] (connected components over the
+    * exact-Jaccard graph) with one window over the member set — clusters
+    * are tiny relative to the corpus, so the expensive part stays the pair
+    * graph, not this pick.
+    */
+  def clusterCanonical(s: SparkSession, dir: String): DataFrame = {
+    val members = LlmQueries.dedupClusters(s, dir)
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+    val scored = members.join(docs, "doc_id")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("n_chars").desc, col("doc_id").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(when(col("rk") === 1, col("doc_id"))).as("canonical_id"),
+        count(lit(1)).as("n_members"),
+        max(when(col("rk") === 1, col("n_chars"))).as("kept_chars"),
+        (sum(col("n_chars")) - max(when(col("rk") === 1, col("n_chars"))))
+          .as("dropped_chars"))
+  }
+
+  val clusterCanonicalOracle: String =
+    s"""WITH cl AS (SELECT * FROM (\n${LlmQueries.dedupClustersOracle}\n) q),
+      |m AS (
+      |  SELECT cl.cluster_id, cl.doc_id, d.n_chars,
+      |    row_number() OVER (PARTITION BY cl.cluster_id
+      |      ORDER BY d.n_chars DESC, cl.doc_id ASC) AS rk
+      |  FROM cl JOIN documents d ON d.doc_id = cl.doc_id
+      |)
+      |SELECT cluster_id,
+      |  MAX(CASE WHEN rk = 1 THEN doc_id END) AS canonical_id,
+      |  COUNT(*) AS n_members,
+      |  MAX(CASE WHEN rk = 1 THEN n_chars END) AS kept_chars,
+      |  CAST(SUM(n_chars) - MAX(CASE WHEN rk = 1 THEN n_chars END)
+      |    AS BIGINT) AS dropped_chars
+      |FROM m GROUP BY cluster_id""".stripMargin
+
+  /** Directed containment pairs over the document corpus
+    * ([[Dedup.containmentPairs]]): rows where >= 60% of the sub-doc's
+    * 3-shingles appear in the super-doc — catches excerpts and embedded
+    * copies whose symmetric Jaccard stays under the near-dup threshold.
+    */
+  def containment(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.6)
+      .select(col("sub_id"), col("super_id"),
+        round(col("containment"), 6).as("containment"))
+
+  val containmentOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(w, 2) OVER win IS NOT NULL
+      |), ds AS (SELECT DISTINCT doc_id, s FROM sh),
+      |sizes AS (SELECT doc_id, count(*) AS sz FROM ds GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS id_1, b.doc_id AS id_2, count(*) AS i
+      |  FROM ds a JOIN ds b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |), both_dirs AS (
+      |  SELECT id_1 AS sub_id, id_2 AS super_id,
+      |    CAST(i AS DOUBLE) / s1.sz AS containment
+      |  FROM inter JOIN sizes s1 ON id_1 = s1.doc_id
+      |  UNION ALL
+      |  SELECT id_2, id_1, CAST(i AS DOUBLE) / s2.sz
+      |  FROM inter JOIN sizes s2 ON id_2 = s2.doc_id
+      |)
+      |SELECT sub_id, super_id, ROUND(containment, 6) AS containment
+      |FROM both_dirs WHERE containment >= 0.6""".stripMargin
+
+  /** Corpus lexical-diversity health per language: average type-token
+    * ratio and average hapax share (words occurring once / vocabulary) —
+    * the quick screen for template spam (low TTR) or OCR noise (hapax
+    * inflation). One explode to (doc, word) counts, then two bounded
+    * aggregates; everything partial-aggregates map-side.
+    */
+  def lexicalDiversity(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(col("cnt")).as("tokens"), count(lit(1)).as("types"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("hapax"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("types").cast("double") / col("tokens")), 6)
+          .as("avg_ttr"),
+        round(avg(col("hapax").cast("double") / col("types")), 6)
+          .as("avg_hapax_share"))
+
+  val lexicalDiversityOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents
+      |), wc AS (
+      |  SELECT doc_id, lang, w, COUNT(*) AS cnt
+      |  FROM tok GROUP BY doc_id, lang, w
+      |), per_doc AS (
+      |  SELECT doc_id, lang, SUM(cnt) AS tokens, COUNT(*) AS types,
+      |    SUM(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS hapax
+      |  FROM wc GROUP BY doc_id, lang
+      |)
+      |SELECT lang, COUNT(*) AS n_docs,
+      |  ROUND(AVG(CAST(types AS DOUBLE) / tokens), 6) AS avg_ttr,
+      |  ROUND(AVG(CAST(hapax AS DOUBLE) / types), 6) AS avg_hapax_share
+      |FROM per_doc GROUP BY lang""".stripMargin
+
+  /** Weight-of-evidence / information-value screen for a categorical
+    * feature against a binary label (credit-scoring's standard feature
+    * ranking, equally standard for LLM data-mix ablations): WOE_i =
+    * ln((good_i/G)/(bad_i/B)), IV = Σ (good_i/G − bad_i/B)·WOE_i. Label =
+    * account balance above 5000 over the customer market segments. Two
+    * tiny aggregates; the totals row broadcasts back. Zero-cell segments
+    * yield NULL WOE via NULLIF rather than ±∞.
+    */
+  def woeIv(s: SparkSession, dir: String): DataFrame = {
+    val seg = Tables.customer(s, dir)
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sum(when(col("c_acctbal") > 5000, 1L).otherwise(0L)).as("goods"),
+        sum(when(col("c_acctbal") > 5000, 0L).otherwise(1L)).as("bads"))
+    val totals = seg.agg(sum(col("goods")).cast("double").as("_g"),
+      sum(col("bads")).cast("double").as("_b"))
+    val woe = log(
+      (col("goods").cast("double") / col("_g"))
+        / nullif(col("bads").cast("double") / col("_b"), lit(0.0)))
+    seg.crossJoin(broadcast(totals))
+      .select(col("c_mktsegment"), col("goods"), col("bads"),
+        round(woe, 6).as("woe"),
+        round((col("goods") / col("_g") - col("bads") / col("_b")) * woe, 6)
+          .as("iv_term"))
+  }
+
+  val woeIvOracle: String =
+    """WITH seg AS (
+      |  SELECT c_mktsegment,
+      |    CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS goods,
+      |    CAST(SUM(CASE WHEN c_acctbal > 5000 THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS bads
+      |  FROM customer GROUP BY c_mktsegment
+      |), t AS (
+      |  SELECT CAST(SUM(goods) AS DOUBLE) AS g,
+      |    CAST(SUM(bads) AS DOUBLE) AS b FROM seg
+      |)
+      |SELECT c_mktsegment, goods, bads,
+      |  ROUND(LN((CAST(goods AS DOUBLE) / g)
+      |    / NULLIF(CAST(bads AS DOUBLE) / b, 0.0)), 6) AS woe,
+      |  ROUND((goods / g - bads / b)
+      |    * LN((CAST(goods AS DOUBLE) / g)
+      |      / NULLIF(CAST(bads AS DOUBLE) / b, 0.0)), 6) AS iv_term
+      |FROM seg CROSS JOIN t""".stripMargin
+
+  /** Local clustering coefficient per node of the nation trade graph (the
+    * [[Ext12Queries.triangleCount]] edge set): closed neighbor pairs /
+    * possible neighbor pairs. Wedge enumeration is the same
+    * center-node equi-join as the triangle count — Σ deg(v)² work, no
+    * cartesian — and the closure check is a semi-join against the
+    * canonical edge list.
+    */
+  def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val flows = Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .filter(col("c_nationkey") =!= col("s_nationkey"))
+      .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("u"),
+        greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
+      .agg(count(lit(1)).as("w"))
+    val avgW = flows.agg(avg(col("w")).as("_avg_w"))
+    val edges = flows.crossJoin(broadcast(avgW))
+      .filter(col("w") > col("_avg_w"))
+      .select(col("u"), col("v"))
+    val sym = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
+    val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
+    val wedges = sym.as("s1")
+      .join(sym.as("s2"),
+        col("s1.a") === col("s2.a") && col("s1.b") < col("s2.b"))
+      .select(col("s1.a").as("center"), col("s1.b").as("x"),
+        col("s2.b").as("y"))
+    val closed = wedges.join(edges,
+        wedges("x") === edges("u") && wedges("y") === edges("v"),
+        "left_semi")
+      .groupBy(col("center")).agg(count(lit(1)).as("triangles"))
+    deg.join(closed, deg("node") === closed("center"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("triangles"), lit(0L)).as("triangles"),
+        round(coalesce(col("triangles"), lit(0L)).cast("double")
+          / nullif(col("degree") * (col("degree") - 1) / lit(2.0), lit(0.0)),
+          6).as("coeff"))
+  }
+
+  val clusteringCoeffOracle: String =
+    """WITH pw AS (
+      |  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
+      |    greatest(c.c_nationkey, s.s_nationkey) AS v, COUNT(*) AS w
+      |  FROM lineitem l
+      |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |    JOIN customer c ON o.o_custkey = c.c_custkey
+      |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE c.c_nationkey <> s.s_nationkey
+      |  GROUP BY 1, 2
+      |), e AS (SELECT u, v FROM pw WHERE w > (SELECT AVG(w) FROM pw)),
+      |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+      |deg AS (SELECT a AS node, COUNT(*) AS degree FROM sym GROUP BY a),
+      |wedge AS (
+      |  SELECT s1.a AS center, s1.b AS x, s2.b AS y
+      |  FROM sym s1 JOIN sym s2 ON s1.a = s2.a AND s1.b < s2.b
+      |), closed AS (
+      |  SELECT center, COUNT(*) AS triangles
+      |  FROM wedge WHERE EXISTS (
+      |    SELECT 1 FROM e WHERE e.u = wedge.x AND e.v = wedge.y)
+      |  GROUP BY center
+      |)
+      |SELECT deg.node, deg.degree,
+      |  COALESCE(closed.triangles, 0) AS triangles,
+      |  ROUND(CAST(COALESCE(closed.triangles, 0) AS DOUBLE)
+      |    / NULLIF(deg.degree * (deg.degree - 1) / 2.0, 0.0), 6) AS coeff
+      |FROM deg LEFT JOIN closed ON closed.center = deg.node""".stripMargin
+}
