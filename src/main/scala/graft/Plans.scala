@@ -83,7 +83,15 @@ object Plans {
       "q_churn_features" -> "Churn features: the 1-row observation span broadcasts (scalar nested-loop), holdout flags broadcast — zero SortMergeJoins",
       "q_jaro_winkler" -> "Jaro-Winkler fuzzy match: native codegen'd BinaryExpression inside the WholeStageCodegen span; scan pruned to (p_type, p_name)",
       "q_weighted_percentile" -> "Weighted percentile: all three windows (cum weight, total, pick) share ONE shuffle on the group key",
-      "q_interval_coverage" -> "Interval union coverage: sweep-line windows + island aggregate ride ONE user_id shuffle — no self-join, no interval explosion")
+      "q_interval_coverage" -> "Interval union coverage: sweep-line windows + island aggregate ride ONE user_id shuffle — no self-join, no interval explosion",
+      "q_vortex" -> "Vortex indicator: bar build + symbol re-key, all window sums share the symbol sort — no joins anywhere",
+      "q_ichimoku" -> "Ichimoku cloud: three channel windows + displacement lags share one symbol sort after the bar build",
+      "q_keltner" -> "Keltner channels: recursive EMA+ATR smoothing as a per-symbol fold (aggregate HOF projection) — zero joins, zero window state",
+      "q_woe_iv" -> "WOE/IV feature screen: 2-column pruned scan, scalar totals broadcast back (1-row nested loop), zero sort-merge joins",
+      "q_clustering_coeff" -> "Clustering coefficients: wedge enumeration + closure check as equi-joins over the trade graph — no cartesian",
+      "q_lexical_diversity" -> "Lexical diversity: three stacked partial aggregates (word, doc, lang), 3-column pruned scan, no joins",
+      "q_cluster_canonical" -> "Canonical-per-cluster selection: dedup components + one window pick — the pair graph dominates, the pick is one narrow shuffle",
+      "q_containment" -> "Directed containment pairs: fenced postings self-join on hashed shingles, per-direction normalization — same scale posture as jaccardPairs")
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the headline queries\n\n")

@@ -602,4 +602,82 @@ class PlanSpec extends SparkTestBase {
       assert(plan.collect { case w: WindowExec => w }.size <= 2)
     }
   }
+
+  // ---- round-8 tier pins -----------------------------------------------
+
+  test("TA tier 2 window indicators: bar build + symbol re-key only — no " +
+      "joins, bounded shuffles, indicator windows share the symbol sort") {
+    withStaticPlans {
+      Seq("q_vortex", "q_cmf", "q_ulcer_index", "q_cmo", "q_ichimoku")
+        .foreach { name =>
+          val plan = planOf(q(name))
+          assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+            s"$name grew a join")
+          val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+          assert(shuffles.size <= 3,
+            s"$name over-shuffles: ${shuffles.size} (bars + symbol re-key " +
+              "expected)")
+          val sorts = plan.collect {
+            case s: org.apache.spark.sql.execution.SortExec => s }
+          assert(sorts.size <= 3, s"$name windows re-sorting: ${sorts.size}")
+        }
+    }
+  }
+
+  test("keltner fold: per-symbol aggregate, zero joins — the recursive " +
+      "smoothing is a projection over the collected series, not a loop of " +
+      "self-joins") {
+    withStaticPlans {
+      val plan = planOf(q("q_keltner"))
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty)
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size <= 3, s"keltner over-shuffles: ${shuffles.size}")
+    }
+  }
+
+  test("woe/iv: scalar totals broadcast back, zero sort-merge joins, scan " +
+      "pruned to (c_mktsegment, c_acctbal)") {
+    withStaticPlans {
+      val plan = planOf(q("q_woe_iv"))
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.nonEmpty,
+        "1-row totals must broadcast")
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      scans.foreach { sc =>
+        assert(sc.requiredSchema.fieldNames.toSet
+          == Set("c_mktsegment", "c_acctbal"),
+          s"scan reads too much: ${sc.requiredSchema.fieldNames.mkString(",")}")
+      }
+    }
+  }
+
+  test("clustering coeff: wedge enumeration and closure check are " +
+      "equi-joins — no cartesian product anywhere") {
+    withStaticPlans {
+      val plan = planOf(q("q_clustering_coeff"))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "wedge/closure degenerated to a cartesian")
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "dim sides should broadcast")
+    }
+  }
+
+  test("lexical diversity: three stacked aggregates, no joins, doc scan " +
+      "pruned to (doc_id, lang, text)") {
+    withStaticPlans {
+      val plan = planOf(q("q_lexical_diversity"))
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty)
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size <= 3, s"over-shuffles: ${shuffles.size}")
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      scans.foreach { sc =>
+        assert(sc.requiredSchema.fieldNames.toSet
+          == Set("doc_id", "lang", "text"),
+          s"scan reads too much: ${sc.requiredSchema.fieldNames.mkString(",")}")
+      }
+    }
+  }
 }
