@@ -258,6 +258,8 @@ object SparkEntry {
     "q_keltner" -> (Ext31Queries.keltner _),
     "q_cluster_canonical" -> (Ext32Queries.clusterCanonical _),
     "q_containment" -> (Ext32Queries.containment _),
+    "q_containment_prefix" -> (Ext32Queries.containmentPrefix _),
+    "q_boilerplate" -> (Ext32Queries.boilerplate _),
     "q_lexical_diversity" -> (Ext32Queries.lexicalDiversity _),
     "q_woe_iv" -> (Ext32Queries.woeIv _),
     "q_clustering_coeff" -> (Ext32Queries.clusteringCoeff _),
@@ -747,6 +749,8 @@ object SparkEntry {
     "q_keltner" -> Ext31Queries.keltnerOracle,
     "q_cluster_canonical" -> Ext32Queries.clusterCanonicalOracle,
     "q_containment" -> Ext32Queries.containmentOracle,
+    "q_containment_prefix" -> Ext32Queries.containmentPrefixOracle,
+    "q_boilerplate" -> Ext32Queries.boilerplateOracle,
     "q_lexical_diversity" -> Ext32Queries.lexicalDiversityOracle,
     "q_woe_iv" -> Ext32Queries.woeIvOracle,
     "q_clustering_coeff" -> Ext32Queries.clusteringCoeffOracle,

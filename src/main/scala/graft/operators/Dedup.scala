@@ -147,8 +147,8 @@ object Dedup {
       n: Int = 3, threshold: Double = 0.8,
       broadcastSizes: Boolean = true): DataFrame = {
     ScaleFence.guard(df, "Dedup.containmentPairs",
-      "Dedup.minhashNearDup candidates re-verified with the containment " +
-        "formula (banded LSH bounds the pair stream)")
+      "Dedup.containmentPrefixPairs (lossless prefix filter, identical " +
+        "output)")
     val sh = track(hashedPostings(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes0 = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
@@ -497,5 +497,51 @@ object Dedup {
         col("i") / (size(col("sa.set")) + size(col("sb.set")) - col("i")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_1"), col("id_2"), col("jaccard"))
+  }
+
+  /** Prefix-filtered CONTAINMENT join — the scale path for
+    * [[containmentPairs]], with IDENTICAL output. The asymmetric bound: if
+    * C(A→B) = |A∩B|/|A| >= t then A has at most (1−t)·|A| shingles outside
+    * B, so among A's ⌊(1−t)·|A|⌋+1 rarest shingles (global df-asc order, a
+    * total order consistent across docs) at least one must land in B —
+    * probing ONLY that prefix against B's full postings is lossless.
+    * Unlike the Jaccard prefix filter, the super side cannot be pruned (the
+    * matching shingle may sit anywhere in B), so candidates come from
+    * prefix(sub) ⋈ postings(super); at t=0.8 the probe side is a fifth of
+    * the postings and rarity ordering keeps bucket fanout small. Candidates
+    * verify exactly via per-doc shingle sets (one array_intersect per
+    * pair), so output EQUALS the all-pairs verifier.
+    */
+  def containmentPrefixPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8,
+      broadcastDocTables: Boolean = true): DataFrame = {
+    val sh = track(hashedPostings(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val sizes = broadcast(sh.groupBy(col("id")).agg(count(lit(1)).as("sz")))
+    val freq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("id")).orderBy(col("df"), col("shingle"))
+    val prefix = track(sh.join(freq, "shingle")
+      .withColumn("rnk", row_number().over(w))
+      .join(sizes, "id")
+      .filter(col("rnk") <=
+        floor(lit(1.0 - threshold) * col("sz")).cast("long") + 1)
+      .select(col("id"), col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val cand = prefix.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("sub_id"), col("b.id").as("super_id"))
+      .distinct()
+    def maybeBroadcast(d: DataFrame): DataFrame =
+      if (broadcastDocTables) broadcast(d) else d
+    val sets = sh.groupBy(col("id")).agg(collect_set(col("shingle")).as("set"))
+    cand
+      .join(maybeBroadcast(sets.as("sa")), col("sub_id") === col("sa.id"))
+      .join(maybeBroadcast(sets.as("sb")), col("super_id") === col("sb.id"))
+      .withColumn("containment",
+        size(array_intersect(col("sa.set"), col("sb.set"))).cast("double")
+          / size(col("sa.set")))
+      .filter(col("containment") >= threshold)
+      .select(col("sub_id"), col("super_id"), col("containment"))
   }
 }

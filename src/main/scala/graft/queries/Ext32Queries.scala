@@ -102,6 +102,62 @@ object Ext32Queries {
       |SELECT sub_id, super_id, ROUND(containment, 6) AS containment
       |FROM both_dirs WHERE containment >= 0.6""".stripMargin
 
+  /** Prefix-filtered containment ([[Dedup.containmentPrefixPairs]]) at the
+    * same threshold as [[containment]] — registered against the IDENTICAL
+    * oracle, proving the prefix filter lossless: the scale path and the
+    * all-pairs verifier hash-match on the same corpus.
+    */
+  def containmentPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPrefixPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 3, threshold = 0.6)
+      .select(col("sub_id"), col("super_id"),
+        round(col("containment"), 6).as("containment"))
+
+  val containmentPrefixOracle: String = containmentOracle
+
+  /** Boilerplate/template detection — the C4-style cleanup step: score each
+    * doc by the share of its 3-shingles that are corpus-common
+    * (document frequency >= 3); docs above 30% are template suspects.
+    * One postings pass, one df aggregate, one join back — every stage
+    * partial-aggregates and shuffles on the shingle/doc key, the
+    * 100 TB-safe shape (no pair joins at all).
+    */
+  def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    val sh = Dedup.hashedPostings(
+      Tables.documents(s, dir), "doc_id", "text", n = 3)
+    val df = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    sh.join(df, "shingle")
+      .groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 3, 1L).otherwise(0L)).as("common_shingles"))
+      .withColumn("boilerplate_share",
+        round(col("common_shingles").cast("double") / col("n_shingles"), 6))
+      .filter(col("common_shingles").cast("double") / col("n_shingles")
+        >= 0.3)
+  }
+
+  val boilerplateOracle: String =
+    """WITH tok AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS w,
+      |         generate_subscripts(string_split(text, ' '), 1) AS pos
+      |  FROM documents
+      |), sh AS (
+      |  SELECT doc_id,
+      |    w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS s
+      |  FROM tok WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+      |  QUALIFY lead(w, 2) OVER win IS NOT NULL
+      |), ds AS (SELECT DISTINCT doc_id, s FROM sh),
+      |freq AS (SELECT s, COUNT(*) AS df FROM ds GROUP BY s),
+      |per AS (
+      |  SELECT ds.doc_id, COUNT(*) AS n_sh,
+      |    SUM(CASE WHEN freq.df >= 3 THEN 1 ELSE 0 END) AS common
+      |  FROM ds JOIN freq USING (s) GROUP BY ds.doc_id
+      |)
+      |SELECT doc_id, CAST(n_sh AS BIGINT) AS n_shingles,
+      |  CAST(common AS BIGINT) AS common_shingles,
+      |  ROUND(CAST(common AS DOUBLE) / n_sh, 6) AS boilerplate_share
+      |FROM per WHERE CAST(common AS DOUBLE) / n_sh >= 0.3""".stripMargin
+
   /** Corpus lexical-diversity health per language: average type-token
     * ratio and average hapax share (words occurring once / vocabulary) —
     * the quick screen for template spam (low TTR) or OCR noise (hapax

@@ -43,6 +43,33 @@ class Ext32Spec extends SparkTestBase {
     }
   }
 
+  test("containment prefix filter is lossless: identical row set to the " +
+    "all-pairs verifier") {
+    def keyed(rows: Array[org.apache.spark.sql.Row]) = rows.map(r =>
+      (r.getAs[Long]("sub_id"), r.getAs[Long]("super_id"),
+        r.getAs[Double]("containment"))).toSet
+    val exact = keyed(Ext32Queries.containment(spark, sf).collect())
+    graft.operators.Dedup.unpersistIntermediates()
+    val prefix = keyed(Ext32Queries.containmentPrefix(spark, sf).collect())
+    graft.operators.Dedup.unpersistIntermediates()
+    assert(exact == prefix,
+      s"prefix filter lost/invented pairs: ${exact.diff(prefix)} / " +
+        s"${prefix.diff(exact)}")
+    assert(exact.nonEmpty)
+  }
+
+  test("boilerplate: share in [0.3, 1], common <= total shingles") {
+    val rows = Ext32Queries.boilerplate(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_shingles")
+      val c = r.getAs[Long]("common_shingles")
+      val s = r.getAs[Double]("boilerplate_share")
+      assert(c <= n)
+      assert(s >= 0.3 - 1e-9 && s <= 1.0 + 1e-9, s"share=$s")
+    }
+  }
+
   test("lexical diversity: ratios in (0, 1], every lang counted") {
     val rows = Ext32Queries.lexicalDiversity(spark, sf).collect()
     assert(rows.nonEmpty)
