@@ -91,7 +91,9 @@ object Plans {
       "q_clustering_coeff" -> "Clustering coefficients: wedge enumeration + closure check as equi-joins over the trade graph — no cartesian",
       "q_lexical_diversity" -> "Lexical diversity: three stacked partial aggregates (word, doc, lang), 3-column pruned scan, no joins",
       "q_cluster_canonical" -> "Canonical-per-cluster selection: dedup components + one window pick — the pair graph dominates, the pick is one narrow shuffle",
-      "q_containment" -> "Directed containment pairs: fenced postings self-join on hashed shingles, per-direction normalization — same scale posture as jaccardPairs")
+      "q_containment" -> "Directed containment pairs: fenced postings self-join on hashed shingles, per-direction normalization — same scale posture as jaccardPairs",
+      "q_containment_prefix" -> "Prefix-filtered containment: rarity-ordered sub-side prefix probes the full postings; candidates verify via in-row array_intersect — the lossless scale path",
+      "q_boilerplate" -> "Boilerplate detection: postings + df aggregate + join back — linear shuffles on shingle/doc keys, no pair joins anywhere")
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the headline queries\n\n")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, Ext24Queries, Ext25Queries, Ext26Queries, Ext27Queries, Ext28Queries, Ext29Queries, Ext30Queries, Ext31Queries, Ext32Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, Ext24Queries, Ext25Queries, Ext26Queries, Ext27Queries, Ext28Queries, Ext29Queries, Ext30Queries, Ext31Queries, Ext32Queries, Ext33Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -263,6 +263,9 @@ object SparkEntry {
     "q_lexical_diversity" -> (Ext32Queries.lexicalDiversity _),
     "q_woe_iv" -> (Ext32Queries.woeIv _),
     "q_clustering_coeff" -> (Ext32Queries.clusteringCoeff _),
+    "q_kn_bigram" -> (Ext33Queries.knBigram _),
+    "q_graph_jaccard" -> (Ext33Queries.graphJaccard _),
+    "q_curation_funnel" -> (Ext33Queries.curationFunnel _),
     "q_adamic_adar" -> (Ext20Queries.adamicAdar _),
     "q_khop_reach" -> (Ext20Queries.khopReach _),
     "q_degree_dist" -> (Ext20Queries.degreeDist _),
@@ -754,6 +757,9 @@ object SparkEntry {
     "q_lexical_diversity" -> Ext32Queries.lexicalDiversityOracle,
     "q_woe_iv" -> Ext32Queries.woeIvOracle,
     "q_clustering_coeff" -> Ext32Queries.clusteringCoeffOracle,
+    "q_kn_bigram" -> Ext33Queries.knBigramOracle,
+    "q_graph_jaccard" -> Ext33Queries.graphJaccardOracle,
+    "q_curation_funnel" -> Ext33Queries.curationFunnelOracle,
     "q_adamic_adar" -> Ext20Queries.adamicAdarOracle,
     "q_khop_reach" -> Ext20Queries.khopReachOracle,
     "q_degree_dist" -> Ext20Queries.degreeDistOracle,

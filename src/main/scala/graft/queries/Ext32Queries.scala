@@ -250,7 +250,11 @@ object Ext32Queries {
     * cartesian — and the closure check is a semi-join against the
     * canonical edge list.
     */
-  def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+  /** The nation trade graph's canonical (u < v) edge list — the
+    * [[Ext12Queries.triangleCount]] construction, shared by the graph
+    * queries in this tier and [[Ext33Queries]].
+    */
+  private[queries] def tradeEdges(s: SparkSession, dir: String): DataFrame = {
     val flows = Tables.lineitem(s, dir)
       .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
       .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
@@ -261,9 +265,13 @@ object Ext32Queries {
         greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
       .agg(count(lit(1)).as("w"))
     val avgW = flows.agg(avg(col("w")).as("_avg_w"))
-    val edges = flows.crossJoin(broadcast(avgW))
+    flows.crossJoin(broadcast(avgW))
       .filter(col("w") > col("_avg_w"))
       .select(col("u"), col("v"))
+  }
+
+  def clusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(s, dir)
     val sym = edges.select(col("u").as("a"), col("v").as("b"))
       .unionByName(edges.select(col("v").as("a"), col("u").as("b")))
     val deg = sym.groupBy(col("a").as("node")).agg(count(lit(1)).as("degree"))
