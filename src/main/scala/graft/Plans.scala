@@ -93,7 +93,10 @@ object Plans {
       "q_cluster_canonical" -> "Canonical-per-cluster selection: dedup components + one window pick — the pair graph dominates, the pick is one narrow shuffle",
       "q_containment" -> "Directed containment pairs: fenced postings self-join on hashed shingles, per-direction normalization — same scale posture as jaccardPairs",
       "q_containment_prefix" -> "Prefix-filtered containment: rarity-ordered sub-side prefix probes the full postings; candidates verify via in-row array_intersect — the lossless scale path",
-      "q_boilerplate" -> "Boilerplate detection: postings + df aggregate + join back — linear shuffles on shingle/doc keys, no pair joins anywhere")
+      "q_boilerplate" -> "Boilerplate detection: postings + df aggregate + join back — linear shuffles on shingle/doc keys, no pair joins anywhere",
+      "q_kn_bigram" -> "Kneser-Ney bigram LM: corpus collapses once to (doc,w1,w2,cnt); every model table re-aggregates from it and broadcasts back — model scales with vocabulary, not corpus",
+      "q_graph_jaccard" -> "Neighbor-set Jaccard: wedge equi-join on the shared neighbor (Σ deg² bounded), degree tables broadcast, left-anti vs existing edges",
+      "q_curation_funnel" -> "Curation funnel: three drop-set branches (window dedup, cluster pick, df-share screen) union-distinct into one anti-join — each branch its own proven scale shape")
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the headline queries\n\n")
