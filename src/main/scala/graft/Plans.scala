@@ -96,7 +96,9 @@ object Plans {
       "q_boilerplate" -> "Boilerplate detection: postings + df aggregate + join back — linear shuffles on shingle/doc keys, no pair joins anywhere",
       "q_kn_bigram" -> "Kneser-Ney bigram LM: corpus collapses once to (doc,w1,w2,cnt); every model table re-aggregates from it and broadcasts back — model scales with vocabulary, not corpus",
       "q_graph_jaccard" -> "Neighbor-set Jaccard: wedge equi-join on the shared neighbor (Σ deg² bounded), degree tables broadcast, left-anti vs existing edges",
-      "q_curation_funnel" -> "Curation funnel: three drop-set branches (window dedup, cluster pick, df-share screen) union-distinct into one anti-join — each branch its own proven scale shape")
+      "q_curation_funnel" -> "Curation funnel: three drop-set branches (window dedup, cluster pick, df-share screen) union-distinct into one anti-join — each branch its own proven scale shape",
+      "q_aroon" -> "Aroon: window channel extremes + a bounded 14-row band self-join picking the last equal bar — equi-join on symbol, <=14x bar count, deterministic tie-break",
+      "q_trix" -> "TRIX: triple-EMA recursion as a per-symbol fold (aggregate HOF projection) — zero joins, zero window state")
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the headline queries\n\n")

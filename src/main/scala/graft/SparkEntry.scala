@@ -256,6 +256,8 @@ object SparkEntry {
     "q_ulcer_index" -> (Ext31Queries.ulcer _),
     "q_cmo" -> (Ext31Queries.cmo _),
     "q_keltner" -> (Ext31Queries.keltner _),
+    "q_aroon" -> (Ext31Queries.aroon _),
+    "q_trix" -> (Ext31Queries.trix _),
     "q_cluster_canonical" -> (Ext32Queries.clusterCanonical _),
     "q_containment" -> (Ext32Queries.containment _),
     "q_containment_prefix" -> (Ext32Queries.containmentPrefix _),
@@ -750,6 +752,8 @@ object SparkEntry {
     "q_ulcer_index" -> Ext31Queries.ulcerOracle,
     "q_cmo" -> Ext31Queries.cmoOracle,
     "q_keltner" -> Ext31Queries.keltnerOracle,
+    "q_aroon" -> Ext31Queries.aroonOracle,
+    "q_trix" -> Ext31Queries.trixOracle,
     "q_cluster_canonical" -> Ext32Queries.clusterCanonicalOracle,
     "q_containment" -> Ext32Queries.containmentOracle,
     "q_containment_prefix" -> Ext32Queries.containmentPrefixOracle,

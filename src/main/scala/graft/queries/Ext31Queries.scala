@@ -206,6 +206,115 @@ object Ext31Queries {
     sparkQ(s, dir, barsSpark, cmoBody)
   val cmoOracle: String = duckQ(barsDuck, cmoBody)
 
+  /** Aroon (14): 100·(14 − bars_since_extreme)/14 for the channel high and
+    * low. "Bars since the most recent max" is an argmax — tie-ambiguous if
+    * left to an engine's max_by (and DuckDB's arg_max can't rank by a
+    * tuple), so the body pins it deterministically in two passes sharing
+    * one ANSI text: a window MAX/MIN finds each bar's channel extremes,
+    * then a bounded 14-row band self-join takes MAX(rn) over the bars
+    * EQUAL to the extreme — ties resolve to the most recent bar, the
+    * published convention, identically on both engines. The join is an
+    * equi-join on symbol with an rn band residual (≤14× the bar count,
+    * never bars²).
+    */
+  private val aroonBody: String =
+    """SELECT event_type, hr_us,
+      |  ROUND(CAST(100.0 AS DOUBLE) * (14 - (rn - hi_rn)) / 14, 6)
+      |    AS aroon_up,
+      |  ROUND(CAST(100.0 AS DOUBLE) * (14 - (rn - lo_rn)) / 14, 6)
+      |    AS aroon_down
+      |FROM (
+      |  SELECT b1.event_type, b1.hr_us, b1.rn,
+      |    MAX(CASE WHEN b2.high = b1.hh THEN b2.rn END) AS hi_rn,
+      |    MAX(CASE WHEN b2.low = b1.ll THEN b2.rn END) AS lo_rn
+      |  FROM (
+      |    SELECT event_type, hr_us, rn,
+      |      MAX(high) OVER w14 AS hh, MIN(low) OVER w14 AS ll
+      |    FROM nb
+      |    WINDOW w14 AS (PARTITION BY event_type ORDER BY rn
+      |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+      |  ) b1 JOIN nb b2
+      |    ON b1.event_type = b2.event_type
+      |    AND b2.rn BETWEEN b1.rn - 13 AND b1.rn
+      |  GROUP BY b1.event_type, b1.hr_us, b1.rn
+      |)
+      |WHERE rn >= 14""".stripMargin
+
+  private val aroonNb: String =
+    """SELECT event_type, hr_us, high, low,
+      |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr_us)
+      |    AS INT) AS rn
+      |FROM bars""".stripMargin
+
+  def aroon(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_ta")
+    s.sql(s"WITH bars AS (\n$barsSpark\n), nb AS (\n$aroonNb\n)\n$aroonBody")
+  }
+
+  val aroonOracle: String =
+    s"WITH bars AS (\n$barsDuck\n), nb AS (\n$aroonNb\n)\n$aroonBody"
+
+  /** TRIX (15): 1-bar rate of change of the triple-smoothed EMA — three
+    * chained recursive smoothers, so a per-symbol fold like
+    * [[Ext19Queries.macd]] with accumulator (e1, e2, e3, prev_e3). The
+    * α = 2/16 = 0.125 is exact in binary. Emits the final state per symbol
+    * (triple-EMA and the last TRIX reading).
+    */
+  def trix(s: SparkSession, dir: String): DataFrame = {
+    Tables.events(s, dir).createOrReplaceTempView("events_ta")
+    val bars = s.sql(s"WITH b AS (\n$barsSpark\n) " +
+      "SELECT event_type, hr_us, close FROM b")
+    val a = lit(0.125)
+    val vals = transform(array_sort(col("raw")), x => x.getField("close"))
+    val c1 = element_at(vals, 1)
+    val seed = struct(c1.as("e1"), c1.as("e2"), c1.as("e3"),
+      lit(null).cast("double").as("pe3"))
+    val folded = aggregate(
+      slice(vals, lit(2), greatest(size(vals) - 1, lit(0))),
+      seed,
+      (acc, x) => {
+        val e1 = a * x + (lit(1.0) - a) * acc.getField("e1")
+        val e2 = a * e1 + (lit(1.0) - a) * acc.getField("e2")
+        val e3 = a * e2 + (lit(1.0) - a) * acc.getField("e3")
+        struct(e1.as("e1"), e2.as("e2"), e3.as("e3"),
+          acc.getField("e3").as("pe3"))
+      })
+    bars.groupBy(col("event_type"))
+      .agg(collect_list(struct(col("hr_us"), col("close"))).as("raw"))
+      .select(
+        col("event_type"),
+        size(vals).as("n_bars"),
+        round(folded.getField("e3"), 6).as("ema3"),
+        round(lit(100.0) * (folded.getField("e3") - folded.getField("pe3"))
+          / nullif(folded.getField("pe3"), lit(0.0)), 6).as("trix"))
+  }
+
+  val trixOracle: String =
+    s"""WITH RECURSIVE bars AS (\n$barsDuck\n),
+      |seq AS (
+      |  SELECT event_type, close,
+      |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr_us)
+      |      AS BIGINT) AS i
+      |  FROM bars
+      |), nn AS (
+      |  SELECT event_type, MAX(i) AS n FROM seq GROUP BY event_type
+      |), rec(event_type, i, e1, e2, e3, pe3) AS (
+      |  SELECT event_type, i, close, close, close, CAST(NULL AS DOUBLE)
+      |  FROM seq WHERE i = 1
+      |  UNION ALL
+      |  SELECT s.event_type, s.i,
+      |    0.125 * s.close + 0.875 * r.e1,
+      |    0.125 * (0.125 * s.close + 0.875 * r.e1) + 0.875 * r.e2,
+      |    0.125 * (0.125 * (0.125 * s.close + 0.875 * r.e1)
+      |      + 0.875 * r.e2) + 0.875 * r.e3,
+      |    r.e3
+      |  FROM rec r JOIN seq s ON s.event_type = r.event_type AND s.i = r.i + 1
+      |)
+      |SELECT r.event_type, CAST(nn.n AS INT) AS n_bars,
+      |  ROUND(r.e3, 6) AS ema3,
+      |  ROUND(100.0 * (r.e3 - r.pe3) / NULLIF(r.pe3, 0.0), 6) AS trix
+      |FROM rec r JOIN nn ON nn.event_type = r.event_type AND r.i = nn.n""".stripMargin
+
   /** Keltner Channels (EMA-20 of typical price ± 2 × Wilder-ATR-10), folded
     * per symbol like [[Ext19Queries.macd]]: both smoothers are recursive,
     * so the per-symbol hr-sorted bar list folds a

