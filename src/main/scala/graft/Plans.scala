@@ -98,7 +98,9 @@ object Plans {
       "q_graph_jaccard" -> "Neighbor-set Jaccard: wedge equi-join on the shared neighbor (Σ deg² bounded), degree tables broadcast, left-anti vs existing edges",
       "q_curation_funnel" -> "Curation funnel: three drop-set branches (window dedup, cluster pick, df-share screen) union-distinct into one anti-join — each branch its own proven scale shape",
       "q_aroon" -> "Aroon: window channel extremes + a bounded 14-row band self-join picking the last equal bar — equi-join on symbol, <=14x bar count, deterministic tie-break",
-      "q_trix" -> "TRIX: triple-EMA recursion as a per-symbol fold (aggregate HOF projection) — zero joins, zero window state")
+      "q_trix" -> "TRIX: triple-EMA recursion as a per-symbol fold (aggregate HOF projection) — zero joins, zero window state",
+      "q_split_leakage" -> "Split-leakage audit: prefix-filtered pair stream + two broadcast split joins — corpus-scale safe, no all-pairs anywhere",
+      "q_bootstrap_ci" -> "Bayesian bootstrap: flat x32 explode, (type, replicate) partial-aggregated DECIMAL sums, 32-element per-type order statistics — no shuffle grows beyond xB")
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the headline queries\n\n")
