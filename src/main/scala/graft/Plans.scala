@@ -100,7 +100,9 @@ object Plans {
       "q_aroon" -> "Aroon: window channel extremes + a bounded 14-row band self-join picking the last equal bar — equi-join on symbol, <=14x bar count, deterministic tie-break",
       "q_trix" -> "TRIX: triple-EMA recursion as a per-symbol fold (aggregate HOF projection) — zero joins, zero window state",
       "q_split_leakage" -> "Split-leakage audit: prefix-filtered pair stream + two broadcast split joins — corpus-scale safe, no all-pairs anywhere",
-      "q_bootstrap_ci" -> "Bayesian bootstrap: flat x32 explode, (type, replicate) partial-aggregated DECIMAL sums, 32-element per-type order statistics — no shuffle grows beyond xB")
+      "q_bootstrap_ci" -> "Bayesian bootstrap: flat x32 explode, (type, replicate) partial-aggregated DECIMAL sums, 32-element per-type order statistics — no shuffle grows beyond xB",
+      "q_sax_word" -> "SAX words: daily bar shuffle + per-symbol window stats, the word is an in-row ordered fold — zero joins",
+      "q_quantile_normalize" -> "Quantile normalization: ntile grid window, per-(type,bucket) aggregate, 100-row reference broadcast back — no sort-merge join")
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the headline queries\n\n")

@@ -664,6 +664,53 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("split leakage: rides the prefix-filtered pair stream — no " +
+      "cartesian product; split assignments broadcast") {
+    withStaticPlans {
+      val plan = planOf(q("q_split_leakage"))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "leakage audit degenerated to all-pairs")
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty)
+      graft.operators.Dedup.unpersistIntermediates()
+    }
+  }
+
+  test("bootstrap ci: flat x32 explode + two partial-aggregated " +
+      "aggregates — zero joins of any kind") {
+    withStaticPlans {
+      val plan = planOf(q("q_bootstrap_ci"))
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty)
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty)
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size <= 2, s"over-shuffles: ${shuffles.size}")
+    }
+  }
+
+  test("quantile normalize: reference distribution broadcasts back; no " +
+      "sort-merge join") {
+    withStaticPlans {
+      val plan = planOf(q("q_quantile_normalize"))
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "the 100-row reference must broadcast")
+    }
+  }
+
+  test("sax word: bar shuffle + symbol aggregate only — no joins, the " +
+      "word build is an in-row fold") {
+    withStaticPlans {
+      val plan = planOf(q("q_sax_word"))
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty)
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size <= 3, s"over-shuffles: ${shuffles.size}")
+    }
+  }
+
   test("lexical diversity: three stacked aggregates, no joins, doc scan " +
       "pruned to (doc_id, lang, text)") {
     withStaticPlans {
