@@ -38,6 +38,11 @@ def normalize(rows, colnames):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    # Optional: --only q_a,q_b restricts the compare to named queries
+    # (seconds instead of ~15 min when iterating on a new query).
+    only = None
+    if len(sys.argv) > 4 and sys.argv[3] == "--only":
+        only = set(sys.argv[4].split(","))
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracles = json.load(f)
 
@@ -48,7 +53,8 @@ def main():
 
     results = {}
     dirs = [d for d in sorted(os.listdir(out_dir))
-            if os.path.isdir(os.path.join(out_dir, d))]
+            if os.path.isdir(os.path.join(out_dir, d))
+            and (only is None or d in only)]
     for name in dirs:
         try:
             files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
@@ -95,7 +101,8 @@ def main():
         print(f"{name:28s} {results[name]}")
     print(f"\n{n_ok}/{len(results)} OK "
           f"({sum(1 for v in results.values() if v.startswith('ROWS_ONLY'))} rows-only)")
-    missing = [k for k in oracles if k not in results]
+    missing = [k for k in oracles if k not in results
+               and (only is None or k in only)]
     if missing:
         print("oracle with no result dir:", missing)
 
