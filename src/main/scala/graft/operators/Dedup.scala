@@ -472,7 +472,14 @@ object Dedup {
     val prefix = track(sh.join(freq, "shingle")
       .withColumn("rnk", row_number().over(w))
       .join(sizes, "id")
-      .filter(col("rnk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      // ceil over an epsilon-nudged product: t*sz can land one double ULP
+      // ABOVE the exact rational value (e.g. 0.3*10 = 3.0000000000000004),
+      // ceiling to required+1 and shortening the prefix below the lossless
+      // bound. 1e-9 is orders above the FP error for any realistic doc size
+      // (rel. error ~1e-16·t·sz) yet far below the gap to the next integer
+      // for thresholds with short decimal expansions.
+      .filter(col("rnk") <=
+        col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
       .select(col("id"), col("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cand = prefix.as("a")
@@ -523,8 +530,14 @@ object Dedup {
     val prefix = track(sh.join(freq, "shingle")
       .withColumn("rnk", row_number().over(w))
       .join(sizes, "id")
+      // (1-t) itself is inexact in doubles (1.0-0.8 = 0.19999999999999996),
+      // so (1-t)*sz lands BELOW the exact value and the floor loses a slot
+      // at every sz multiple of 1/(1-t) — at the default t=0.8 that is
+      // every 5th doc size, silently breaking losslessness. The epsilon
+      // restores the exact-rational floor (same bound-error analysis as
+      // [[jaccardPrefixPairs]]'s ceil).
       .filter(col("rnk") <=
-        floor(lit(1.0 - threshold) * col("sz")).cast("long") + 1)
+        floor(lit(1.0 - threshold) * col("sz") + lit(1e-9)).cast("long") + 1)
       .select(col("id"), col("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cand = prefix.as("a")

@@ -104,4 +104,48 @@ class DedupSpec extends SparkTestBase {
     assert(fastExact == portExact)
     assert(fastExact.contains((0L, 103L)))
   }
+
+  // --- prefix-filter losslessness at FP-hostile thresholds -------------------
+  // Both bounds involve t (or 1-t) times the doc size in IEEE doubles; before
+  // the epsilon nudge, a one-ULP error shortened the prefix below the
+  // lossless minimum at specific (t, sz) combinations. These corpora are
+  // built so the lost prefix slot is the ONLY collision opportunity: the
+  // sub-doc's rarest (df=1) shingles are exactly its non-shared ones, so a
+  // one-short prefix contains no shared shingle and the pair silently
+  // vanishes. Each case pins output EQUALITY against the all-pairs verifier.
+
+  test("containmentPrefixPairs is lossless at t=0.8 when |sub| is a multiple of 5") {
+    // floor((1.0-0.8)*10) = floor(1.9999999999999996) = 1 pre-fix → prefix 2,
+    // but losslessness needs floor(2.0)+1 = 3. A = 12 distinct words →
+    // 10 trigram shingles; B = A's first 10 words → 8 shingles, all shared.
+    // A's two non-shared shingles have df=1 → they ARE the 2-slot prefix.
+    val words = (1 to 12).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")),
+      (2L, words.take(10).mkString(" "))).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("sub_id", "super_id", "containment")
+        .as[(Long, Long, Double)].collect().toSet
+    val full = norm(Dedup.containmentPairs(docs, "doc_id", "text", n = 3, threshold = 0.8))
+    val pref = norm(Dedup.containmentPrefixPairs(docs, "doc_id", "text", n = 3, threshold = 0.8))
+    assert(full == Set((1L, 2L, 0.8), (2L, 1L, 1.0)))
+    assert(pref == full)
+  }
+
+  test("jaccardPrefixPairs is lossless at t=0.07 sz=100 (ceil one-ULP hazard)") {
+    // 0.07*100 = 7.000000000000001 → ceil 8 pre-fix → prefix 100-8+1 = 93,
+    // but losslessness needs 100-7+1 = 94. A = 102 words → 100 shingles;
+    // B = A's first 9 words → 7 shingles, all shared; J = 7/(100+7-7) =
+    // 0.07 exactly. A's 93 df=1 shingles exactly fill the buggy 93-slot
+    // prefix, so only the restored 94th slot (the rarest SHARED shingle)
+    // can collide with B.
+    val words = (1 to 102).map(i => s"w$i")
+    val docs = Seq((1L, words.mkString(" ")),
+      (2L, words.take(9).mkString(" "))).toDF("doc_id", "text")
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_1", "id_2", "jaccard").as[(Long, Long, Double)].collect().toSet
+    val full = norm(Dedup.jaccardPairs(docs, "doc_id", "text", n = 3, threshold = 0.07))
+    val pref = norm(Dedup.jaccardPrefixPairs(docs, "doc_id", "text", n = 3, threshold = 0.07))
+    assert(full == Set((1L, 2L, 0.07)))
+    assert(pref == full)
+  }
 }
