@@ -97,12 +97,14 @@ object Plans {
       "q_kn_bigram" -> "Kneser-Ney bigram LM: corpus collapses once to (doc,w1,w2,cnt); every model table re-aggregates from it and broadcasts back — model scales with vocabulary, not corpus",
       "q_graph_jaccard" -> "Neighbor-set Jaccard: wedge equi-join on the shared neighbor (Σ deg² bounded), degree tables broadcast, left-anti vs existing edges",
       "q_curation_funnel" -> "Curation funnel: three drop-set branches (window dedup, cluster pick, df-share screen) union-distinct into one anti-join — each branch its own proven scale shape",
-      "q_aroon" -> "Aroon: window channel extremes + a bounded 14-row band self-join picking the last equal bar — equi-join on symbol, <=14x bar count, deterministic tie-break",
+      "q_aroon" -> "Aroon: window channel extremes + BUCKETED band join picking the last equal bar — equi-join on (symbol, width-14 bucket) probing the 2 adjacent buckets, so join WORK is linear (<=14·28 comparisons per bucket), never bars² per symbol; deterministic tie-break",
       "q_trix" -> "TRIX: triple-EMA recursion as a per-symbol fold (aggregate HOF projection) — zero joins, zero window state",
       "q_split_leakage" -> "Split-leakage audit: prefix-filtered pair stream + two broadcast split joins — corpus-scale safe, no all-pairs anywhere",
       "q_bootstrap_ci" -> "Bayesian bootstrap: flat x32 explode, (type, replicate) partial-aggregated DECIMAL sums, 32-element per-type order statistics — no shuffle grows beyond xB",
       "q_sax_word" -> "SAX words: daily bar shuffle + per-symbol window stats, the word is an in-row ordered fold — zero joins",
-      "q_quantile_normalize" -> "Quantile normalization: ntile grid window, per-(type,bucket) aggregate, 100-row reference broadcast back — no sort-merge join")
+      "q_quantile_normalize" -> "Quantile normalization: ntile grid window, per-(type,bucket) aggregate, 100-row reference broadcast back — no sort-merge join",
+      "q_ngram_coverage" -> "Eval n-gram coverage: distinct train shingles via left-semi against the eval postings — linear postings shuffles, no pair join, coverage is a per-doc aggregate",
+      "q_weighted_jaccard" -> "Weighted (multiset) Jaccard: scores ONLY the prefix-filtered candidate pairs; Σmax folded to ΣA+ΣB−Σmin so the token union never materializes — per-doc count re-aggregation + id-keyed joins")
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the headline queries\n\n")

@@ -19,15 +19,16 @@ import org.apache.spark.sql.DataFrame
   * pointer to the scale-safe sibling instead of launching an O(n²) job that
   * can never finish.
   *
-  * Cost of the guard: the size check consults Catalyst plan statistics first
-  * (`optimizedPlan.stats.rowCount`, available when CBO stats exist) and only
-  * falls back to a `limit(cutoff).count()` probe. The probe early-stops at
+  * Cost of the guard: the size check takes Catalyst plan statistics only
+  * when they are provably exact (a `LocalRelation`/`Range` leaf — CBO-
+  * propagated `rowCount` on any other plan is a selectivity estimate that
+  * must not arm or disarm a safety fence) and otherwise runs a
+  * `limit(cutoff).count()` probe. The probe early-stops at
   * `cutoff` rows for scan-like inputs, but if the guarded DataFrame contains
   * a shuffle boundary (aggregate/join upstream) the limit cannot push below
   * it and the probe pays the full upstream computation — and that upstream
   * work runs AGAIN when the real job executes. Callers guarding an expensive
-  * uncached pipeline should persist it first, or `ANALYZE` the source so the
-  * stats path short-circuits the probe. Set either conf to `-1` to disable
+  * uncached pipeline should persist it first. Set either conf to `-1` to disable
   * the fence (e.g. a deliberate large verification run on a throwaway
   * cluster).
   *
@@ -69,7 +70,7 @@ object ScaleFence {
     rejectStreaming(df, op)
     val cap = confLong(df, MaxInputRowsKey, DefaultMaxInputRows)
     if (cap >= 0L) {
-      val n = boundedCount(df, cap + 1L)
+      val n = boundedCount(df, incSaturating(cap))
       require(n <= cap,
         s"$op is an all-pairs exact verifier fenced at $cap input rows " +
           s"(input has >= $n). For corpus-scale runs use $alternative. " +
@@ -91,7 +92,7 @@ object ScaleFence {
     rejectStreaming(right, op)
     val maxPairs = confLong(left, MaxPairsKey, DefaultMaxPairs)
     if (maxPairs >= 0L) {
-      val nLeft = boundedCount(left, maxPairs + 1L)
+      val nLeft = boundedCount(left, incSaturating(maxPairs))
       // nLeft == 0 → zero pairs, nothing to fence. Otherwise the right side
       // may have at most maxPairs / nLeft rows. If the left probe itself was
       // truncated (nLeft > maxPairs is impossible here, but nLeft may equal
@@ -99,7 +100,7 @@ object ScaleFence {
       // correct, since the true product can only be larger.
       if (nLeft > 0L) {
         val rightBudget = maxPairs / nLeft
-        val nRight = boundedCount(right, rightBudget + 1L)
+        val nRight = boundedCount(right, incSaturating(rightBudget))
         // nRight <= rightBudget ⟹ nLeft·nRight <= maxPairs by construction
         require(nRight <= rightBudget,
           s"$op is an all-pairs exact verifier fenced at $maxPairs " +
@@ -111,17 +112,40 @@ object ScaleFence {
     }
   }
 
-  /** Row count capped at `cutoff`: exact Catalyst stats when available
+  /** Row count capped at `cutoff`: Catalyst stats when PROVABLY EXACT
     * (no job), else a `limit`-bounded `count()` probe (early-stops at
     * `cutoff` for scan-like inputs; see object doc for the shuffle caveat).
+    *
+    * "Provably exact" means the optimized plan is a leaf that computes its
+    * own row count (`LocalRelation` / `Range`). Any other `rowCount` —
+    * ANALYZE-sourced catalog stats propagated by CBO through filters and
+    * joins — is a selectivity ESTIMATE: an underestimate would let an
+    * oversized input bypass the fence (launching the O(n²) job the fence
+    * exists to prevent) and an overestimate would falsely reject a valid
+    * input, so estimates never substitute for the probe.
     */
-  private def boundedCount(df: DataFrame, cutoff: Long): Long =
-    df.queryExecution.optimizedPlan.stats.rowCount match {
+  private def boundedCount(df: DataFrame, cutoff: Long): Long = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LocalRelation, Range}
+    val plan = df.queryExecution.optimizedPlan
+    val exactStats = plan match {
+      case _: LocalRelation | _: Range => plan.stats.rowCount
+      case _ => None
+    }
+    exactStats match {
       case Some(exact) => exact.min(BigInt(Long.MaxValue)).toLong
       case None =>
         val probeLimit = cutoff.min(Int.MaxValue.toLong).toInt
         df.limit(probeLimit).count()
     }
+  }
+
+  /** `x + 1` saturating at `Long.MaxValue`: a user raising a fence conf to
+    * Long.MaxValue (the natural "effectively unlimited" short of -1) must
+    * not overflow the probe cutoff to Long.MinValue and hand `limit()` a
+    * negative number.
+    */
+  private def incSaturating(x: Long): Long =
+    if (x == Long.MaxValue) x else x + 1L
 
   private def rejectStreaming(df: DataFrame, op: String): Unit =
     if (df.isStreaming)

@@ -213,9 +213,15 @@ object Ext31Queries {
     * one ANSI text: a window MAX/MIN finds each bar's channel extremes,
     * then a bounded 14-row band self-join takes MAX(rn) over the bars
     * EQUAL to the extreme — ties resolve to the most recent bar, the
-    * published convention, identically on both engines. The join is an
-    * equi-join on symbol with an rn band residual (≤14× the bar count,
-    * never bars²).
+    * published convention, identically on both engines. The band join is
+    * BUCKETED so the join work (not just the output) is linear: rows carry
+    * a width-14 bucket key `bkt = floor((rn-1)/14)`, any 14-row band spans
+    * at most the two adjacent buckets, and each b1 row probes exactly those
+    * two via a 2-row offsets table — a true equi join on (symbol, bkt)
+    * whose per-bucket work is ≤14·28 comparisons. The naive formulation
+    * (equi on symbol only, band as a post-join residual) compares
+    * bars-per-symbol² pairs inside each symbol group — quadratic join work
+    * even though the OUTPUT is ≤14× the bar count.
     */
   private val aroonBody: String =
     """SELECT event_type, hr_us,
@@ -228,13 +234,19 @@ object Ext31Queries {
       |    MAX(CASE WHEN b2.high = b1.hh THEN b2.rn END) AS hi_rn,
       |    MAX(CASE WHEN b2.low = b1.ll THEN b2.rn END) AS lo_rn
       |  FROM (
-      |    SELECT event_type, hr_us, rn,
-      |      MAX(high) OVER w14 AS hh, MIN(low) OVER w14 AS ll
-      |    FROM nb
-      |    WINDOW w14 AS (PARTITION BY event_type ORDER BY rn
-      |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
-      |  ) b1 JOIN nb b2
+      |    SELECT bb.event_type, bb.hr_us, bb.rn, bb.hh, bb.ll,
+      |      bb.bkt - offs.off AS probe_bkt
+      |    FROM (
+      |      SELECT event_type, hr_us, rn, bkt,
+      |        MAX(high) OVER w14 AS hh, MIN(low) OVER w14 AS ll
+      |      FROM nb
+      |      WINDOW w14 AS (PARTITION BY event_type ORDER BY rn
+      |        ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+      |    ) bb CROSS JOIN (SELECT 0 AS off UNION ALL SELECT 1) offs
+      |  ) b1
+      |  JOIN nb b2
       |    ON b1.event_type = b2.event_type
+      |    AND b2.bkt = b1.probe_bkt
       |    AND b2.rn BETWEEN b1.rn - 13 AND b1.rn
       |  GROUP BY b1.event_type, b1.hr_us, b1.rn
       |)
@@ -243,7 +255,9 @@ object Ext31Queries {
   private val aroonNb: String =
     """SELECT event_type, hr_us, high, low,
       |  CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr_us)
-      |    AS INT) AS rn
+      |    AS INT) AS rn,
+      |  CAST(FLOOR((CAST(row_number() OVER (PARTITION BY event_type
+      |    ORDER BY hr_us) AS INT) - 1) / 14.0) AS INT) AS bkt
       |FROM bars""".stripMargin
 
   def aroon(s: SparkSession, dir: String): DataFrame = {

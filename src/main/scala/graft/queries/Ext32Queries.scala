@@ -202,8 +202,13 @@ object Ext32Queries {
     * ranking, equally standard for LLM data-mix ablations): WOE_i =
     * ln((good_i/G)/(bad_i/B)), IV = Σ (good_i/G − bad_i/B)·WOE_i. Label =
     * account balance above 5000 over the customer market segments. Two
-    * tiny aggregates; the totals row broadcasts back. Zero-cell segments
-    * yield NULL WOE via NULLIF rather than ±∞.
+    * tiny aggregates; the totals row broadcasts back. BOTH zero cells are
+    * NULLIF-guarded: a bads==0 segment divides by NULL, and a goods==0
+    * segment would otherwise hand log() a zero — where Spark returns NULL
+    * but DuckDB THROWS (OutOfRangeException), so an unguarded numerator is
+    * a data-dependent crash of the whole oracle run, not a one-row
+    * divergence. Zero-cell segments yield NULL WOE symmetrically on both
+    * engines.
     */
   def woeIv(s: SparkSession, dir: String): DataFrame = {
     val seg = Tables.customer(s, dir)
@@ -214,7 +219,7 @@ object Ext32Queries {
     val totals = seg.agg(sum(col("goods")).cast("double").as("_g"),
       sum(col("bads")).cast("double").as("_b"))
     val woe = log(
-      (col("goods").cast("double") / col("_g"))
+      nullif(col("goods").cast("double") / col("_g"), lit(0.0))
         / nullif(col("bads").cast("double") / col("_b"), lit(0.0)))
     seg.crossJoin(broadcast(totals))
       .select(col("c_mktsegment"), col("goods"), col("bads"),
@@ -236,10 +241,10 @@ object Ext32Queries {
       |    CAST(SUM(bads) AS DOUBLE) AS b FROM seg
       |)
       |SELECT c_mktsegment, goods, bads,
-      |  ROUND(LN((CAST(goods AS DOUBLE) / g)
+      |  ROUND(LN(NULLIF(CAST(goods AS DOUBLE) / g, 0.0)
       |    / NULLIF(CAST(bads AS DOUBLE) / b, 0.0)), 6) AS woe,
       |  ROUND((goods / g - bads / b)
-      |    * LN((CAST(goods AS DOUBLE) / g)
+      |    * LN(NULLIF(CAST(goods AS DOUBLE) / g, 0.0)
       |      / NULLIF(CAST(bads AS DOUBLE) / b, 0.0)), 6) AS iv_term
       |FROM seg CROSS JOIN t""".stripMargin
 

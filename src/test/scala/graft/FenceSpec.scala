@@ -78,4 +78,34 @@ class FenceSpec extends SparkTestBase {
     }
     assert(e.getMessage.contains("batch-only"))
   }
+
+  test("Long.MaxValue fence conf means effectively unlimited, not overflow") {
+    // maxPairs+1 used to overflow to Long.MinValue and hand limit() a
+    // negative probe; the saturating increment must let the call pass.
+    withConf(ScaleFence.MaxPairsKey -> Long.MaxValue.toString) {
+      val vecs = (1 to 10).map(i => (i.toLong, Array(i.toFloat, 1f, 0f)))
+        .toDF("id", "vec")
+      assert(Similarity.bruteForceTopK(vecs, vecs, "id", "vec", 3)
+        .columns.nonEmpty)
+    }
+    withConf(ScaleFence.MaxInputRowsKey -> Long.MaxValue.toString) {
+      assert(Dedup.jaccardPairs(docs, "doc_id", "body").columns.nonEmpty)
+    }
+  }
+
+  test("fence probes plans whose stats rowCount would be an estimate") {
+    // A non-collapsible plan (filter over an exchange-bearing aggregate)
+    // must be judged by the limit-probe, not by whatever rowCount CBO
+    // propagates: 60 docs through a no-op aggregate still trips a 50-row
+    // fence.
+    val laundered = docs.groupBy("doc_id")
+      .agg(first(col("body")).as("body"))
+      .filter(col("doc_id") > 0)
+    withConf(ScaleFence.MaxInputRowsKey -> "50") {
+      val e = intercept[IllegalArgumentException] {
+        Dedup.jaccardPairs(laundered, "doc_id", "body")
+      }
+      assert(e.getMessage.contains("jaccardPrefixPairs"))
+    }
+  }
 }
