@@ -1,8 +1,36 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
 import java.nio.file.{Files, Paths}
+import java.util.concurrent.Executors
+
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+
+import org.apache.spark.sql.SparkSession
+
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
-  * plus oracle_sql.json, for the driver's DuckDB compare. */
+  * plus oracle_sql.json, for the driver's DuckDB compare.
+  *
+  * Built to be UN-DROPPABLE under a driver-side timeout (round 8's
+  * correctness artifact landed empty after a ~20-minute single-threaded
+  * run was cut off):
+  *   - `oracle_sql.json` is static metadata, so it is written FIRST — a
+  *     truncated run still leaves a partial-but-checkable artifact (the
+  *     checker compares whatever query outputs exist);
+  *   - queries run CONCURRENTLY (`SPARK_GRAFT_VERIFY_PAR` workers, default
+  *     8) — the sf0.01 gate is dominated by per-query fixed cost (planning,
+  *     small sequential stages) that overlaps almost perfectly. Each query
+  *     runs on its own `spark.newSession()`: same SparkContext and cache
+  *     manager, but isolated SQLConf and temp-view catalog, so queries that
+  *     register views (`events_ta` etc.) or tweak session conf
+  *     (Ext2Queries' shuffle-partition override) cannot race each other;
+  *   - the dedup operators' persisted intermediates are drained BETWEEN
+  *     batches (never mid-flight, which would silently de-cache a plan
+  *     another worker is executing): each batch completes, then
+  *     [[graft.operators.Dedup.unpersistIntermediates]] + a catalog sweep
+  *     run once on the root session (the cache manager is shared state, so
+  *     one sweep covers every session).
+  */
 object Verify {
   def main(args: Array[String]): Unit = {
     // args: <sfDir> <outDir> [nameSubstring...] — extra args (dev-only; the
@@ -11,7 +39,9 @@ object Verify {
     // substring can never match a query name, only mask everything silently.
     val Array(sfDir, outDir) = args.take(2)
     val nameFilter = args.drop(2).flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val defaultCpus = math.min(Runtime.getRuntime.availableProcessors, 16)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus.toString)
+    val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -20,23 +50,7 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val selected =
-      if (nameFilter.isEmpty) SparkEntry.queries
-      else SparkEntry.queries.filter { case (n, _) => nameFilter.exists(n.contains) }
-    selected.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally {
-        // the dedup operators persist intermediates; don't let ~150 queries'
-        // worth of cached tables accumulate in one session. The library
-        // contract (Dedup.unpersistIntermediates) is exercised here; the
-        // clearCache sweeps anything else (catalog-cached tables etc.).
-        graft.operators.Dedup.unpersistIntermediates()
-        spark.catalog.clearCache()
-      }
-    }
+
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -49,9 +63,43 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // FIRST: the oracle map — static, costs nothing, and without it no
+    // completed query output is checkable.
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+
+    val selected =
+      (if (nameFilter.isEmpty) SparkEntry.queries
+       else SparkEntry.queries.filter { case (n, _) => nameFilter.exists(n.contains) })
+        .toSeq.sortBy(_._1)
+
+    val pool = Executors.newFixedThreadPool(par)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    val t0 = System.nanoTime()
+    var done = 0
+    // Batches of 4*par between cache drains: enough in flight to keep the
+    // pool busy across stragglers, small enough that sf0.01 intermediates
+    // can't pile up into heap pressure.
+    selected.grouped(4 * par).foreach { batch =>
+      val fs = batch.map { case (name, fn) =>
+        Future {
+          val session = spark.newSession()
+          try fn(session, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+        }
+      }
+      Await.result(Future.sequence(fs), Duration.Inf)
+      done += batch.size
+      graft.operators.Dedup.unpersistIntermediates()
+      spark.catalog.clearCache()
+      System.err.println(
+        f"[verify] $done/${selected.size} done, ${(System.nanoTime() - t0) / 1e9}%.0f s")
+    }
+    pool.shutdown()
     spark.stop()
   }
 }
