@@ -216,9 +216,12 @@ object Ext13Queries {
 
   /** Two-sample KS statistic between the 'click' and 'purchase' value
     * distributions: per-value counts, cumulative ECDFs over the ordered
-    * distinct values, max absolute difference. The global ordered window is
-    * the exact form; at 100 TB the same statistic runs on a binned ECDF
-    * (quantile-sketch grid) with error bounded by the bin width.
+    * distinct values, max absolute difference. The cumulative ECDF rides
+    * the two-phase [[graft.operators.PrefixSum]] (bucketed partial sums +
+    * per-bucket offsets), so a continuous value domain — |histogram| ≈
+    * |corpus| — never lands on a single-task global window; the integer
+    * cumulative counts are identical, so the oracle's naive-window form
+    * still hash-matches.
     */
   def ksStat(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir)
@@ -230,11 +233,10 @@ object Ext13Queries {
       .agg(sum("ca").as("a"), sum("cb").as("b"))
     val tot = byVal.agg(sum("a").cast("double").as("_na"),
       sum("b").cast("double").as("_nb"))
-    val w = Window.orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    byVal.crossJoin(broadcast(tot))
-      .withColumn("_cda", sum("a").over(w) / col("_na"))
-      .withColumn("_cdb", sum("b").over(w) / col("_nb"))
+    graft.operators.PrefixSum.exclusive(byVal, "value", Seq("a", "b"))
+      .crossJoin(broadcast(tot))
+      .withColumn("_cda", (col("a_excl") + col("a")) / col("_na"))
+      .withColumn("_cdb", (col("b_excl") + col("b")) / col("_nb"))
       .agg(round(max(abs(col("_cda") - col("_cdb"))), 6).as("ks"),
         count(lit(1)).as("n_points"))
   }

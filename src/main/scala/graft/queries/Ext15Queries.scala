@@ -180,9 +180,11 @@ object Ext15Queries {
     * computed with exact integer algebra — 2*midrank(v) = 2*|{x &lt; v}| +
     * |{x = v}| + 1 — over the distinct-value histogram, so the rank sum
     * is an exact BIGINT on both engines and only the final z divides.
-    * The global cumulative window runs over distinct values (bounded by
-    * the value domain), not rows: the corpus collapses in the first
-    * aggregate, which is the 100 TB posture.
+    * The corpus collapses to the distinct-value histogram in the first
+    * aggregate, and the cumulative count runs as a two-phase bucketed
+    * prefix sum ([[graft.operators.PrefixSum]]) — no single-task global
+    * window even when the value domain is continuous and |histogram| ≈
+    * |corpus|. That is the 100 TB posture.
     */
   def mannWhitney(s: SparkSession, dir: String): DataFrame = {
     val byVal = Tables.events(s, dir)
@@ -190,10 +192,12 @@ object Ext15Queries {
       .groupBy("value")
       .agg(count(lit(1)).as("cnt"),
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cnt1"))
-    val wv = Window.orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val agg = byVal
-      .withColumn("cumlt", coalesce(sum("cnt").over(wv), lit(0L)))
+    // Two-phase prefix sum ([[graft.operators.PrefixSum]]): for a
+    // continuous value domain |histogram| ≈ |corpus| and the old global
+    // ORDER BY window was a single-task bottleneck; bucketed phases keep
+    // the exact integer algebra (identical BIGINT sums → identical hash).
+    val agg = graft.operators.PrefixSum.exclusive(byVal, "value", Seq("cnt"))
+      .withColumnRenamed("cnt_excl", "cumlt")
       .agg(
         sum(col("cnt1") * (lit(2) * col("cumlt") + col("cnt") + 1))
           .as("two_r1"),

@@ -26,29 +26,28 @@ object Ext21Queries {
     * collapses to one row per distinct score (partial-aggregated — the same
     * scale shape as `q_mann_whitney`), then U2 = Σ_s n1_s·(2·cum0_<s + n0_s)
     * in exact BIGINT (ties contribute the half via the odd term), and
-    * AUC = U2 / (2·P·N). The window runs over ≤|distinct scores| rows.
+    * AUC = U2 / (2·P·N). cum0_below rides the two-phase bucketed prefix
+    * sum — no single-task window even for a continuous score domain.
     */
   def aucRoc(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir).createOrReplaceTempView("li_auc")
-    s.sql(
-      """WITH h AS (
-        |  SELECT l_discount AS score,
-        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-        |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS BIGINT) AS n0
-        |  FROM li_auc GROUP BY l_discount
-        |), c AS (
-        |  SELECT score, n1, n0,
-        |    CAST(SUM(n0) OVER (ORDER BY score
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n0 AS BIGINT)
-        |      AS cum0_below
-        |  FROM h
-        |)
-        |SELECT
-        |  CAST(SUM(n1) AS BIGINT) AS n_pos,
-        |  CAST(SUM(n0) AS BIGINT) AS n_neg,
-        |  ROUND(CAST(SUM(n1 * (2 * cum0_below + n0)) AS DOUBLE)
-        |    / (2 * CAST(SUM(n1) AS DOUBLE) * CAST(SUM(n0) AS DOUBLE)), 6) AS auc
-        |FROM c""".stripMargin)
+    // Two-phase prefix sum over the score histogram
+    // ([[graft.operators.PrefixSum]]): a continuous score column makes
+    // |histogram| ≈ |corpus|, so the old global ORDER BY window was a
+    // single-task bottleneck. cum0_below is the same exact BIGINT, so the
+    // oracle (which keeps the naive window — DuckDB has no such limit)
+    // still hash-matches.
+    val h = Tables.lineitem(s, dir)
+      .groupBy(col("l_discount").as("score"))
+      .agg(
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("l_returnflag") === "R", 0L).otherwise(1L)).as("n0"))
+    graft.operators.PrefixSum.exclusive(h, "score", Seq("n0"))
+      .agg(
+        sum("n1").as("n_pos"),
+        sum("n0").as("n_neg"),
+        round(sum(col("n1") * (lit(2) * col("n0_excl") + col("n0"))).cast("double")
+          / (lit(2) * sum("n1").cast("double") * sum("n0").cast("double")), 6)
+          .as("auc"))
   }
 
   val aucRocOracle: String =

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.PrefixSum
+
+/** The two-phase bucketed prefix sum must equal the naive single-partition
+  * window bit-for-bit: the rank-stat queries' oracles keep the naive form,
+  * so any divergence (a row in the wrong bucket, a missed offset) is a
+  * correctness-gate failure, not just a perf bug.
+  */
+class PrefixSumSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def naive(df: org.apache.spark.sql.DataFrame, orderCol: String,
+      sumCol: String) = {
+    val w = Window.orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn(s"${sumCol}_excl",
+      coalesce(sum(col(sumCol)).over(w), lit(0L)))
+  }
+
+  test("matches the naive global window on a continuous-ish domain") {
+    val rnd = new scala.util.Random(11)
+    // 5k distinct doubles — forces real multi-bucket splits at any
+    // numParts, including bucket-boundary values
+    val hist = (1 to 5000)
+      .map(_ => rnd.nextDouble() * 1000)
+      .distinct
+      .map(v => (v, rnd.nextInt(50).toLong + 1))
+      .toDF("value", "cnt")
+    val expected = naive(hist, "value", "cnt")
+      .select("value", "cnt_excl").as[(Double, Long)].collect().toMap
+    for (parts <- Seq(1, 4, 32)) {
+      val got = PrefixSum.exclusive(hist, "value", Seq("cnt"), parts)
+        .select("value", "cnt_excl").as[(Double, Long)].collect().toMap
+      assert(got == expected, s"numParts=$parts diverged")
+    }
+  }
+
+  test("multiple sum columns share one bucketing pass") {
+    val hist = Seq((1.0, 2L, 10L), (2.0, 3L, 20L), (5.0, 5L, 30L),
+      (9.0, 7L, 40L)).toDF("v", "a", "b")
+    val out = PrefixSum.exclusive(hist, "v", Seq("a", "b"), 2)
+      .select("v", "a_excl", "b_excl").as[(Double, Long, Long)]
+      .collect().sortBy(_._1)
+    assert(out.toSeq == Seq((1.0, 0L, 0L), (2.0, 2L, 10L), (5.0, 5L, 30L),
+      (9.0, 10L, 60L)))
+  }
+
+  test("empty input and single-row input degenerate cleanly") {
+    val empty = Seq.empty[(Double, Long)].toDF("v", "a")
+    assert(PrefixSum.exclusive(empty, "v", Seq("a"), 8).count() == 0)
+    val one = Seq((3.0, 7L)).toDF("v", "a")
+    val r = PrefixSum.exclusive(one, "v", Seq("a"), 8)
+      .select("a_excl").as[Long].collect()
+    assert(r.toSeq == Seq(0L))
+  }
+
+  test("no single-partition window touches the data-sized side") {
+    // The data-cardinality window must be partitioned on the bucket id;
+    // only the ≤numParts-row totals window may be global.
+    val hist = (1 to 200).map(i => (i.toDouble, 1L)).toDF("value", "cnt")
+    val plan = PrefixSum.exclusive(hist, "value", Seq("cnt"), 8)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    // the running-sum window over the data carries the _pid partition key;
+    // any UNpartitioned window must be the ≤numParts-row offsets pass,
+    // whose child aggregates on _pid (bounded by config, not data)
+    windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+      val aggBelow = w.child.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }
+      assert(aggBelow.exists(_.groupingExpressions.exists(
+        _.references.map(_.name).exists(_ == "_pid"))),
+        "global window not over the per-bucket totals")
+    }
+    assert(windows.exists(_.partitionSpec.nonEmpty),
+      "expected the per-bucket running sum to be a partitioned window")
+  }
+}
