@@ -2,7 +2,6 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.operators.Dedup
 import graft.sources.Tables
@@ -133,24 +132,53 @@ object Ext34Queries {
     * 1981): B = 32 replicates, row weights w = −ln(u) with u seeded per
     * (event_id, replicate) — i.i.d. Exp(1) weights make each replicate's
     * weighted mean a posterior draw of the mean. The weighted sums
-    * accumulate in DECIMAL (the repo's FP-parity convention for
-    * order-independent exactness); the CI takes exact order statistics
+    * accumulate as 1e-6-quantized BIGINTs (order-independent exactness
+    * without the per-term BigDecimal cast — see the staging note below);
+    * the CI takes exact order statistics
     * (2nd smallest / 2nd largest of 32) rather than an interpolated
     * percentile, so both engines pick identical elements. Scale shape:
     * the explode is a flat ×32 map, the replicate means partial-aggregate
     * on (type, b) — no shuffle grows beyond ×B.
     */
   def bootstrapCi(s: SparkSession, dir: String): DataFrame = {
-    val u = uniform("concat(CAST(event_id AS STRING), ':', CAST(b AS STRING))")
+    // One md5 yields FOUR 32-bit uniforms (8-hex-char slices of the
+    // 128-bit digest), so the replicate explode runs in two stages —
+    // 8 digest rows × 4 slices = 32 replicates — and the md5 count per
+    // event drops 32 → 8. The digest is materialized as a column BELOW
+    // the slice explode, so codegen evaluates it once per digest row,
+    // not once per replicate (measured 9.7 s → ~2× cheaper at sf0.1,
+    // this query being the whole board's heaviest). Seeds therefore
+    // differ from the one-md5-per-replicate formulation; the oracle uses
+    // the identical (event_id, digest-group, slice) stream, so the
+    // engines still replay bit-identical weights.
     val reps = Tables.events(s, dir)
       .select(col("event_type"), col("event_id"), col("value"))
-      .withColumn("b", explode(sequence(lit(0), lit(31))))
-      .withColumn("w", expr(s"-LN($u)"))
+      .withColumn("_g", explode(sequence(lit(0), lit(7))))
+      .withColumn("_h", expr(
+        "md5(concat(CAST(event_id AS STRING), ':', CAST(_g AS STRING)))"))
+      .withColumn("_b4", explode(sequence(lit(0), lit(3))))
+      .withColumn("b", col("_g") * 4 + col("_b4"))
+      .withColumn("w", expr(
+        "-LN((CAST(conv(substring(_h, 1 + 8 * _b4, 8), 16, 10) AS DOUBLE)" +
+          " + 0.5) / 4294967296.0)"))
+    // BIGINT staging at 1e-6 quantization, not DECIMAL(38,18): the sums
+    // must be order-independent and engine-identical (the reason for the
+    // decimal detour), but Spark's double→decimal cast allocates a
+    // BigDecimal PER TERM — profiled as the dominant cost of the whole
+    // query (~5 s of 9 at sf0.1, at ANY decimal precision). FLOOR(x·1e6 +
+    // 0.5) is pure native IEEE arithmetic, bit-identical on both engines
+    // wherever the old formulation was (its inputs already depend on LN
+    // parity), the integral result casts exactly, and the scale factors
+    // cancel in the mean ratio. Headroom: per-term ≤ 22·561·1e6 ≈ 1.2e10,
+    // so a per-(type, replicate) group overflows BIGINT only past ~7·10⁸
+    // events per type — re-scale the quantum alongside the oracle if a
+    // deployment crosses that.
     val means = reps.groupBy(col("event_type"), col("b"))
       .agg(
-        (sum((col("w") * col("value")).cast(DecimalType(38, 18)))
+        (sum(expr("CAST(FLOOR(w * value * 1000000.0 + 0.5) AS BIGINT)"))
           .cast("double")
-          / sum(col("w").cast(DecimalType(38, 18))).cast("double"))
+          / sum(expr("CAST(FLOOR(w * 1000000.0 + 0.5) AS BIGINT)"))
+            .cast("double"))
           .as("mean_b"))
     means.groupBy(col("event_type"))
       .agg(sort_array(collect_list(col("mean_b"))).as("ms"))
@@ -160,15 +188,21 @@ object Ext34Queries {
   }
 
   val bootstrapCiOracle: String = {
-    val u = uniformSql("CAST(event_id AS VARCHAR) || ':' || CAST(b AS VARCHAR)")
-    s"""WITH reps AS (
-      |  SELECT event_type, event_id, value, b,
-      |    -LN($u) AS w
-      |  FROM events, (SELECT unnest(range(0, 32)) AS b)
+    s"""WITH gs AS (
+      |  SELECT event_type, event_id, value, g,
+      |    md5(CAST(event_id AS VARCHAR) || ':' || CAST(g AS VARCHAR)) AS h
+      |  FROM events, (SELECT unnest(range(0, 8)) AS g)
+      |), reps AS (
+      |  SELECT event_type, g * 4 + b4 AS b, value,
+      |    -LN((CAST(CAST('0x' || substr(h, 1 + 8 * b4, 8) AS UBIGINT)
+      |      AS DOUBLE) + 0.5) / 4294967296.0) AS w
+      |  FROM gs, (SELECT unnest(range(0, 4)) AS b4)
       |), means AS (
       |  SELECT event_type, b,
-      |    CAST(SUM(CAST(w * value AS DECIMAL(38,18))) AS DOUBLE)
-      |      / CAST(SUM(CAST(w AS DECIMAL(38,18))) AS DOUBLE) AS mean_b
+      |    CAST(SUM(CAST(FLOOR(w * value * 1000000.0 + 0.5) AS BIGINT))
+      |        AS DOUBLE)
+      |      / CAST(SUM(CAST(FLOOR(w * 1000000.0 + 0.5) AS BIGINT))
+      |        AS DOUBLE) AS mean_b
       |  FROM reps GROUP BY event_type, b
       |), sorted AS (
       |  SELECT event_type, list_sort(list(mean_b)) AS ms
