@@ -54,7 +54,15 @@ object ScaleProbe {
     "q_simhash_neardup", "q_tfidf", "q_bm25", "q_dbscan_core",
     "q_triangle_count", "q_tpch_q1", "q_tpch_q2", "q_tpch_q7", "q_tpch_q9",
     "q_tpch_q11", "q_tpch_q16", "q_tpch_q18", "q_tpch_q21",
-    "q_stream_dedup", "q_stream_tumbling")
+    "q_stream_dedup", "q_stream_tumbling",
+    // round-8/9 heavy tiers (VERDICT r8 §4): leakage + weighted-jaccard ride
+    // the prefix-filtered pair stream, coverage is the postings semi-join,
+    // kn_bigram collapses the corpus once, containment is the asymmetric
+    // prefix join, bootstrap is the flat x32 explode, and the two rank-stat
+    // queries exercise the two-phase bucketed prefix sum.
+    "q_split_leakage", "q_weighted_jaccard", "q_ngram_coverage",
+    "q_kn_bigram", "q_containment_prefix", "q_bootstrap_ci",
+    "q_mann_whitney", "q_auc_roc")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

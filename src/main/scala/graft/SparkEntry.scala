@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, Ext24Queries, Ext25Queries, Ext26Queries, Ext27Queries, Ext28Queries, Ext29Queries, Ext30Queries, Ext31Queries, Ext32Queries, Ext33Queries, Ext34Queries, Ext35Queries, Ext36Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
+import graft.queries.{CoreQueries, Ext2Queries, Ext3Queries, Ext4Queries, Ext5Queries, Ext6Queries, Ext7Queries, Ext8Queries, Ext9Queries, Ext10Queries, Ext11Queries, Ext12Queries, Ext13Queries, Ext14Queries, Ext15Queries, Ext16Queries, Ext17Queries, Ext18Queries, Ext19Queries, Ext20Queries, Ext21Queries, Ext22Queries, Ext23Queries, Ext24Queries, Ext25Queries, Ext26Queries, Ext27Queries, Ext28Queries, Ext29Queries, Ext30Queries, Ext31Queries, Ext32Queries, Ext33Queries, Ext34Queries, Ext35Queries, Ext36Queries, Ext37Queries, ExtQueries, LlmQueries, StreamQueries, WireQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -275,6 +275,9 @@ object SparkEntry {
     "q_quantile_normalize" -> (Ext35Queries.quantileNormalize _),
     "q_ngram_coverage" -> (Ext36Queries.ngramCoverage _),
     "q_weighted_jaccard" -> (Ext36Queries.weightedJaccard _),
+    "q_graph_reachability" -> (Ext37Queries.graphReachability _),
+    "q_percentile_disc" -> (Ext37Queries.percentileDisc _),
+    "q_tws_sessions" -> (Ext37Queries.twsSessions _),
     "q_adamic_adar" -> (Ext20Queries.adamicAdar _),
     "q_khop_reach" -> (Ext20Queries.khopReach _),
     "q_degree_dist" -> (Ext20Queries.degreeDist _),
@@ -778,6 +781,9 @@ object SparkEntry {
     "q_quantile_normalize" -> Ext35Queries.quantileNormalizeOracle,
     "q_ngram_coverage" -> Ext36Queries.ngramCoverageOracle,
     "q_weighted_jaccard" -> Ext36Queries.weightedJaccardOracle,
+    "q_graph_reachability" -> Ext37Queries.graphReachabilityOracle,
+    "q_percentile_disc" -> Ext37Queries.percentileDiscOracle,
+    "q_tws_sessions" -> Ext37Queries.twsSessionsOracle,
     "q_adamic_adar" -> Ext20Queries.adamicAdarOracle,
     "q_khop_reach" -> Ext20Queries.khopReachOracle,
     "q_degree_dist" -> Ext20Queries.degreeDistOracle,

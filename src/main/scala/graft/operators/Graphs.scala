@@ -62,6 +62,50 @@ object Graphs {
       .crossJoin(closed.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** Multi-hop reachability over a DIRECTED edge list — the recursive-CTE
+    * shape (`WITH RECURSIVE`) Spark SQL does not parse, re-expressed as the
+    * standard distributed BFS: level-synchronous frontier expansion with an
+    * anti-join against the visited set, so each (src, dst) pair is labeled
+    * with its MINIMUM hop count on first discovery. Returns (src, dst, hops)
+    * for every pair reachable within `maxDepth` hops (hops >= 1; self-pairs
+    * appear only if a cycle returns to the source).
+    *
+    * Scale posture: `maxDepth` wide stages, each a shuffled equi-join of the
+    * current frontier against the edge list plus one anti-join against the
+    * accumulated visited set — never an all-pairs product, and the frontier
+    * monotonically shrinks on any graph whose k-hop closure saturates. Each
+    * level is localCheckpoint'd (lazy) so the three consumers (union,
+    * anti-join build, next join probe) share one materialization and the
+    * unrolled lineage never re-executes earlier levels. At 1000-executor
+    * scale the visited set for a social-scale graph is the memory bound;
+    * the anti-join shuffles on (src, dst) and AQE handles frontier skew
+    * (hub nodes) with no driver-side state beyond the loop counter.
+    */
+  def reachability(edges: DataFrame, srcCol: String, dstCol: String,
+      maxDepth: Int, checkpointLevels: Boolean = true): DataFrame = {
+    require(maxDepth >= 1, s"maxDepth must be >= 1: $maxDepth")
+    // `checkpointLevels = false` keeps the whole unrolled lineage in ONE
+    // inspectable plan (the PlanSpec pin); production keeps the default so
+    // each level materializes once
+    def cp(df: DataFrame): DataFrame =
+      if (checkpointLevels) df.localCheckpoint(eager = false) else df
+    val e = cp(edges
+      .select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct()) // probed at every level
+    var visited = cp(e.withColumn("hops", lit(1)))
+    var frontier: DataFrame = e
+    for (k <- 2 to maxDepth) {
+      val next = cp(frontier.as("f")
+        .join(e.as("n"), col("f.dst") === col("n.src"))
+        .select(col("f.src").as("src"), col("n.dst").as("dst"))
+        .distinct()
+        .join(visited.select("src", "dst"), Seq("src", "dst"), "left_anti"))
+      visited = cp(visited.unionByName(next.withColumn("hops", lit(k))))
+      frontier = next
+    }
+    visited.withColumn("hops", col("hops").cast("long"))
+  }
+
   /** Adamic–Adar link prediction: for every NON-adjacent node pair (a, b)
     * sharing at least one neighbor, score = Σ_z 1/ln(deg(z)) over shared
     * neighbors z (deg(z) ≥ 2 whenever z is shared, so ln is safe). Returns

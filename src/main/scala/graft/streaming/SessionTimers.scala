@@ -1,0 +1,171 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, Trigger, TTLConfig, ValueState}
+
+/** Timer-emitted session windows on the Spark 4 `transformWithState` API —
+  * the streaming counterpart of `StreamQueries.sessionWindow` (which runs
+  * `session_window` in batch mode). Here the session close is OBSERVED, not
+  * recomputed: a per-key event-time timer is registered at
+  * `last_event + gap`, and when the watermark passes it the open session is
+  * emitted from `handleExpiredTimer` and its state cleared — the
+  * "session ends because the user went quiet" semantics a live pipeline
+  * needs (the batch rewrite only knows a session ended once later data
+  * happens to arrive).
+  *
+  * Reference anchor: the reference's polling loop re-aggregates the full
+  * MySQL table each sweep (`dags/spark_job_1.py`), so "session closed" is
+  * only ever derived after the fact; this operator is the capability it
+  * lacks (SURVEY.md §2.10 T8).
+  *
+  * Scale posture: state is ONE (start, last, n) triple plus one timer per
+  * ACTIVE key — bounded by concurrent-session cardinality, not stream
+  * length — in RocksDB. Timer expiry scans only the expired-timer range of
+  * the store. Within a micro-batch the per-key rows are buffered and sorted
+  * (bounded by the source's rate limit, e.g. `maxFilesPerTrigger`); across
+  * batches ordering is the watermark's job, exactly as with
+  * `session_window`.
+  */
+object SessionTimers {
+
+  case class SessionRow(user_id: Long, session_start_us: Long,
+      session_last_us: Long, n: Long)
+
+  /** Gap-based sessionizer: closes a session inline when a later row in the
+    * same batch breaches the gap, otherwise parks it in state behind an
+    * event-time timer at `last + gap`. Keys < 0 are watermark-advance
+    * sentinels and never produce state or output.
+    */
+  class SessionProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, (Long, Long), SessionRow] {
+
+    // (session_start_us, session_last_us, n_events)
+    @transient private var open: ValueState[(Long, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[(Long, Long, Long)]("open",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong,
+          Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    private def timerFor(lastUs: Long): Long = lastUs / 1000L + gapUs / 1000L + 1L
+
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timerValues: TimerValues): Iterator[SessionRow] = {
+      if (key < 0L) return Iterator.empty // sentinel: only advances watermark
+      val ts = rows.map(_._2).toArray
+      java.util.Arrays.sort(ts)
+      if (ts.isEmpty) return Iterator.empty
+      val closed = List.newBuilder[SessionRow]
+      var (st, la, n) =
+        if (open.exists()) {
+          val s0 = open.get()
+          // the parked session's timer is superseded by whatever we
+          // re-register below (or by an inline close)
+          getHandle.deleteTimer(timerFor(s0._2))
+          s0
+        } else (ts(0), ts(0) - 1L, 0L) // sentinel "no open session" start
+      ts.foreach { t =>
+        if (n == 0L) { st = t; la = t; n = 1L }
+        else if (t - la >= gapUs) {
+          closed += SessionRow(key, st, la, n)
+          st = t; la = t; n = 1L
+        } else if (t > la) { la = t; n += 1L }
+        else n += 1L // duplicate timestamp
+      }
+      open.update((st, la, n))
+      getHandle.registerTimer(timerFor(la))
+      closed.result().iterator
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionRow] = {
+      if (open.exists()) {
+        val (st, la, n) = open.get()
+        // a superseded timer that raced deletion must not flush a session
+        // that is still live under its newer timer
+        if (timerFor(la) == expiredTimerInfo.getExpiryTimeInMs) {
+          open.clear()
+          return Iterator.single(SessionRow(key, st, la, n))
+        }
+      }
+      Iterator.empty
+    }
+  }
+
+  /** Stage `(user_id, ts_us)` rows as a file landing zone — the real events
+    * first, then two far-future sentinel files — and drain with
+    * `maxFilesPerTrigger=1` so the watermark advances batch-by-batch and
+    * every parked session's timer provably fires before the drain
+    * terminates: batch 1 folds the data, batch 2 (sentinel A) publishes the
+    * data watermark, batch 3 (sentinel B) runs with watermark >= every
+    * `last + gap` timer.
+    */
+  def drain(s: SparkSession, events: DataFrame, gapUs: Long): DataFrame = {
+    import s.implicits._
+    val staged = java.nio.file.Files.createTempDirectory("graft-tws-sessions")
+    staged.toFile.deleteOnExit()
+    val rows = events.select(col("user_id").cast("long"),
+      col("ts_us").cast("long"))
+    val maxUs = rows.agg(max(col("ts_us"))).as[Option[Long]].first().getOrElse(0L)
+    val sentA = maxUs + gapUs + 3600000000L
+    val sentB = sentA + 3600000000L
+    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tws-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var src: java.nio.file.Path = null
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) src = p
+      }
+      val dst = staged.resolve(name)
+      java.nio.file.Files.copy(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(mtime))
+      dst.toFile.deleteOnExit()
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    val t0 = System.currentTimeMillis() - 60000L
+    stage(rows, "events-0.parquet", t0)
+    stage(Seq((-1L, sentA)).toDF("user_id", "ts_us"), "sentinel-a.parquet", t0 + 10000L)
+    stage(Seq((-1L, sentB)).toDF("user_id", "ts_us"), "sentinel-b.parquet", t0 + 20000L)
+
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ts_us",
+          org.apache.spark.sql.types.LongType)))
+      val typed = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(staged.toString)
+        .withColumn("ts_t", timestamp_micros(col("ts_us")))
+        .withWatermark("ts_t", "0 seconds")
+        .select(col("user_id"), col("ts_us")).as[(Long, Long)]
+      val out = typed.groupByKey(_._1)
+        .transformWithState(new SessionProcessor(gapUs),
+          TimeMode.EventTime(), OutputMode.Append())
+      val name = "tws_sessions_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      val q = out.toDF().writeStream
+        .outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(300000L)) q.stop()
+      s.table(name)
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graphs
+import graft.streaming.SessionTimers
+
+/** Round-9 tier: distributed BFS reachability (the recursive-CTE shape),
+  * SQL-standard inverse-distribution quantiles, and timer-emitted
+  * transformWithState sessions.
+  */
+class Ext37Spec extends SparkTestBase {
+  import spark.implicits._
+
+  // ---- Graphs.reachability -----------------------------------------------
+
+  test("reachability: min-hop labels on a diamond (shorter path wins)") {
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val got = Graphs.reachability(edges, "src", "dst", maxDepth = 4)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 4L)) == 2L, "diamond closure must take the 2-hop path")
+    assert(got((1L, 5L)) == 3L)
+    assert(got((1L, 2L)) == 1L && got((1L, 3L)) == 1L)
+    assert(got((2L, 5L)) == 2L && got((3L, 5L)) == 2L)
+    assert(got.size == 9, s"unexpected pairs: $got")
+  }
+
+  test("reachability: cycles terminate at maxDepth; self-pairs only when a " +
+      "cycle closes within the depth budget") {
+    val ring = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 1L))
+      .toDF("src", "dst")
+    val d4 = Graphs.reachability(ring, "src", "dst", maxDepth = 4)
+      .as[(Long, Long, Long)].collect()
+    // 5-ring: within 4 hops each node reaches the 4 OTHER nodes, never itself
+    assert(d4.length == 20)
+    assert(!d4.exists(r => r._1 == r._2))
+    val d5 = Graphs.reachability(ring, "src", "dst", maxDepth = 5)
+      .as[(Long, Long, Long)].collect()
+    assert(d5.length == 25)
+    assert(d5.filter(r => r._1 == r._2).forall(_._3 == 5L),
+      "ring self-closure must be exactly 5 hops")
+  }
+
+  test("reachability: duplicate edges collapse; depth 1 is the edge set") {
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graphs.reachability(edges, "src", "dst", maxDepth = 1)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 1L)))
+  }
+
+  // ---- percentile_disc / percentile_cont ---------------------------------
+
+  test("percentile_disc is the smallest value with cume_dist >= p; " +
+      "percentile_cont interpolates") {
+    val df = Seq.tabulate(4)(i => ("a", (i + 1).toDouble))
+      .toDF("event_type", "value")
+    df.createOrReplaceTempView("_p_disc_t")
+    val r = spark.sql(
+      """SELECT
+        |  percentile_disc(0.25) WITHIN GROUP (ORDER BY value) AS d25,
+        |  percentile_disc(0.5) WITHIN GROUP (ORDER BY value) AS d50,
+        |  percentile_cont(0.25) WITHIN GROUP (ORDER BY value) AS c25,
+        |  percentile_cont(0.5) WITHIN GROUP (ORDER BY value) AS c50
+        |FROM _p_disc_t""".stripMargin)
+      .as[(Double, Double, Double, Double)].first()
+    assert(r == ((1.0, 2.0, 1.75, 2.5)))
+  }
+
+  // ---- SessionTimers -----------------------------------------------------
+
+  test("timer-emitted sessions equal the batch gaps-and-islands rewrite " +
+      "(inline close for mid-batch gaps, timer flush for the final session)") {
+    val gap = 1800000000L // 30 min in µs
+    val m = 60000000L // 1 min
+    val rows = Seq(
+      // user 1: two sessions — the first closes INLINE (gap breach inside
+      // the batch), the second only ever closes via its event-time timer
+      (1L, 0L), (1L, m), (1L, 5 * m),
+      (1L, 120 * m), (1L, 121 * m),
+      // user 2: single event — pure timer emission
+      (2L, 7 * m),
+      // user 3: duplicate timestamps stay one session
+      (3L, 10 * m), (3L, 10 * m), (3L, 25 * m)
+    ).toDF("user_id", "ts_us")
+    val got = SessionTimers.drain(spark, rows, gap)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val want = Set(
+      (1L, 0L, 5 * m, 3L),
+      (1L, 120 * m, 121 * m, 2L),
+      (2L, 7 * m, 7 * m, 1L),
+      (3L, 10 * m, 25 * m, 3L))
+    assert(got == want, s"got $got")
+  }
+
+  test("a gap of exactly the threshold starts a new session (>= semantics, " +
+      "matching the oracle's lag >= gap)") {
+    val gap = 1000000L
+    val rows = Seq((9L, 0L), (9L, gap)).toDF("user_id", "ts_us")
+    val got = SessionTimers.drain(spark, rows, gap)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((9L, 0L, 0L, 1L), (9L, gap, gap, 1L)))
+  }
+}

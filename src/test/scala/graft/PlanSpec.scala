@@ -282,21 +282,30 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("mann-whitney: corpus collapses in a partial-aggregated groupBy " +
-      "before any global window") {
+  test("mann-whitney: two-phase prefix sum — the histogram-sized window is " +
+      "partitioned on the bucket id; only the bounded per-bucket totals may " +
+      "see a global window") {
     withStaticPlans {
       val plan = planOf(graft.queries.Ext15Queries.mannWhitney(spark, sf))
-      // partial + final HashAggregate pairs around the value-histogram
-      // shuffle: the single-partition window only ever sees distinct values
+      // partial + final HashAggregate pairs around the value-histogram shuffle
       val aggs = plan.collect {
         case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
       }
       assert(aggs.size >= 2, "value histogram not partial-aggregated")
       val windows = plan.collect { case w: WindowExec => w }
-      assert(windows.size == 1)
-      windows.head.collectFirst {
-        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
-      }.orElse(sys.error("window input is the raw corpus, not the histogram"))
+      assert(windows.nonEmpty)
+      // no single-partition window over the data: every unpartitioned window
+      // must sit over the per-bucket (_pid) totals aggregate, whose row count
+      // is bounded by the bucket config, not the data
+      windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+        val overTotals = w.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+              if a.groupingExpressions.exists(
+                _.references.exists(_.name == "_pid")) => a
+        }
+        assert(overTotals.nonEmpty,
+          s"global window not over the per-bucket totals:\n$w")
+      }
     }
   }
 
@@ -358,14 +367,22 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  test("auc-roc: rank-sum window runs over the score histogram, not the corpus") {
+  test("auc-roc: rank-sum rides the two-phase prefix sum over the score " +
+      "histogram — data-sized windows bucket-partitioned, scan pruned to " +
+      "(score, label)") {
     withStaticPlans {
       val plan = planOf(graft.queries.Ext21Queries.aucRoc(spark, sf))
       val windows = plan.collect { case w: WindowExec => w }
-      assert(windows.size == 1)
-      windows.head.collectFirst {
-        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
-      }.orElse(sys.error("rank window input is the raw corpus, not the histogram"))
+      assert(windows.nonEmpty)
+      windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+        val overTotals = w.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+              if a.groupingExpressions.exists(
+                _.references.exists(_.name == "_pid")) => a
+        }
+        assert(overTotals.nonEmpty,
+          s"global window not over the per-bucket totals:\n$w")
+      }
       val scans = plan.collect { case s: FileSourceScanExec => s }
       assert(scans.forall(
         _.requiredSchema.fieldNames.toSet.subsetOf(
@@ -708,6 +725,95 @@ class PlanSpec extends SparkTestBase {
       assert(plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty)
       val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
       assert(shuffles.size <= 3, s"over-shuffles: ${shuffles.size}")
+    }
+  }
+
+  test("ngram coverage: postings semi-join against the distinct train-" +
+      "shingle set — equi-joins only, no pair join, coverage aggregate " +
+      "partial-aggregates map-side") {
+    withStaticPlans {
+      val plan = planOf(q("q_ngram_coverage"))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "coverage degenerated to a pair join")
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        "coverage grew a nested-loop join")
+      // split assignment (tiny) broadcasts onto the postings stream
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.nonEmpty,
+        "split-assignment join must broadcast")
+      val aggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggs.size >= 2, "per-doc coverage count not partial-aggregated")
+    }
+  }
+
+  test("weighted jaccard: scores ONLY the prefix-filtered candidates — no " +
+      "cartesian, no token-union materialization (Σmax folded to totals), " +
+      "candidate common-token aggregate partial-aggregates") {
+    withStaticPlans {
+      val plan = planOf(q("q_weighted_jaccard"))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "weighted jaccard degenerated to all-pairs")
+      // the only nested-loop joins allowed are 1-row scalar broadcasts
+      // inside the shared prefix-pair generator
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.size <= 1,
+        "corpus-sized nested-loop join crept in")
+      val aggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggs.size >= 2, "Σmin aggregate not partial-aggregated")
+      graft.operators.Dedup.unpersistIntermediates()
+    }
+  }
+
+  // ---- round-9 tier pins -----------------------------------------------
+
+  test("bfs reachability: every level is an equi-join of frontier vs edges " +
+      "plus a (src,dst) anti-join — no cartesian, no nested loop, anywhere " +
+      "in the unrolled 4-level lineage") {
+    withStaticPlans {
+      // checkpointLevels=false exposes the FULL unrolled plan to inspection
+      val edges = spark.read.parquet(s"$sf/nation.parquet")
+        .selectExpr("n_nationkey AS src",
+          "CAST((n_nationkey * 7 + 3) % 25 AS INT) AS dst")
+      val plan = planOf(graft.operators.Graphs.reachability(
+        edges, "src", "dst", maxDepth = 4, checkpointLevels = false))
+      assert(plan.collect {
+        case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      }.isEmpty, "BFS level degenerated to a cartesian")
+      assert(plan.collect { case j: BroadcastNestedLoopJoinExec => j }.isEmpty,
+        "BFS level degenerated to a nested loop")
+      // 3 frontier-expansion joins + 3 visited anti-joins, all hash/merge
+      val joins = plan.collect {
+        case j: BroadcastHashJoinExec => j
+        case j: SortMergeJoinExec => j
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+      }
+      assert(joins.size >= 6, s"expected >=6 equi-joins, got ${joins.size}")
+    }
+  }
+
+  test("percentile_disc: scan pruned to (event_type, value), no joins, one " +
+      "shuffle into a partial/final aggregate pair") {
+    withStaticPlans {
+      val plan = planOf(q("q_percentile_disc"))
+      assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty)
+      assert(plan.collect { case j: BroadcastHashJoinExec => j }.isEmpty)
+      val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+      assert(shuffles.size == 1, s"over-shuffles: ${shuffles.size}")
+      val aggs = plan.collect {
+        case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.SortAggregateExec => a
+        case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec => a
+      }
+      assert(aggs.size >= 2, "inverse-distribution agg not partial-aggregated")
+      val scans = plan.collect { case s: FileSourceScanExec => s }
+      scans.foreach { sc =>
+        assert(sc.requiredSchema.fieldNames.toSet == Set("event_type", "value"),
+          s"scan reads too much: ${sc.requiredSchema.fieldNames.mkString(",")}")
+      }
     }
   }
 
