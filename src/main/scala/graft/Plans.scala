@@ -107,7 +107,9 @@ object Plans {
       "q_weighted_jaccard" -> "Weighted (multiset) Jaccard: scores ONLY the prefix-filtered candidate pairs; Σmax folded to ΣA+ΣB−Σmin so the token union never materializes — per-doc count re-aggregation + id-keyed joins",
       "q_graph_reachability" -> "Recursive-CTE reachability as level-synchronous BFS: 4 unrolled levels, each a shuffled equi-join of frontier vs edges plus a (src,dst) anti-join — no cartesian, min-hop by first discovery (plan shown with level checkpoints, each level materializes once)",
       "q_percentile_disc" -> "SQL-standard inverse-distribution quantiles: pruned 2-column scan, ONE shuffle into a partial/final percentile aggregate pair — no joins, no windows",
-      "q_mann_whitney" -> "Mann-Whitney U: corpus collapses to the distinct-value histogram (partial-aggregated), rank prefix sums via the TWO-PHASE bucketed pass — the only global window runs over the ≤numParts per-bucket totals, never the data")
+      "q_mann_whitney" -> "Mann-Whitney U: corpus collapses to the distinct-value histogram (partial-aggregated), rank prefix sums via the TWO-PHASE bucketed pass — the only global window runs over the ≤numParts per-bucket totals, never the data",
+      "q_rfm" -> "RFM quintiles: three customer-cardinality ranks via the two-phase bucketed pass (no single-partition window anywhere), ntile(5) recomputed arithmetically from (rank, n)",
+      "q_perplexity_filter" -> "Perplexity gate: percent_rank = exclusive prefix count over the perplexity HISTOGRAM (two-phase bucketed), histogram equi-joined back onto the scored docs — the corpus never sees a global window")
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the headline queries\n\n")

@@ -85,4 +85,129 @@ object PrefixSum {
       .drop(sumCols.map(c => s"_local_$c"): _*)
       .drop(sumCols.map(c => s"_off_$c"): _*)
   }
+
+  /** Two-phase GLOBAL row_number (and optional exclusive ROWS-frame prefix
+    * sums) over the composite ordering (`valueCol` asc|desc, `tieCols`
+    * asc...) — the per-ROW generalization of [[exclusive]] for the queries
+    * that rank raw entities (customers, documents) rather than a value
+    * histogram. `tieCols` must make the composite ordering unique per row.
+    *
+    * Appends `rnName` (LONG, 1-based) and, per sum column, `<c>_excl` — the
+    * sum over all rows STRICTLY before the current row in the composite
+    * order (NULL when that prefix is empty, matching the naive window's
+    * empty-frame sum).
+    *
+    * Bucketing is on `valueCol` only (equal values always share a bucket,
+    * so the tie-break never crosses a bucket boundary); the intra-bucket
+    * pass is a PARTITIONED window and the only global window runs over the
+    * ≤ numParts per-bucket totals.
+    */
+  def rankedPrefix(df: DataFrame, valueCol: String, descOrder: Boolean,
+      tieCols: Seq[String], sumCols: Seq[String] = Nil,
+      rnName: String = "rn", numParts: Int = 0): DataFrame = {
+    val parts =
+      if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ord = col(valueCol).cast("double")
+    val probs = (1 until parts).map(_.toDouble / parts)
+    val withPid =
+      if (parts <= 1) df.withColumn("_pid", lit(0))
+      else {
+        val bounds = df.agg(percentile_approx(
+          ord, array(probs.map(lit): _*), lit(10000)).as("_bounds"))
+        df.crossJoin(broadcast(bounds))
+          .withColumn("_pid",
+            size(filter(col("_bounds"), (b: Column) => b < ord)))
+          .drop("_bounds")
+      }
+    val ordCols = (if (descOrder) col(valueCol).desc else col(valueCol).asc) +:
+      tieCols.map(col(_).asc)
+    val wIn = Window.partitionBy(col("_pid")).orderBy(ordCols: _*)
+    val wInRows = wIn.rowsBetween(Window.unboundedPreceding, -1)
+    val local0 = withPid.withColumn("_local_rn", row_number().over(wIn))
+    val local = sumCols.foldLeft(local0) { (d, c) =>
+      d.withColumn(s"_local_$c", sum(col(c)).over(wInRows))
+    }
+    val totals = withPid.groupBy(col("_pid"))
+      .agg(count(lit(1)).as("_tot_rn"),
+        sumCols.map(c => sum(col(c)).as(s"_tot_$c")): _*)
+    // Phase 2: ≤ numParts rows — the only global window, bounded by config.
+    val wOff = Window
+      .orderBy(if (descOrder) col("_pid").desc else col("_pid").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(
+      col("_pid") +:
+        (coalesce(sum(col("_tot_rn")).over(wOff), lit(0L)).as("_off_rn") +:
+          sumCols.map(c => sum(col(s"_tot_$c")).over(wOff).as(s"_off_$c"))): _*)
+    val joined = local.join(broadcast(offsets), Seq("_pid"))
+      .withColumn(rnName,
+        (col("_off_rn") + col("_local_rn").cast("long")).as(rnName))
+    val withExcl = sumCols.foldLeft(joined) { (d, c) =>
+      // strict-prefix sum: bucket-local prefix + all preceding buckets'
+      // totals; NULL iff both are empty (the global first row)
+      d.withColumn(s"${c}_excl", coalesce(
+        col(s"_local_$c") + col(s"_off_$c"),
+        col(s"_local_$c"), col(s"_off_$c")))
+    }
+    withExcl.drop("_pid", "_local_rn", "_off_rn")
+      .drop(sumCols.map(c => s"_local_$c"): _*)
+      .drop(sumCols.map(c => s"_off_$c"): _*)
+  }
+
+  /** Append `<minCol>_minBefore` = MIN of `minCol` over all rows with
+    * STRICTLY GREATER `orderCol` (i.e. the strict prefix in DESCENDING
+    * order; NULL for the maximal row) — the dominance sweep the two-phase
+    * way. Same uniqueness requirement as [[exclusive]].
+    */
+  def minBeforeDesc(df: DataFrame, orderCol: String, minCol: String,
+      numParts: Int = 0): DataFrame = {
+    val parts =
+      if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val ord = col(orderCol).cast("double")
+    val probs = (1 until parts).map(_.toDouble / parts)
+    val withPid =
+      if (parts <= 1) df.withColumn("_pid", lit(0))
+      else {
+        val bounds = df.agg(percentile_approx(
+          ord, array(probs.map(lit): _*), lit(10000)).as("_bounds"))
+        df.crossJoin(broadcast(bounds))
+          .withColumn("_pid",
+            size(filter(col("_bounds"), (b: Column) => b < ord)))
+          .drop("_bounds")
+      }
+    val wIn = Window.partitionBy(col("_pid")).orderBy(col(orderCol).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = withPid.withColumn("_local_min", min(col(minCol)).over(wIn))
+    val totals = withPid.groupBy(col("_pid"))
+      .agg(min(col(minCol)).as("_tot_min"))
+    val wOff = Window.orderBy(col("_pid").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = totals.select(col("_pid"),
+      min(col("_tot_min")).over(wOff).as("_off_min"))
+    local.join(broadcast(offsets), Seq("_pid"))
+      // least() skips NULLs and is NULL only when BOTH sides are — exactly
+      // the naive descending window's empty-frame semantics
+      .withColumn(s"${minCol}_minBefore",
+        least(col("_local_min"), col("_off_min")))
+      .drop("_pid", "_local_min", "_off_min")
+  }
+
+  /** Exact `ntile(k)` from a global 1-based rank and the total row count —
+    * Spark's NTile distribution (first `n % k` tiles get `n DIV k + 1`
+    * rows), computed arithmetically so the rank can come from
+    * [[rankedPrefix]] instead of a single-partition window. `rnCol` and
+    * `nCol` must be LONG columns already on the frame; result is INT like
+    * the built-in.
+    */
+  def ntileFromRank(df: DataFrame, rnCol: String, nCol: String, k: Int,
+      outCol: String): DataFrame =
+    df.withColumn(outCol, expr(
+      s"""CAST(CASE
+         |  WHEN $rnCol <= (($nCol DIV $k) + 1) * ($nCol % $k)
+         |    THEN ($rnCol - 1) DIV (($nCol DIV $k) + 1) + 1
+         |  ELSE ($nCol % $k)
+         |    + ($rnCol - 1 - (($nCol DIV $k) + 1) * ($nCol % $k))
+         |      DIV ($nCol DIV $k) + 1
+         |END AS INT)""".stripMargin))
 }

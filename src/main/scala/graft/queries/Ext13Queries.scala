@@ -191,12 +191,11 @@ object Ext13Queries {
       .distinct()
     // per-price minimum size (equal-price, larger-size points are dominated)
     val perPrice = pts.groupBy("price").agg(min(col("size")).as("size"))
-    // strict sweep: keep iff size < every size at strictly higher price
-    val w = Window.orderBy(col("price").desc)
-      .rowsBetween(Window.unboundedPreceding, -1)
-    perPrice
-      .withColumn("_minBefore", min(col("size")).over(w))
-      .filter(col("_minBefore").isNull || col("size") < col("_minBefore"))
+    // strict sweep: keep iff size < every size at strictly higher price —
+    // the dominance prefix-min via the two-phase bucketed pass, so the
+    // price histogram never collapses onto a single-partition window
+    graft.operators.PrefixSum.minBeforeDesc(perPrice, "price", "size")
+      .filter(col("size_minBefore").isNull || col("size") < col("size_minBefore"))
       .select(col("price"), col("size"))
   }
 

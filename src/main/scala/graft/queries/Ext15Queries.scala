@@ -509,24 +509,29 @@ object Ext15Queries {
   /** Lorenz revenue-concentration curve by customer decile: customers ranked
     * by exact DECIMAL revenue, split into ntile(10) deciles, each reporting
     * its share and the cumulative share of total revenue. The corpus
-    * collapses to one row per customer in the first aggregate; the ranking
-    * window then runs on customer cardinality (at 100 TB: a two-stage
-    * range-partitioned sort, still no all-data global window). All sums are
-    * DECIMAL(18,6) partials — exact and order-independent — with the
-    * share division deferred to the final projection.
+    * collapses to one row per customer in the first aggregate; the
+    * customer-cardinality rank + running revenue then go through the
+    * two-phase bucketed pass ([[graft.operators.PrefixSum.rankedPrefix]])
+    * — no single-partition window over the customer table — with the exact
+    * ntile(10) distribution recomputed arithmetically from (rank, n). All
+    * sums are DECIMAL(18,6) partials — exact and order-independent — with
+    * the share division deferred to the final projection.
     */
   def lorenzShare(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
     val rev = Tables.orders(s, dir)
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 6))).as("rev"))
-    val wOrd = Window.orderBy(col("rev").desc, col("o_custkey"))
-    val ranked = rev
-      .withColumn("decile", ntile(10).over(wOrd))
-      .withColumn("cum",
-        sum("rev").over(
-          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot", sum("rev").over(Window.partitionBy()))
-    ranked.groupBy("decile")
+      .localCheckpoint(eager = false)
+    val tot = broadcast(rev.agg(sum("rev").as("tot"),
+      count(lit(1)).as("_n")))
+    val ranked = PrefixSum.rankedPrefix(rev, "rev", descOrder = true,
+        Seq("o_custkey"), Seq("rev"), "_rn")
+      .crossJoin(tot)
+      // inclusive running revenue = strict prefix (NULL on the top row) + own
+      .withColumn("cum", coalesce(col("rev_excl"), lit(0)) + col("rev"))
+    PrefixSum.ntileFromRank(ranked, "_rn", "_n", 10, "decile")
+      .groupBy("decile")
       .agg(
         count(lit(1)).as("n_cust"),
         round(sum("rev").cast("double") / max("tot").cast("double"), 6)

@@ -291,15 +291,19 @@ object Ext16Queries {
     * G = (2 * sum(i * x_i) - (n + 1) * sum(x)) / (n * sum(x)) over
     * ascending-sorted exact DECIMAL revenues. Every sum is DECIMAL/BIGINT
     * (rank-weighted revenue stays decimal), so the one floating division is
-    * the final G. The global rank runs on customer cardinality after the
-    * corpus collapses, same posture as q_lorenz_share.
+    * the final G. The global rank is the two-phase bucketed pass
+    * ([[graft.operators.PrefixSum.rankedPrefix]]) — customer-cardinality
+    * sized, never a single-partition window — same posture as
+    * q_lorenz_share.
     */
   def gini(s: SparkSession, dir: String): DataFrame = {
     val rev = Tables.orders(s, dir)
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 6))).as("rev"))
-    val i = row_number().over(Window.orderBy(col("rev"), col("o_custkey")))
-    rev.withColumn("i", i.cast("long"))
+    // two-phase bucketed global rank — no single-partition window over the
+    // customer-cardinality table
+    graft.operators.PrefixSum.rankedPrefix(rev, "rev", descOrder = false,
+        Seq("o_custkey"), Nil, "i")
       .agg(
         count(lit(1)).as("n_cust"),
         round(

@@ -21,10 +21,16 @@ object Ext18Queries {
     * frequency (order count), monetary (exact DECIMAL revenue), each scored
     * into ntile(5) quintiles with 5 = best, concatenated into the classic
     * three-digit segment. The corpus collapses to one row per customer
-    * before any window; the three quintile windows run on customer
-    * cardinality (two-stage range-partitioned sort at 100 TB).
+    * before any ranking; the three quintile ranks then run customer-
+    * cardinality-sized, so NO single-partition window ever sees them —
+    * each is a two-phase bucketed rank ([[graft.operators.PrefixSum
+    * .rankedPrefix]]) with the exact ntile(5) distribution recomputed
+    * arithmetically from (rank, n). Each rank pass is localCheckpoint'd so
+    * the next pass's bucket probe re-reads materialized rows, not the
+    * unrolled window lineage.
     */
   def rfm(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.PrefixSum
     val base = Tables.orders(s, dir)
       .groupBy("o_custkey")
       .agg(max("o_orderdate").as("last_dt"),
@@ -35,13 +41,19 @@ object Ext18Queries {
       .select(col("o_custkey"),
         datediff(col("corpus_max"), col("last_dt")).as("recency_days"),
         col("frequency"), col("rev"))
-    base
-      .withColumn("r_score", ntile(5).over(
-        Window.orderBy(col("recency_days").desc, col("o_custkey"))))
-      .withColumn("f_score", ntile(5).over(
-        Window.orderBy(col("frequency"), col("o_custkey"))))
-      .withColumn("m_score", ntile(5).over(
-        Window.orderBy(col("rev"), col("o_custkey"))))
+      .localCheckpoint(eager = false)
+    val n = broadcast(base.agg(count(lit(1)).as("_n")))
+    val r1 = PrefixSum.rankedPrefix(base, "recency_days", descOrder = true,
+      Seq("o_custkey"), Nil, "_rn_r").localCheckpoint(eager = false)
+    val r2 = PrefixSum.rankedPrefix(r1, "frequency", descOrder = false,
+      Seq("o_custkey"), Nil, "_rn_f").localCheckpoint(eager = false)
+    val r3 = PrefixSum.rankedPrefix(r2, "rev", descOrder = false,
+      Seq("o_custkey"), Nil, "_rn_m")
+    val scored = Seq(("_rn_r", "r_score"), ("_rn_f", "f_score"),
+      ("_rn_m", "m_score")).foldLeft(r3.crossJoin(n)) {
+        case (d, (rn, out)) => PrefixSum.ntileFromRank(d, rn, "_n", 5, out)
+      }
+    scored
       .select(col("o_custkey"), col("recency_days"), col("frequency"),
         col("rev").cast("double").as("monetary"),
         col("r_score"), col("f_score"), col("m_score"),

@@ -180,17 +180,28 @@ object Ext20Queries {
     * as the reference model).
     */
   def perplexityFilter(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val scored = TextAnalysis.unigramLmScores(
-      Tables.documents(s, dir), "doc_id", "text")
-    // rank over the UNROUNDED perplexity on both engines (rounding first
-    // would create engine-dependent ties); avg_logp itself is already
-    // 6-rounded inside unigramLmScores, matching the oracle's sc CTE
-    val w = Window.orderBy(col("ppl_raw"))
-    scored
+        Tables.documents(s, dir), "doc_id", "text")
+      // rank over the UNROUNDED perplexity on both engines (rounding first
+      // would create engine-dependent ties); avg_logp itself is already
+      // 6-rounded inside unigramLmScores, matching the oracle's sc CTE
       .select(col("doc_id"), col("n_tokens"),
         exp(-col("avg_logp")).as("ppl_raw"))
-      .withColumn("pr", percent_rank().over(w))
+      .localCheckpoint(eager = false) // histogram + rejoin read it
+    // percent_rank without a single-partition window over the corpus:
+    // SQL rank(v) = #rows with value strictly below + 1, so it is an
+    // exclusive prefix count over the perplexity HISTOGRAM — the same
+    // two-phase bucketed pass as the rank-stat family; percent_rank =
+    // (rank-1)/(n-1) follows arithmetically (0 for a single-row corpus,
+    // the built-in's convention)
+    val hist = scored.groupBy("ppl_raw").agg(count(lit(1)).as("_cnt"))
+    val pre = graft.operators.PrefixSum.exclusive(hist, "ppl_raw", Seq("_cnt"))
+    val tot = broadcast(hist.agg(sum(col("_cnt")).as("_n")))
+    scored
+      .join(pre.select(col("ppl_raw"), col("_cnt_excl")), Seq("ppl_raw"))
+      .crossJoin(tot)
+      .withColumn("pr", when(col("_n") === 1L, lit(0.0))
+        .otherwise(col("_cnt_excl").cast("double") / (col("_n") - lit(1L))))
       .select(col("doc_id"), col("n_tokens"),
         round(col("ppl_raw"), 6).as("ppl"),
         round(col("pr"), 6).as("ppl_rank"),

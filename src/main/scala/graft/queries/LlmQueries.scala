@@ -262,9 +262,10 @@ object LlmQueries {
   val simhashNearDupOracle: String = simhashOracle(12)
   val simhashFastOracle: String = simhashOracle(3)
 
-  /** Corpus term frequencies with stopword removal: top-20 terms. The final
-    * top-k window is a single-partition row_number over the (tiny) aggregated
-    * term table — the heavy lifting (explode + count) is fully distributed.
+  /** Corpus term frequencies with stopword removal: top-20 terms. The top-k
+    * is an orderBy+limit — planned as TakeOrderedAndProject (per-partition
+    * heaps, no global sort, no vocabulary-sized single-partition window);
+    * the rank column is then a window over the 20 surviving rows only.
     */
   def topTerms(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -274,8 +275,10 @@ object LlmQueries {
       .filter(!col("term").isin(stop.map(x => x: Any): _*) && col("term") =!= "")
       .groupBy("term").agg(count(lit(1)).as("n"))
     counts
-      .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("term"))))
-      .filter(col("rk") <= 20)
+      .orderBy(col("n").desc, col("term"))
+      .limit(20)
+      .withColumn("rk",
+        row_number().over(Window.orderBy(col("n").desc, col("term"))))
       .select("term", "n", "rk")
   }
 

@@ -770,6 +770,42 @@ class PlanSpec extends SparkTestBase {
 
   // ---- round-9 tier pins -----------------------------------------------
 
+  test("entity-ranking family (rfm, lorenz, gini, perplexity filter, " +
+      "skyline): NO single-partition window over data — every unpartitioned " +
+      "window sits over the bounded per-bucket (_pid) totals") {
+    withStaticPlans {
+      Seq("q_rfm", "q_lorenz_share", "q_gini", "q_perplexity_filter",
+        "q_skyline").foreach { name =>
+        val plan = planOf(q(name))
+        val windows = plan.collect { case w: WindowExec => w }
+        assert(windows.nonEmpty, s"$name lost its ranking windows")
+        windows.filter(_.partitionSpec.isEmpty).foreach { w =>
+          val overTotals = w.collectFirst {
+            case a: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+                if a.groupingExpressions.exists(
+                  _.references.exists(_.name == "_pid")) => a
+          }
+          assert(overTotals.nonEmpty,
+            s"$name: global window not over the per-bucket totals:\n$w")
+        }
+      }
+    }
+  }
+
+  test("top terms: global top-20 is TakeOrderedAndProject — no " +
+      "vocabulary-sized sort or single-partition ranking window") {
+    withStaticPlans {
+      val plan = planOf(q("q_top_terms"))
+      assert(plan.collect {
+        case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => t
+      }.nonEmpty, "expected TakeOrderedAndProject for the top-20")
+      // the only window ranks the 20 surviving rows
+      val sorts = plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec => s }
+      assert(sorts.size <= 1, s"vocabulary-sized sort crept in: ${sorts.size}")
+    }
+  }
+
   test("bfs reachability: every level is an equi-join of frontier vs edges " +
       "plus a (src,dst) anti-join — no cartesian, no nested loop, anywhere " +
       "in the unrolled 4-level lineage") {

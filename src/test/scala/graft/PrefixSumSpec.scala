@@ -82,4 +82,62 @@ class PrefixSumSpec extends SparkTestBase {
     assert(windows.exists(_.partitionSpec.nonEmpty),
       "expected the per-bucket running sum to be a partitioned window")
   }
+
+  test("rankedPrefix matches naive row_number + exclusive ROWS sum, asc and " +
+      "desc, under value ties broken by the tie column") {
+    val rnd = new scala.util.Random(7)
+    // values drawn from a SMALL domain so ties are common; ids unique
+    val rows = (1 to 3000).map(i => (i.toLong, rnd.nextInt(80).toDouble))
+    val df = rows.toDF("id", "v")
+    for (desc <- Seq(false, true)) {
+      val ord = if (desc)
+        Window.orderBy(col("v").desc, col("id"))
+      else Window.orderBy(col("v"), col("id"))
+      val expected = df
+        .withColumn("rn", row_number().over(ord).cast("long"))
+        .withColumn("v_excl",
+          sum(col("v")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
+        .select("id", "rn", "v_excl").as[(Long, Long, Option[Double])]
+        .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+      for (parts <- Seq(1, 4, 32)) {
+        val got = PrefixSum.rankedPrefix(df, "v", desc, Seq("id"),
+            Seq("v"), "rn", parts)
+          .select("id", "rn", "v_excl").as[(Long, Long, Option[Double])]
+          .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+        assert(got == expected, s"desc=$desc parts=$parts diverged")
+      }
+    }
+  }
+
+  test("ntileFromRank reproduces the built-in ntile distribution, " +
+      "including n < k and uneven remainders") {
+    for ((n, k) <- Seq((1, 5), (3, 5), (5, 5), (7, 5), (10, 3), (100, 7))) {
+      val df = (1 to n).map(i => (i.toLong, i.toLong)).toDF("id", "v")
+      val expected = df
+        .withColumn("t", ntile(k).over(Window.orderBy(col("v"))))
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      val got = PrefixSum.ntileFromRank(
+          df.withColumn("rn", col("v")).withColumn("_n", lit(n.toLong)),
+          "rn", "_n", k, "t")
+        .select("id", "t").as[(Long, Int)].collect().toMap
+      assert(got == expected, s"n=$n k=$k diverged: $got vs $expected")
+    }
+  }
+
+  test("minBeforeDesc matches the naive descending prefix-min window " +
+      "(NULL on the maximal row)") {
+    val rnd = new scala.util.Random(23)
+    val hist = (1 to 2000).map(_ => rnd.nextDouble() * 100).distinct
+      .map(v => (v, rnd.nextInt(50))).toDF("price", "size")
+    val w = Window.orderBy(col("price").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = hist.withColumn("mb", min(col("size")).over(w))
+      .select("price", "mb").as[(Double, Option[Int])].collect().toMap
+    for (parts <- Seq(1, 4, 32)) {
+      val got = PrefixSum.minBeforeDesc(hist, "price", "size", parts)
+        .select(col("price"), col("size_minBefore"))
+        .as[(Double, Option[Int])].collect().toMap
+      assert(got == expected, s"parts=$parts diverged")
+    }
+  }
 }
