@@ -278,6 +278,7 @@ object SparkEntry {
     "q_graph_reachability" -> (Ext37Queries.graphReachability _),
     "q_percentile_disc" -> (Ext37Queries.percentileDisc _),
     "q_tws_sessions" -> (Ext37Queries.twsSessions _),
+    "q_stream_outer_join" -> (Ext37Queries.streamOuterJoin _),
     "q_adamic_adar" -> (Ext20Queries.adamicAdar _),
     "q_khop_reach" -> (Ext20Queries.khopReach _),
     "q_degree_dist" -> (Ext20Queries.degreeDist _),
@@ -784,6 +785,7 @@ object SparkEntry {
     "q_graph_reachability" -> Ext37Queries.graphReachabilityOracle,
     "q_percentile_disc" -> Ext37Queries.percentileDiscOracle,
     "q_tws_sessions" -> Ext37Queries.twsSessionsOracle,
+    "q_stream_outer_join" -> Ext37Queries.streamOuterJoinOracle,
     "q_adamic_adar" -> Ext20Queries.adamicAdarOracle,
     "q_khop_reach" -> Ext20Queries.khopReachOracle,
     "q_degree_dist" -> Ext20Queries.degreeDistOracle,

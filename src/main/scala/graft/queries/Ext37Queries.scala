@@ -110,6 +110,90 @@ object Ext37Queries {
         col("session_last_us"), col("n"))
   }
 
+  /** LEFT OUTER stream-stream join — the capability beyond q_stream_join's
+    * inner form: an unmatched click emits with NULL purchase columns only
+    * once the watermark proves no in-window purchase can still arrive
+    * (state eviction + null padding, not a recompute). The drain uses the
+    * [[graft.streaming.LandingZone]] sentinel contract so the tail's
+    * null-padded rows provably flush; the oracle is the batch LEFT JOIN.
+    *
+    * Scale posture: per-side state is bounded by the 1-hour join window
+    * under the watermark — eviction is exactly what the outer join's
+    * null-padding rides on.
+    */
+  def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types._
+    import graft.streaming.LandingZone
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+    val maxUs = ev.agg(max(col("ts_us"))).head().getLong(0)
+    // The per-side type filters are deterministic, so Catalyst pushes them
+    // BELOW the EventTimeWatermark operator — a row only advances a side's
+    // clock if it would reach that side's join input. Sentinels therefore
+    // carry the JOIN types themselves (one click + one purchase per step,
+    // out-of-domain negative keys, excluded from the final result); a
+    // neutral type would be filtered out pre-watermark and the tail's
+    // null-padded rows would never flush.
+    def sentinel(ts: Long): org.apache.spark.sql.DataFrame = {
+      import s.implicits._
+      Seq((-1L, -1L, ts, "click"), (-2L, -1L, ts, "purchase"))
+        .toDF("event_id", "user_id", "ts_us", "event_type")
+    }
+    // sentinels sit 2h+ past the data so the watermark ends up beyond every
+    // click's 1-hour purchase window
+    val staged = LandingZone.stage(ev,
+      Seq(sentinel(maxUs + 7200000000L), sentinel(maxUs + 10800000000L)))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("event_type", StringType)))
+    // watermark BEFORE the per-side type filters: sentinel rows advance the
+    // clock for both sides, then drop out of the join inputs
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "0 seconds")
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_t").as("click_t"), col("ts_us").as("click_us"))
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"),
+        col("ts_t").as("purchase_t"), col("ts_us").as("purchase_us"))
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_t") >= col("click_t") &&
+        col("purchase_t") <= col("click_t") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+    val name = "stream_outer_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // 4 state stores per shuffle partition (see q_stream_join) — drain narrow
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = joined
+        .select(col("click_id"), col("click_us"),
+          col("purchase_id"), col("purchase_us"))
+        .writeStream.outputMode("append").format("memory").queryName(name)
+        .trigger(Trigger.AvailableNow()).start()
+      if (!q.awaitTermination(300000L)) q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // drop the sentinel clicks' own (null-padded) rows
+    s.table(name).filter(col("click_id") >= 0)
+  }
+
+  val streamOuterJoinOracle: String =
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type
+      |  FROM events
+      |)
+      |SELECT c.event_id AS click_id, c.ts_us AS click_us,
+      |  p.event_id AS purchase_id, p.ts_us AS purchase_us
+      |FROM e c LEFT JOIN e p
+      |  ON c.user_id = p.user_id AND p.event_type = 'purchase'
+      | AND p.ts_us >= c.ts_us AND p.ts_us <= c.ts_us + 3600000000
+      |WHERE c.event_type = 'click'""".stripMargin
+
   val twsSessionsOracle: String =
     """WITH e AS (
       |  SELECT user_id, epoch_us(ts) AS ts_us FROM events

@@ -1,0 +1,53 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+
+/** File landing zone staged for DETERMINISTIC multi-batch streaming drains.
+  *
+  * Watermark-gated state (event-time timers, outer-join null padding,
+  * dropDuplicatesWithinWatermark eviction) only releases when the watermark
+  * ADVANCES PAST the state's horizon — and the watermark is published at the
+  * END of each micro-batch, gating emission to a SUBSEQUENT batch. A
+  * single-batch replay of a finite table therefore never flushes the tail.
+  * The staging contract here makes the flush provable: the real rows land
+  * as the first file, then far-future sentinel rows land as later files,
+  * and `maxFilesPerTrigger=1` forces one batch per file — so batch 2
+  * publishes the data watermark and batch 3 runs with the sentinel
+  * watermark, past every horizon the data could have set. Sentinel rows
+  * carry an out-of-domain key (negative user_id) so query logic can exclude
+  * them from results while they still advance the clock.
+  *
+  * This is exactly how a production landing zone behaves (late files keep
+  * arriving and push the watermark); the sentinels just make the tail flush
+  * happen inside the bounded drain instead of "on the next day's data".
+  */
+object LandingZone {
+
+  /** Write `first` then each of `sentinels` as single-parquet-file steps of
+    * a landing-zone directory with strictly increasing mtimes (the file
+    * source's processing order), and return the directory path. All frames
+    * must share one schema.
+    */
+  def stage(first: DataFrame, sentinels: Seq[DataFrame]): String = {
+    val staged = java.nio.file.Files.createTempDirectory("graft-landing")
+    staged.toFile.deleteOnExit()
+    val t0 = System.currentTimeMillis() - 60000L
+    (first +: sentinels).zipWithIndex.foreach { case (df, i) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-landing-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).iterator()
+      var src: java.nio.file.Path = null
+      while (part.hasNext) {
+        val p = part.next()
+        if (p.getFileName.toString.endsWith(".parquet")) src = p
+      }
+      val dst = staged.resolve(f"step-$i%03d.parquet")
+      java.nio.file.Files.copy(src, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 10000L))
+      dst.toFile.deleteOnExit()
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+    }
+    staged.toString
+  }
+}

@@ -104,33 +104,14 @@ object SessionTimers {
     */
   def drain(s: SparkSession, events: DataFrame, gapUs: Long): DataFrame = {
     import s.implicits._
-    val staged = java.nio.file.Files.createTempDirectory("graft-tws-sessions")
-    staged.toFile.deleteOnExit()
     val rows = events.select(col("user_id").cast("long"),
       col("ts_us").cast("long"))
     val maxUs = rows.agg(max(col("ts_us"))).as[Option[Long]].first().getOrElse(0L)
     val sentA = maxUs + gapUs + 3600000000L
     val sentB = sentA + 3600000000L
-    def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-tws-stage")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator()
-      var src: java.nio.file.Path = null
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) src = p
-      }
-      val dst = staged.resolve(name)
-      java.nio.file.Files.copy(src, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(mtime))
-      dst.toFile.deleteOnExit()
-      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
-    }
-    val t0 = System.currentTimeMillis() - 60000L
-    stage(rows, "events-0.parquet", t0)
-    stage(Seq((-1L, sentA)).toDF("user_id", "ts_us"), "sentinel-a.parquet", t0 + 10000L)
-    stage(Seq((-1L, sentB)).toDF("user_id", "ts_us"), "sentinel-b.parquet", t0 + 20000L)
+    val staged = LandingZone.stage(rows,
+      Seq(Seq((-1L, sentA)).toDF("user_id", "ts_us"),
+        Seq((-1L, sentB)).toDF("user_id", "ts_us")))
 
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(providerKey)
@@ -144,7 +125,7 @@ object SessionTimers {
           org.apache.spark.sql.types.LongType)))
       val typed = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
-        .parquet(staged.toString)
+        .parquet(staged)
         .withColumn("ts_t", timestamp_micros(col("ts_us")))
         .withWatermark("ts_t", "0 seconds")
         .select(col("user_id"), col("ts_us")).as[(Long, Long)]

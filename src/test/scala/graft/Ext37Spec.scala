@@ -93,6 +93,35 @@ class Ext37Spec extends SparkTestBase {
     assert(got == want, s"got $got")
   }
 
+  test("stream outer join: drained result equals the batch LEFT join, " +
+      "including the final click's null-padded row (the tail only flushes " +
+      "because sentinels ride the join types past the pushed filters)") {
+    val dir = "/root/testdata/sf0.001"
+    val got = graft.queries.Ext37Queries.streamOuterJoin(spark, dir)
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    val ev = graft.sources.Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_us").as("click_us"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts_us").as("purchase_us"))
+    val want = c.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_us") >= col("click_us") &&
+          col("purchase_us") <= col("click_us") + lit(3600000000L),
+        "left")
+      .select(col("click_id"), col("click_us"), col("purchase_id"),
+        col("purchase_us"))
+      .as[(Long, Long, Option[Long], Option[Long])].collect().toSet
+    assert(got == want)
+    // the scenario that regressed: the globally-last click must be present
+    val lastClick = c.orderBy(col("click_us").desc).limit(1)
+      .as[(Long, Long, Long)].collect().head
+    assert(got.exists(_._1 == lastClick._1), "tail click never flushed")
+  }
+
   test("a gap of exactly the threshold starts a new session (>= semantics, " +
       "matching the oracle's lag >= gap)") {
     val gap = 1000000L
