@@ -76,7 +76,13 @@ object Graphs {
     * monotonically shrinks on any graph whose k-hop closure saturates. Each
     * level is localCheckpoint'd (lazy) so the three consumers (union,
     * anti-join build, next join probe) share one materialization and the
-    * unrolled lineage never re-executes earlier levels. At 1000-executor
+    * unrolled lineage never re-executes earlier levels. FAULT-TOLERANCE
+    * TRADE-OFF: localCheckpoint truncates lineage into NON-replicated
+    * executor storage — on a long-running multi-thousand-executor job where
+    * executor loss is routine, losing a holder of a checkpointed level
+    * fails the job; swap `cp` for reliable `checkpoint()` (HDFS/object
+    * store) or `persist(MEMORY_AND_DISK_2)` there, paying the write for
+    * recoverability. At 1000-executor
     * scale the visited set for a social-scale graph is the memory bound;
     * the anti-join shuffles on (src, dst) and AQE handles frontier skew
     * (hub nodes) with no driver-side state beyond the loop counter.

@@ -260,7 +260,7 @@ object Ext11Queries {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    if (!q.awaitTermination(300000L)) q.stop()
+    graft.streaming.Drain.awaitOrFail(q, "stream drain")
     s.table(name)
   }
 

@@ -189,8 +189,10 @@ object Ext13Queries {
     val pts = Tables.part(s, dir)
       .select(col("p_retailprice").as("price"), col("p_size").as("size"))
       .distinct()
-    // per-price minimum size (equal-price, larger-size points are dominated)
+    // per-price minimum size (equal-price, larger-size points are dominated);
+    // checkpointed so PrefixSum's size probe reuses it instead of re-scanning
     val perPrice = pts.groupBy("price").agg(min(col("size")).as("size"))
+      .localCheckpoint(eager = false)
     // strict sweep: keep iff size < every size at strictly higher price —
     // the dominance prefix-min via the two-phase bucketed pass, so the
     // price histogram never collapses onto a single-partition window
@@ -228,8 +230,10 @@ object Ext13Queries {
       .select(col("value"),
         when(col("event_type") === "click", 1L).otherwise(0L).as("ca"),
         when(col("event_type") === "purchase", 1L).otherwise(0L).as("cb"))
+    // read 3x (probe, totals, prefix pass) — checkpoint the histogram
     val byVal = ev.groupBy("value")
       .agg(sum("ca").as("a"), sum("cb").as("b"))
+      .localCheckpoint(eager = false)
     val tot = byVal.agg(sum("a").cast("double").as("_na"),
       sum("b").cast("double").as("_nb"))
     graft.operators.PrefixSum.exclusive(byVal, "value", Seq("a", "b"))

@@ -192,6 +192,8 @@ object Ext15Queries {
       .groupBy("value")
       .agg(count(lit(1)).as("cnt"),
         sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("cnt1"))
+      // probe + prefix pass both read it — checkpoint the histogram
+      .localCheckpoint(eager = false)
     // Two-phase prefix sum ([[graft.operators.PrefixSum]]): for a
     // continuous value domain |histogram| ≈ |corpus| and the old global
     // ORDER BY window was a single-task bottleneck; bucketed phases keep

@@ -300,6 +300,9 @@ object Ext16Queries {
     val rev = Tables.orders(s, dir)
       .groupBy("o_custkey")
       .agg(sum(col("o_totalprice").cast(DecimalType(18, 6))).as("rev"))
+      // read by PrefixSum's size probe, its ranking pass and the final agg —
+      // checkpoint so the orders scan+groupBy runs once, not 3x
+      .localCheckpoint(eager = false)
     // two-phase bucketed global rank — no single-partition window over the
     // customer-cardinality table
     graft.operators.PrefixSum.rankedPrefix(rev, "rev", descOrder = false,

@@ -41,6 +41,8 @@ object Ext21Queries {
       .agg(
         sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("n1"),
         sum(when(col("l_returnflag") === "R", 0L).otherwise(1L)).as("n0"))
+      // probe + prefix pass both read it — checkpoint the histogram
+      .localCheckpoint(eager = false)
     graft.operators.PrefixSum.exclusive(h, "score", Seq("n0"))
       .agg(
         sum("n1").as("n_pos"),

@@ -360,7 +360,7 @@ object Ext2Queries {
         .select(col("click_id"), col("purchase_id"), col("click_us"), col("purchase_us"))
         .writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(300000L)) q.stop()
+      graft.streaming.Drain.awaitOrFail(q, "stream drain")
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     s.table(name)
   }

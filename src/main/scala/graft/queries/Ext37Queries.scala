@@ -127,7 +127,12 @@ object Ext37Queries {
     import graft.streaming.LandingZone
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
-    val maxUs = ev.agg(max(col("ts_us"))).head().getLong(0)
+    // Option-based max: an empty events table yields 0L instead of an NPE
+    // (same posture as SessionTimers.drain)
+    val maxUs = {
+      import s.implicits._
+      ev.agg(max(col("ts_us"))).as[Option[Long]].head().getOrElse(0L)
+    }
     // The per-side type filters are deterministic, so Catalyst pushes them
     // BELOW the EventTimeWatermark operator — a row only advances a side's
     // clock if it would reach that side's join input. Sentinels therefore
@@ -176,7 +181,7 @@ object Ext37Queries {
           col("purchase_id"), col("purchase_us"))
         .writeStream.outputMode("append").format("memory").queryName(name)
         .trigger(Trigger.AvailableNow()).start()
-      if (!q.awaitTermination(300000L)) q.stop()
+      graft.streaming.Drain.awaitOrFail(q, "stream_outer_join")
     } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     // drop the sentinel clicks' own (null-padded) rows
     s.table(name).filter(col("click_id") >= 0)

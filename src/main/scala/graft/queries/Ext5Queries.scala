@@ -265,7 +265,7 @@ object Ext5Queries {
       .queryName(name)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    if (!q.awaitTermination(300000L)) q.stop()
+    graft.streaming.Drain.awaitOrFail(q, "stream drain")
     s.table(name)
   }
 

@@ -259,7 +259,7 @@ object Ext7Queries {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    if (!q.awaitTermination(300000L)) q.stop()
+    graft.streaming.Drain.awaitOrFail(q, "stream drain")
     s.table(name)
   }
 

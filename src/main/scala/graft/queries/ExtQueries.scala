@@ -287,7 +287,7 @@ object ExtQueries {
       .queryName(name)
       .trigger(Trigger.AvailableNow())
       .start()
-    if (!q.awaitTermination(300000L)) q.stop()
+    graft.streaming.Drain.awaitOrFail(q, "stream drain")
     s.table(name)
   }
 

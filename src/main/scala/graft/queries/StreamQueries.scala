@@ -90,7 +90,7 @@ object StreamQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     // bounded wait: a wedged drain must not stall the whole verify run
-    if (!q.awaitTermination(300000L)) q.stop()
+    graft.streaming.Drain.awaitOrFail(q, "stream drain")
     s.table(name).select(
       unix_micros(col("window.start")).as("win_start_us"),
       col("event_type"), col("n"), col("sum_value"))

@@ -35,12 +35,15 @@ object LandingZone {
     (first +: sentinels).zipWithIndex.foreach { case (df, i) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-landing-stage")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = java.nio.file.Files.list(tmp).iterator()
+      val listing = java.nio.file.Files.list(tmp)
       var src: java.nio.file.Path = null
-      while (part.hasNext) {
-        val p = part.next()
-        if (p.getFileName.toString.endsWith(".parquet")) src = p
-      }
+      try {
+        val part = listing.iterator()
+        while (part.hasNext) {
+          val p = part.next()
+          if (p.getFileName.toString.endsWith(".parquet")) src = p
+        }
+      } finally listing.close()
       val dst = staged.resolve(f"step-$i%03d.parquet")
       java.nio.file.Files.copy(src, dst)
       java.nio.file.Files.setLastModifiedTime(dst,

@@ -67,7 +67,7 @@ object RunningTotals {
         .queryName(name)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      if (!q.awaitTermination(300000L)) q.stop()
+      graft.streaming.Drain.awaitOrFail(q, "tws_totals")
       s.table(name)
     } finally {
       prev match {

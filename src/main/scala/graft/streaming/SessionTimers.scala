@@ -140,7 +140,7 @@ object SessionTimers {
         .queryName(name)
         .trigger(Trigger.AvailableNow())
         .start()
-      if (!q.awaitTermination(300000L)) q.stop()
+      graft.streaming.Drain.awaitOrFail(q, "tws_sessions")
       s.table(name)
     } finally {
       prev match {

@@ -25,6 +25,14 @@ class PlanSpec extends SparkTestBase {
     try f finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  /** PrefixSum adapts to input size (small inputs take one global window —
+    * the right plan at sf0.001); these pins assert the LARGE-input shape,
+    * so force the two-phase plan regardless of probe count. */
+  private def withTwoPhasePrefix[A](f: => A): A = {
+    spark.conf.set("graft.prefixsum.threshold", "-1")
+    try f finally spark.conf.unset("graft.prefixsum.threshold")
+  }
+
   test("indicator pipeline: ONE shuffle, ONE sort — not 4 branch re-scans") {
     withStaticPlans {
       val plan = planOf(CoreQueries.indicatorUnion(spark, sf))
@@ -285,7 +293,7 @@ class PlanSpec extends SparkTestBase {
   test("mann-whitney: two-phase prefix sum — the histogram-sized window is " +
       "partitioned on the bucket id; only the bounded per-bucket totals may " +
       "see a global window") {
-    withStaticPlans {
+    withStaticPlans { withTwoPhasePrefix {
       val plan = planOf(graft.queries.Ext15Queries.mannWhitney(spark, sf))
       // partial + final HashAggregate pairs around the value-histogram shuffle
       val aggs = plan.collect {
@@ -306,7 +314,7 @@ class PlanSpec extends SparkTestBase {
         assert(overTotals.nonEmpty,
           s"global window not over the per-bucket totals:\n$w")
       }
-    }
+    } }
   }
 
   test("stochastic: bar build + symbol re-key — exactly two shuffles, all " +
@@ -370,7 +378,7 @@ class PlanSpec extends SparkTestBase {
   test("auc-roc: rank-sum rides the two-phase prefix sum over the score " +
       "histogram — data-sized windows bucket-partitioned, scan pruned to " +
       "(score, label)") {
-    withStaticPlans {
+    withStaticPlans { withTwoPhasePrefix {
       val plan = planOf(graft.queries.Ext21Queries.aucRoc(spark, sf))
       val windows = plan.collect { case w: WindowExec => w }
       assert(windows.nonEmpty)
@@ -388,7 +396,7 @@ class PlanSpec extends SparkTestBase {
         _.requiredSchema.fieldNames.toSet.subsetOf(
           Set("l_discount", "l_returnflag"))),
         "AUC scan reads more than the score/label columns")
-    }
+    } }
   }
 
   test("entity blocking: the fuzzy join is an equi-join on the block key " +
@@ -773,7 +781,7 @@ class PlanSpec extends SparkTestBase {
   test("entity-ranking family (rfm, lorenz, gini, perplexity filter, " +
       "skyline): NO single-partition window over data — every unpartitioned " +
       "window sits over the bounded per-bucket (_pid) totals") {
-    withStaticPlans {
+    withStaticPlans { withTwoPhasePrefix {
       Seq("q_rfm", "q_lorenz_share", "q_gini", "q_perplexity_filter",
         "q_skyline").foreach { name =>
         val plan = planOf(q(name))
@@ -789,7 +797,7 @@ class PlanSpec extends SparkTestBase {
             s"$name: global window not over the per-bucket totals:\n$w")
         }
       }
-    }
+    } }
   }
 
   test("top terms: global top-20 is TakeOrderedAndProject — no " +

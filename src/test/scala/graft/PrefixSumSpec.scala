@@ -13,6 +13,15 @@ import graft.operators.PrefixSum
 class PrefixSumSpec extends SparkTestBase {
   import spark.implicits._
 
+  /** Run `body` with the adaptive threshold pinned: "-1" forces the
+    * two-phase bucketed plan even on tiny test inputs; a huge value forces
+    * the single-window small path. Equivalence tests run under BOTH. */
+  private def withThreshold[A](t: String)(body: => A): A = {
+    spark.conf.set("graft.prefixsum.threshold", t)
+    try body finally spark.conf.unset("graft.prefixsum.threshold")
+  }
+  private val bothPaths = Seq("-1", "1000000000")
+
   private def naive(df: org.apache.spark.sql.DataFrame, orderCol: String,
       sumCol: String) = {
     val w = Window.orderBy(col(orderCol))
@@ -32,38 +41,44 @@ class PrefixSumSpec extends SparkTestBase {
       .toDF("value", "cnt")
     val expected = naive(hist, "value", "cnt")
       .select("value", "cnt_excl").as[(Double, Long)].collect().toMap
-    for (parts <- Seq(1, 4, 32)) {
+    for (t <- bothPaths; parts <- Seq(1, 4, 32)) withThreshold(t) {
       val got = PrefixSum.exclusive(hist, "value", Seq("cnt"), parts)
         .select("value", "cnt_excl").as[(Double, Long)].collect().toMap
-      assert(got == expected, s"numParts=$parts diverged")
+      assert(got == expected, s"threshold=$t numParts=$parts diverged")
     }
   }
 
   test("multiple sum columns share one bucketing pass") {
     val hist = Seq((1.0, 2L, 10L), (2.0, 3L, 20L), (5.0, 5L, 30L),
       (9.0, 7L, 40L)).toDF("v", "a", "b")
-    val out = PrefixSum.exclusive(hist, "v", Seq("a", "b"), 2)
-      .select("v", "a_excl", "b_excl").as[(Double, Long, Long)]
-      .collect().sortBy(_._1)
-    assert(out.toSeq == Seq((1.0, 0L, 0L), (2.0, 2L, 10L), (5.0, 5L, 30L),
-      (9.0, 10L, 60L)))
+    for (t <- bothPaths) withThreshold(t) {
+      val out = PrefixSum.exclusive(hist, "v", Seq("a", "b"), 2)
+        .select("v", "a_excl", "b_excl").as[(Double, Long, Long)]
+        .collect().sortBy(_._1)
+      assert(out.toSeq == Seq((1.0, 0L, 0L), (2.0, 2L, 10L), (5.0, 5L, 30L),
+        (9.0, 10L, 60L)), s"threshold=$t")
+    }
   }
 
-  test("empty input and single-row input degenerate cleanly") {
-    val empty = Seq.empty[(Double, Long)].toDF("v", "a")
-    assert(PrefixSum.exclusive(empty, "v", Seq("a"), 8).count() == 0)
-    val one = Seq((3.0, 7L)).toDF("v", "a")
-    val r = PrefixSum.exclusive(one, "v", Seq("a"), 8)
-      .select("a_excl").as[Long].collect()
-    assert(r.toSeq == Seq(0L))
+  test("empty input and single-row input degenerate cleanly on both paths") {
+    for (t <- bothPaths) withThreshold(t) {
+      val empty = Seq.empty[(Double, Long)].toDF("v", "a")
+      assert(PrefixSum.exclusive(empty, "v", Seq("a"), 8).count() == 0)
+      val one = Seq((3.0, 7L)).toDF("v", "a")
+      val r = PrefixSum.exclusive(one, "v", Seq("a"), 8)
+        .select("a_excl").as[Long].collect()
+      assert(r.toSeq == Seq(0L), s"threshold=$t")
+    }
   }
 
-  test("no single-partition window touches the data-sized side") {
+  test("no single-partition window touches the data-sized side " +
+      "(two-phase forced)") {
     // The data-cardinality window must be partitioned on the bucket id;
     // only the ≤numParts-row totals window may be global.
     val hist = (1 to 200).map(i => (i.toDouble, 1L)).toDF("value", "cnt")
-    val plan = PrefixSum.exclusive(hist, "value", Seq("cnt"), 8)
-      .queryExecution.optimizedPlan
+    val plan = withThreshold("-1") {
+      PrefixSum.exclusive(hist, "value", Seq("cnt"), 8)
+    }.queryExecution.optimizedPlan
     val windows = plan.collect {
       case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
     }
@@ -99,12 +114,12 @@ class PrefixSumSpec extends SparkTestBase {
           sum(col("v")).over(ord.rowsBetween(Window.unboundedPreceding, -1)))
         .select("id", "rn", "v_excl").as[(Long, Long, Option[Double])]
         .collect().map(r => r._1 -> ((r._2, r._3))).toMap
-      for (parts <- Seq(1, 4, 32)) {
+      for (t <- bothPaths; parts <- Seq(1, 4, 32)) withThreshold(t) {
         val got = PrefixSum.rankedPrefix(df, "v", desc, Seq("id"),
             Seq("v"), "rn", parts)
           .select("id", "rn", "v_excl").as[(Long, Long, Option[Double])]
           .collect().map(r => r._1 -> ((r._2, r._3))).toMap
-        assert(got == expected, s"desc=$desc parts=$parts diverged")
+        assert(got == expected, s"t=$t desc=$desc parts=$parts diverged")
       }
     }
   }
@@ -133,11 +148,37 @@ class PrefixSumSpec extends SparkTestBase {
       .rowsBetween(Window.unboundedPreceding, -1)
     val expected = hist.withColumn("mb", min(col("size")).over(w))
       .select("price", "mb").as[(Double, Option[Int])].collect().toMap
-    for (parts <- Seq(1, 4, 32)) {
+    for (t <- bothPaths; parts <- Seq(1, 4, 32)) withThreshold(t) {
       val got = PrefixSum.minBeforeDesc(hist, "price", "size", parts)
         .select(col("price"), col("size_minBefore"))
         .as[(Double, Option[Int])].collect().toMap
-      assert(got == expected, s"parts=$parts diverged")
+      assert(got == expected, s"t=$t parts=$parts diverged")
     }
+  }
+
+  test("adaptive switch: default threshold routes small inputs to ONE " +
+      "global window (no bucket column), low threshold routes to two-phase") {
+    val hist = (1 to 500).map(i => (i.toDouble, 1L)).toDF("value", "cnt")
+    // default (100k): small path — no _pid anywhere in the plan
+    val small = PrefixSum.exclusive(hist, "value", Seq("cnt"), 8)
+    val smallPlan = small.queryExecution.optimizedPlan
+    val smallWindows = smallPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(smallWindows.size == 1, "small path should be a single window")
+    assert(!smallPlan.toString.contains("_pid"),
+      "small path must not pay the bucketing machinery")
+    // threshold 10 < 500 rows: two-phase — bucket-partitioned data window
+    val big = withThreshold("10") {
+      PrefixSum.exclusive(hist, "value", Seq("cnt"), 8)
+    }
+    val bigWindows = big.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(bigWindows.exists(_.partitionSpec.nonEmpty),
+      "two-phase path lost its bucket-partitioned window")
+    // and both agree with each other
+    assert(small.select("value", "cnt_excl").as[(Double, Long)].collect().toMap
+      == big.select("value", "cnt_excl").as[(Double, Long)].collect().toMap)
   }
 }
