@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions.udf
   * SentimentSpec (e.g. "VADER is VERY SMART, handsome, and FUNNY!!!" ->
   * 0.9342) — those vectors exercise caps, boosters, damping, negation,
   * but-reweighting and punctuation together. The embedded lexicon is a
-  * ~300-entry transcription of the published vader_lexicon.txt head
+  * ~520-entry transcription of the published vader_lexicon.txt head
   * (common words + the crypto-news domain); [[VaderScorer.fromLexiconFile]]
   * loads the full ~7.5k-entry published file for 100% lexical coverage —
   * the file format is the published TSV, no code changes needed.
@@ -264,7 +264,7 @@ object VaderScorer {
 
 /** The published constant tables: booster dictionary, negation list and
   * special-case idioms are the COMPLETE published sets; the lexicon is a
-  * ~300-entry transcription (valences from the published file) covering
+  * ~520-entry transcription (valences from the published file) covering
   * common English sentiment vocabulary plus the crypto/news domain.
   */
 object VaderData {
@@ -310,7 +310,7 @@ object VaderData {
     "to die for" -> 3.0, "beating heart" -> 3.1, "broken heart" -> -2.9)
 
   /** (word -> valence) — values transcribed from the published
-    * vader_lexicon.txt. ~300 entries: common sentiment vocabulary + the
+    * vader_lexicon.txt. ~520 entries: common sentiment vocabulary + the
     * crypto/finance/news domain the reference's feeds actually emit.
     */
   val lexicon: Map[String, Double] = Map(
@@ -426,8 +426,48 @@ object VaderData {
     "hackers" -> -1.7, "selloff" -> -1.4, "liquidation" -> -1.5,
     "liquidated" -> -1.6, "downgrade" -> -1.4, "downgraded" -> -1.5,
     "volatile" -> -0.9, "volatility" -> -0.9, "no" -> -1.2,
+    // --- round-10 widening: common sentiment + news-wire vocabulary ---
+    "sure" -> 1.3, "ban" -> -2.6, "banned" -> -2.0, "block" -> -1.6,
+    "blocked" -> -1.4, "arrest" -> -1.4, "arrested" -> -1.9,
+    "investigation" -> -1.0, "accuse" -> -1.6, "accused" -> -1.4,
+    "allegation" -> -1.1, "alleged" -> -0.8, "approve" -> 1.8,
+    "approved" -> 2.0, "approves" -> 1.8,
+    "sanction" -> -1.0, "sanctions" -> -1.3, "seize" -> -1.4,
+    "seized" -> -1.4, "sue" -> -1.6, "sued" -> -1.6,
+    "innocent" -> 1.6, "charged" -> -1.4, "convicted" -> -2.1,
+    "prison" -> -2.0, "probe" -> -0.6, "warn" -> -1.3, "warned" -> -1.3,
+    "warns" -> -1.2, "halt" -> -1.0, "halted" -> -1.1,
+    "suspend" -> -1.3, "suspended" -> -1.6, "delay" -> -1.3,
+    "delayed" -> -1.4, "miss" -> -1.0, "missed" -> -1.4,
+    "beat" -> -1.2, "record" -> 1.1, "strongly" -> 1.6, "boost" -> 1.7,
+    "boosted" -> 1.6, "boosts" -> 1.6, "jump" -> 0.9, "jumped" -> 0.9,
+    "climb" -> 0.9, "climbed" -> 0.9, "advance" -> 1.2, "advanced" -> 1.3,
+    "slump" -> -1.5, "slumped" -> -1.5, "tumble" -> -1.2,
+    "tumbled" -> -1.3, "sink" -> -1.3, "sank" -> -1.2, "slide" -> -0.9,
+    "dip" -> -0.7, "dive" -> -1.0, "dived" -> -1.1, "skyrocket" -> 1.8,
+    "skyrocketed" -> 1.9, "thrive" -> 2.2, "thriving" -> 2.3,
+    "prosper" -> 2.2, "prosperity" -> 2.5, "flourish" -> 2.2,
+    "stellar" -> 2.4, "robust" -> 1.7, "resilient" -> 1.6,
+    "momentum" -> 1.0, "uncertain" -> -1.2, "uncertainty" -> -1.4,
+    "turmoil" -> -1.9, "distress" -> -2.3, "distressed" -> -1.9,
+    "default" -> -1.2, "insolvent" -> -2.1, "insolvency" -> -2.0,
+    "manipulate" -> -1.7, "manipulation" -> -1.5, "exploit" -> -1.7,
+    "exploited" -> -2.0, "vulnerable" -> -1.4, "vulnerability" -> -1.4,
+    "breach" -> -1.6, "breached" -> -1.5,
+    "ransom" -> -2.0, "phishing" -> -1.8, "counterfeit" -> -1.9,
+    "outage" -> -1.5, "glitch" -> -1.4, "bug" -> -1.3, "bugs" -> -1.4,
+    "error" -> -1.6, "errors" -> -1.6, "flaw" -> -1.6, "flawed" -> -1.8,
+    "flaws" -> -1.7, "fix" -> 1.0, "fixed" -> 1.1, "resolve" -> 1.3,
+    "resolved" -> 1.5, "solution" -> 1.4, "solutions" -> 1.3,
+    "solve" -> 1.6, "solved" -> 1.8, "milestone" -> 1.7,
+    "partnership" -> 1.6, "partnerships" -> 1.5, "alliance" -> 1.2,
+    "launch" -> 1.0, "launched" -> 1.0, "expand" -> 1.3,
+    "expansion" -> 1.3, "accelerate" -> 1.2, "accelerated" -> 1.2,
+    "dominant" -> 1.2, "dominance" -> 1.0, "leading" -> 1.6,
+    "leader" -> 1.8, "pioneer" -> 1.7, "innovation" -> 1.6,
+    "revolutionary" -> 1.7, "transform" -> 1.1, "transformation" -> 1.2,
     // --- emoticons (tokens the stripper preserves) ---
-    ":)" -> 1.3, ":(" -> -1.9, ":d" -> 2.3, ":/" -> -1.4)
+    ":)" -> 2.0, ":(" -> -1.9, ":d" -> 2.3, ":/" -> -1.4)
 }
 
 /** Default full-rule scorer over the embedded published tables. */
@@ -437,7 +477,7 @@ object Sentiment extends VaderScorer(
   /** Resolution behind [[active]], factored out so tests can exercise the
     * file path without racing the lazy val: system property
     * `graft.vader.lexicon` first, env `GRAFT_VADER_LEXICON` second, the
-    * embedded ~300-entry subset last.
+    * embedded ~520-entry subset last.
     */
   private[graft] def resolveActive(): VaderScorer =
     sys.props.get("graft.vader.lexicon")

@@ -25,7 +25,9 @@ class SentimentSpec extends SparkTestBase {
       "At least it isn't a horrible book." -> 0.431,
       "Not bad at all" -> 0.431,
       "Today SUX!" -> -0.5461,
-      "Today only kinda sux! But I'll get by, lol" -> 0.5249)
+      "Today only kinda sux! But I'll get by, lol" -> 0.5249,
+      // pins sure=1.3, ":)"=2.0, ":d"=2.3 + caps emphasis + '!' emphasis
+      "Make sure you :) or :D today!" -> 0.8633)
     goldens.foreach { case (text, expected) =>
       assert(round4(Sentiment.score(text)) == expected,
         s"'$text': got ${Sentiment.score(text)}, want $expected")
