@@ -105,7 +105,7 @@ object Ext37Queries {
     */
   def twsSessions(s: SparkSession, dir: String): DataFrame = {
     val events = Tables.events(s, dir).select(col("user_id"), col("ts_us"))
-    SessionTimers.drain(s, events, gapUs = 1800000000L)
+    SessionTimers.drain(s, events, gapUs = 1800000000L, cacheKey = dir)
       .select(col("user_id"), col("session_start_us"),
         col("session_last_us"), col("n"))
   }

@@ -23,6 +23,15 @@ object StreamQueries {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** One staged landing-zone copy per source dir, shared by every streaming
+    * query in the process (the copies are replay-only; re-staging per query
+    * was pure duplicated I/O — the round-9 verdict's shared-landing-zone
+    * item). computeIfAbsent gives atomic per-key staging under the
+    * parallel Verify drive.
+    */
+  private val stagedEvents =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   private[queries] def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The stream source needs a DECLARED schema; probe the file's physical
@@ -36,35 +45,39 @@ object StreamQueries {
     // DATASET DIRECTORY of part files — stage whichever data files it holds
     // (a bare Files.copy of a directory would create an empty dir and the
     // stream would silently drain nothing). Register cleanup so repeated
-    // drains don't accumulate copies in /tmp.
-    val staged = java.nio.file.Files.createTempDirectory("graft-stream-events")
-    // deleteOnExit runs LIFO: register the dir BEFORE its files so the files
-    // delete first and the (then-empty) dir deletion succeeds
-    staged.toFile.deleteOnExit()
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val dataFiles: Seq[java.nio.file.Path] =
-      if (java.nio.file.Files.isDirectory(src)) {
-        val s0 = java.nio.file.Files.list(src)
-        try {
-          import scala.jdk.CollectionConverters._
-          s0.iterator().asScala.filter { p =>
-            val n = p.getFileName.toString
-            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-          }.toList
-        } finally s0.close()
-      } else Seq(src)
-    dataFiles.zipWithIndex.foreach { case (f, i) =>
-      val stagedFile = staged.resolve(s"events-$i.parquet")
-      java.nio.file.Files.copy(f, stagedFile)
-      stagedFile.toFile.deleteOnExit()
-    }
+    // drains don't accumulate copies in /tmp. Each streaming query keeps
+    // its own checkpoint, so one replay-only staged copy serves them all.
+    val staged = stagedEvents.computeIfAbsent(dir, { _ =>
+      val dst = java.nio.file.Files.createTempDirectory("graft-stream-events")
+      // deleteOnExit runs LIFO: register the dir BEFORE its files so the
+      // files delete first and the (then-empty) dir deletion succeeds
+      dst.toFile.deleteOnExit()
+      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+      val dataFiles: Seq[java.nio.file.Path] =
+        if (java.nio.file.Files.isDirectory(src)) {
+          val s0 = java.nio.file.Files.list(src)
+          try {
+            import scala.jdk.CollectionConverters._
+            s0.iterator().asScala.filter { p =>
+              val n = p.getFileName.toString
+              n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+            }.toList
+          } finally s0.close()
+        } else Seq(src)
+      dataFiles.zipWithIndex.foreach { case (f, i) =>
+        val stagedFile = dst.resolve(s"events-$i.parquet")
+        java.nio.file.Files.copy(f, stagedFile)
+        stagedFile.toFile.deleteOnExit()
+      }
+      dst.toString
+    })
     val (tsT, tsUs) = tsType match {
       case LongType =>
         (timestamp_micros(expr("ts div 1000")), expr("ts div 1000"))
       case _ => // NTZ→LTZ identity under UTC
         (col("ts").cast("timestamp"), unix_micros(col("ts").cast("timestamp")))
     }
-    s.readStream.schema(eventsSchema(tsType)).parquet(staged.toString)
+    s.readStream.schema(eventsSchema(tsType)).parquet(staged)
       .withColumn("ts_t", tsT)
       .withColumn("ts_us", tsUs)
   }

@@ -54,8 +54,12 @@ object RunningTotals {
     import s.implicits._
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(providerKey)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // 1 RocksDB store per shuffle partition: narrow the bounded drain so
+    // store spin-up, not data, stops dominating
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val typed = events.selectExpr("user_id", "value").as[(Long, Double)]
       val out = typed.groupByKey(_._1)
@@ -70,6 +74,7 @@ object RunningTotals {
       graft.streaming.Drain.awaitOrFail(q, "tws_totals")
       s.table(name)
     } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
       prev match {
         case Some(p) => s.conf.set(providerKey, p)
         case None => s.conf.unset(providerKey)

@@ -102,21 +102,39 @@ object SessionTimers {
     * data watermark, batch 3 (sentinel B) runs with watermark >= every
     * `last + gap` timer.
     */
-  def drain(s: SparkSession, events: DataFrame, gapUs: Long): DataFrame = {
+  /** Staged landing zones are replay-only — memoize per caller key so
+    * repeated drains of the same source (specs, re-runs in one JVM) skip
+    * the three staging write jobs. */
+  private val stagedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  def drain(s: SparkSession, events: DataFrame, gapUs: Long,
+      cacheKey: String = null): DataFrame = {
     import s.implicits._
     val rows = events.select(col("user_id").cast("long"),
       col("ts_us").cast("long"))
-    val maxUs = rows.agg(max(col("ts_us"))).as[Option[Long]].first().getOrElse(0L)
-    val sentA = maxUs + gapUs + 3600000000L
-    val sentB = sentA + 3600000000L
-    val staged = LandingZone.stage(rows,
-      Seq(Seq((-1L, sentA)).toDF("user_id", "ts_us"),
-        Seq((-1L, sentB)).toDF("user_id", "ts_us")))
+    def stage(): String = {
+      val maxUs =
+        rows.agg(max(col("ts_us"))).as[Option[Long]].first().getOrElse(0L)
+      val sentA = maxUs + gapUs + 3600000000L
+      val sentB = sentA + 3600000000L
+      LandingZone.stage(rows,
+        Seq(Seq((-1L, sentA)).toDF("user_id", "ts_us"),
+          Seq((-1L, sentB)).toDF("user_id", "ts_us")))
+    }
+    val staged =
+      if (cacheKey == null) stage()
+      else stagedCache.computeIfAbsent(s"$cacheKey|$gapUs", _ => stage())
 
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(providerKey)
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // 1 RocksDB store per shuffle partition PER BATCH (3 batches here):
+    // narrow the drain so store spin-up, not data, stops dominating (the
+    // production stream sizes partitions to key cardinality instead)
+    s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("user_id",
@@ -143,6 +161,7 @@ object SessionTimers {
       graft.streaming.Drain.awaitOrFail(q, "tws_sessions")
       s.table(name)
     } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevParts)
       prev match {
         case Some(p) => s.conf.set(providerKey, p)
         case None => s.conf.unset(providerKey)
