@@ -419,7 +419,12 @@ object Dedup {
       bits: Int = 64, tokHash: Column => Column = xxhashTok): DataFrame = {
     val chunkBits = bits / 4
     val chunkMask = (1L << chunkBits) - 1
-    val fps = simhash(df, idCol, textCol, n, bits, tokHash)
+    // one row per doc, but its lineage is the whole shingle -> token-hash ->
+    // 60-vote aggregate pipeline; persisted because the banded candidate
+    // join consumes it on BOTH sides (same posture as jaccardPrefixPairs'
+    // prefix postings — unpersisted, the fingerprint pass runs twice)
+    val fps = track(simhash(df, idCol, textCol, n, bits, tokHash)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val banded = fps.select(col("id"), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftright(col("simhash"), b * chunkBits).bitwiseAND(lit(chunkMask))): _*)))
