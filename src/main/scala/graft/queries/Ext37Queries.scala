@@ -121,9 +121,42 @@ object Ext37Queries {
     * under the watermark — eviction is exactly what the outer join's
     * null-padding rides on.
     */
+  /** The UN-STARTED left-outer stream-stream join over a staged landing
+    * zone — exposed so the plan pin (PlanSpec/PLANS.md) can inspect the
+    * streaming logical plan: ONE EventTimeWatermark(ts_t, 0s) directly over
+    * the shared file source (so sentinel rows advance the clock for BOTH
+    * sides before the per-side type filters drop them), then a LeftOuter
+    * join whose condition carries the user_id equi-key plus the 1-hour
+    * event-time range that bounds per-side state.
+    */
+  def outerJoinStream(s: SparkSession, staged: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("user_id", LongType),
+      StructField("ts_us", LongType), StructField("event_type", StringType)))
+    // watermark BEFORE the per-side type filters: sentinel rows advance the
+    // clock for both sides, then drop out of the join inputs
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "0 seconds")
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts_t").as("click_t"), col("ts_us").as("click_us"))
+    val purchases = stream.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"),
+        col("ts_t").as("purchase_t"), col("ts_us").as("purchase_us"))
+    clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_t") >= col("click_t") &&
+        col("purchase_t") <= col("click_t") + expr("INTERVAL 1 HOUR"),
+      "leftOuter")
+  }
+
   def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    import org.apache.spark.sql.types._
     import graft.streaming.LandingZone
     val ev = Tables.events(s, dir)
       .select(col("event_id"), col("user_id"), col("ts_us"), col("event_type"))
@@ -149,28 +182,7 @@ object Ext37Queries {
     // click's 1-hour purchase window
     val staged = LandingZone.stage(ev,
       Seq(sentinel(maxUs + 7200000000L), sentinel(maxUs + 10800000000L)))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("user_id", LongType),
-      StructField("ts_us", LongType), StructField("event_type", StringType)))
-    // watermark BEFORE the per-side type filters: sentinel rows advance the
-    // clock for both sides, then drop out of the join inputs
-    val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(staged)
-      .withColumn("ts_t", timestamp_micros(col("ts_us")))
-      .withWatermark("ts_t", "0 seconds")
-    val clicks = stream.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("user_id"),
-        col("ts_t").as("click_t"), col("ts_us").as("click_us"))
-    val purchases = stream.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"),
-        col("user_id").as("p_user_id"),
-        col("ts_t").as("purchase_t"), col("ts_us").as("purchase_us"))
-    val joined = clicks.join(purchases,
-      col("user_id") === col("p_user_id") &&
-        col("purchase_t") >= col("click_t") &&
-        col("purchase_t") <= col("click_t") + expr("INTERVAL 1 HOUR"),
-      "leftOuter")
+    val joined = outerJoinStream(s, staged)
     val name = "stream_outer_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // 4 state stores per shuffle partition (see q_stream_join) — drain narrow
     val prevParts = s.conf.get("spark.sql.shuffle.partitions")

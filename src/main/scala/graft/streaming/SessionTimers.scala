@@ -102,6 +102,31 @@ object SessionTimers {
     * data watermark, batch 3 (sentinel B) runs with watermark >= every
     * `last + gap` timer.
     */
+  /** The UN-STARTED streaming Dataset over a staged landing zone — exposed
+    * so the plan pin (PlanSpec/PLANS.md) can inspect the streaming logical
+    * plan: EventTimeWatermark(ts_t, 0s) directly over the file source
+    * (every file advances the clock), TransformWithState in EventTime time
+    * mode keyed by user_id.
+    */
+  def sessionStream(s: SparkSession, staged: String,
+      gapUs: Long): org.apache.spark.sql.Dataset[SessionRow] = {
+    import s.implicits._
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts_us",
+        org.apache.spark.sql.types.LongType)))
+    s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staged)
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
+      .withWatermark("ts_t", "0 seconds")
+      .select(col("user_id"), col("ts_us")).as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** Staged landing zones are replay-only — memoize per caller key so
     * repeated drains of the same source (specs, re-runs in one JVM) skip
     * the three staging write jobs. */
@@ -136,20 +161,7 @@ object SessionTimers {
     // production stream sizes partitions to key cardinality instead)
     s.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      val schema = org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("user_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("ts_us",
-          org.apache.spark.sql.types.LongType)))
-      val typed = s.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(staged)
-        .withColumn("ts_t", timestamp_micros(col("ts_us")))
-        .withWatermark("ts_t", "0 seconds")
-        .select(col("user_id"), col("ts_us")).as[(Long, Long)]
-      val out = typed.groupByKey(_._1)
-        .transformWithState(new SessionProcessor(gapUs),
-          TimeMode.EventTime(), OutputMode.Append())
+      val out = sessionStream(s, staged, gapUs)
       val name = "tws_sessions_" +
         java.util.UUID.randomUUID().toString.replace("-", "")
       val q = out.toDF().writeStream

@@ -861,6 +861,56 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("tws sessions: TransformWithState in EVENT-TIME mode keyed by " +
+      "user_id, fed by a 0-second watermark directly over the file source " +
+      "(every landing-zone file advances the clock)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, TransformWithState}
+    val staged = java.nio.file.Files.createTempDirectory("graft-pin-tws")
+    staged.toFile.deleteOnExit()
+    val plan = graft.streaming.SessionTimers
+      .sessionStream(spark, staged.toString, 1800000000L)
+      .queryExecution.analyzed
+    val tws = plan.collect { case t: TransformWithState => t }
+    assert(tws.size == 1, "expected exactly one TransformWithState operator")
+    assert(tws.head.timeMode ==
+      org.apache.spark.sql.streaming.TimeMode.EventTime(),
+      "session timers must run in event-time mode (watermark-driven expiry)")
+    val wms = plan.collect { case w: EventTimeWatermark => w }
+    assert(wms.size == 1, "expected one watermark on the single source")
+    assert(wms.head.delay.microseconds == 0L,
+      "drain contract: 0-second watermark delay (sentinels provide slack)")
+    // the watermark must sit BELOW the stateful operator (clock advances
+    // before state is consulted), i.e. inside its subtree
+    assert(tws.head.collectFirst { case w: EventTimeWatermark => w }.nonEmpty,
+      "watermark not below the stateful operator")
+  }
+
+  test("stream outer join: LeftOuter stream-stream join on the user_id " +
+      "equi-key plus a 1-hour event-time range; ONE shared watermark node " +
+      "above the source so sentinels advance both sides' clocks before the " +
+      "type filters") {
+    import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, Join}
+    val staged = java.nio.file.Files.createTempDirectory("graft-pin-soj")
+    staged.toFile.deleteOnExit()
+    val plan = graft.queries.Ext37Queries
+      .outerJoinStream(spark, staged.toString)
+      .queryExecution.analyzed
+    val joins = plan.collect { case j: Join => j }
+    assert(joins.size == 1, "expected exactly one stream-stream join")
+    assert(joins.head.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter,
+      "outer-join semantics (null padding on watermark-proven no-match)")
+    val cond = joins.head.condition.map(_.toString).getOrElse("")
+    assert(cond.contains("user_id"), "join lost its equi-key")
+    assert(cond.contains(">=") && cond.contains("<="),
+      "join lost the event-time range that bounds per-side state")
+    // each join input carries the watermark (same source subtree on both
+    // sides); the filters sit ABOVE it in the authored plan
+    joins.head.children.foreach { side =>
+      assert(side.collectFirst { case w: EventTimeWatermark => w }.nonEmpty,
+        "a join side has no event-time watermark below it")
+    }
+  }
+
   test("lexical diversity: three stacked aggregates, no joins, doc scan " +
       "pruned to (doc_id, lang, text)") {
     withStaticPlans {
