@@ -62,7 +62,12 @@ object ScaleProbe {
     // queries exercise the two-phase bucketed prefix sum.
     "q_split_leakage", "q_weighted_jaccard", "q_ngram_coverage",
     "q_kn_bigram", "q_containment_prefix", "q_bootstrap_ci",
-    "q_mann_whitney", "q_auc_roc")
+    "q_mann_whitney", "q_auc_roc",
+    // round-10 additions (VERDICT r9 §next-round item 7): BFS frontier
+    // growth is the classic super-linear risk; the two streaming queries
+    // have a fixed micro-batch + RocksDB floor that should AMORTIZE (ratio
+    // well under factor), with state bounded by active keys / join window.
+    "q_graph_reachability", "q_tws_sessions", "q_stream_outer_join")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)

@@ -15,6 +15,15 @@ import graft.streaming.Pipelines
   * other spec drives the decode/dedup/sink chain through MemoryStream, and
   * this spec becomes live the moment an integration environment provides a
   * broker (e.g. `KAFKA_BOOTSTRAP=kafka:9092 sbt test`).
+  *
+  * Why not an EMBEDDED broker: this container ships NO kafka artifacts at
+  * all — neither spark-sql-kafka nor kafka-clients nor the broker jars are
+  * under /opt/spark/jars or the offline coursier cache, and the build has
+  * zero egress to fetch them (`format("kafka")` compiles because the
+  * DataSource is resolved by NAME at runtime). An in-process KafkaServer
+  * therefore cannot even be constructed here; the env gate + the
+  * MemoryStream replay of the identical decode/dedup/sink chain is the
+  * strongest coverage this image permits.
   */
 class KafkaIntegrationSpec extends SparkTestBase {
 
