@@ -21,8 +21,13 @@ import org.apache.spark.sql.functions._
   * the driver). When the input is small — `count <=
   * graft.prefixsum.threshold` (default 100000; set -1 to force two-phase,
   * e.g. in plan pins) — a single global window over a known-small input is
-  * both safe and ~3x cheaper than paying two extra shuffles, so that is
-  * what runs. Above the threshold the two-phase plan kicks in:
+  * both safe and cheaper than paying two extra shuffles, so that is
+  * what runs. Measured crossover (PrefixSumBench, local[32], Spark 4.1.2):
+  * the two-phase plan carries a ~0.5-1 s constant overhead, breaks even
+  * around 1-3M rows, and wins 3x at 10M (8.4 s vs 2.8 s) — the default
+  * threshold sits well below breakeven because the cost of guessing low is
+  * a bounded constant while the cost of guessing high is an unbounded
+  * single-task sort. Above the threshold the two-phase plan kicks in:
   *   1. bucket rows by `orderCol` into `numParts` ORDERED buckets using
   *      the probe's `percentile_approx` bounds, embedded as a LITERAL
   *      array (deterministic, codegen-friendly — no broadcast join);
@@ -74,10 +79,19 @@ object PrefixSum {
   /** Ordered bucket id from the literal bounds: number of bounds strictly
     * below this row's value. Equal values always share a bucket; bucket id
     * is monotone in `ord`, so bucket-local prefix + preceding-bucket totals
-    * compose to the global prefix. */
+    * compose to the global prefix.
+    *
+    * Deliberately a flat when-sum over the ≤numParts-1 literal bounds, NOT
+    * `size(filter(array(bounds), b => b < ord))`: the higher-order-function
+    * form trips an AQE internal binding error
+    * ([INTERNAL_ERROR_ATTRIBUTE_NOT_FOUND]) when the `_pid` expression is
+    * shared by the window and totals branches at AQE-engaging input sizes
+    * (reproduced at 200k rows on Spark 4.1.2, PrefixSumSpec pins the
+    * regression); the when-sum is also plain whole-stage codegen.
+    */
   private def bucketId(bounds: Seq[Double], ord: Column): Column =
     if (bounds.isEmpty) lit(0)
-    else size(filter(array(bounds.map(lit): _*), (b: Column) => b < ord))
+    else bounds.map(b => when(lit(b) < ord, 1).otherwise(0)).reduce(_ + _)
 
   /** Append `<c>_excl` exclusive-prefix-sum columns for each of `sumCols`,
     * ordered globally by `orderCol`. `numParts` defaults to the session's

@@ -156,6 +156,22 @@ class PrefixSumSpec extends SparkTestBase {
     }
   }
 
+  test("two-phase path survives AQE at engaging size (regression: the " +
+      "higher-order-function bucket id hit INTERNAL_ERROR_ATTRIBUTE_NOT_" +
+      "FOUND at 200k rows with AQE on)") {
+    // AQE is ON by default in the test session; 200k rows is where the
+    // original lambda-filter _pid form started failing task binding.
+    val big = spark.range(200000).select(
+      (hash(col("id")).cast("double") + col("id") / lit(1e9)).as("value"),
+      lit(1L).as("cnt"))
+    val out = withThreshold("-1") {
+      PrefixSum.exclusive(big, "value", Seq("cnt"))
+    }
+    // terminal action must EXECUTE the two-phase plan, not just analyze it
+    val mx = out.agg(max(col("cnt_excl"))).as[Long].head()
+    assert(mx == 199999L, s"exclusive prefix over 200k unit counts: $mx")
+  }
+
   test("adaptive switch: default threshold routes small inputs to ONE " +
       "global window (no bucket column), low threshold routes to two-phase") {
     val hist = (1 to 500).map(i => (i.toDouble, 1L)).toDF("value", "cnt")
