@@ -29,7 +29,8 @@ import org.apache.spark.sql.functions._
   * verifier whose cost is quadratic BY DESIGN; its scale path
   * (q_jaccard_prefix / q_minhash_neardup) is what gets measured.
   *
-  * Usage: sbt "runMain graft.ScaleProbe [factor] [srcDir] [outDir]"
+  * Usage: sbt "runMain graft.ScaleProbe [factor] [srcDir] [outDir] [nameSub...]"
+  * (extra args filter probeQueries by substring — single-query iteration)
   */
 object ScaleProbe {
 
@@ -67,7 +68,13 @@ object ScaleProbe {
     // growth is the classic super-linear risk; the two streaming queries
     // have a fixed micro-batch + RocksDB floor that should AMORTIZE (ratio
     // well under factor), with state bounded by active keys / join window.
-    "q_graph_reachability", "q_tws_sessions", "q_stream_outer_join")
+    "q_graph_reachability", "q_tws_sessions", "q_stream_outer_join",
+    // rank-stat family at ARMING size: at sf0.1 their inputs sit under the
+    // adaptive PrefixSum threshold (single-window fast path), so only the
+    // 10x corpus EXECUTES the two-phase bucketed plan — the size-gated-path
+    // blind spot that hid the r10 AQE bucket-id bug.
+    "q_rfm", "q_lorenz_share", "q_gini", "q_skyline", "q_ks_stat",
+    "q_perplexity_filter")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -103,7 +110,11 @@ object ScaleProbe {
     // Warmup: JIT + page cache, untimed (same methodology as Bench).
     time("q_tpch_q1", srcDir)
 
-    val rows = probeQueries.map { name =>
+    val nameFilter = args.drop(3)
+    val selected =
+      if (nameFilter.isEmpty) probeQueries
+      else probeQueries.filter(n => nameFilter.exists(n.contains))
+    val rows = selected.map { name =>
       val base = time(name, srcDir)
       val scaled = time(name, outDir)
       val ratio = if (base > 0 && scaled > 0) scaled / base else -1.0

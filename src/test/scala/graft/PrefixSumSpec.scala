@@ -170,6 +170,23 @@ class PrefixSumSpec extends SparkTestBase {
     // terminal action must EXECUTE the two-phase plan, not just analyze it
     val mx = out.agg(max(col("cnt_excl"))).as[Long].head()
     assert(mx == 199999L, s"exclusive prefix over 200k unit counts: $mx")
+    // same at-size execution for the other two entry points (their plan
+    // shapes differ: row_number windows / descending prefix-min)
+    val big2 = spark.range(200000).select(col("id"),
+      (hash(col("id")).cast("double") + col("id") / lit(1e9)).as("value"),
+      lit(1L).as("cnt"))
+    val rp = withThreshold("-1") {
+      PrefixSum.rankedPrefix(big2, "value", descOrder = false,
+        Seq("id"), Seq("cnt"), "rn")
+    }
+    assert(rp.agg(max(col("rn"))).as[Long].head() == 200000L)
+    val mb = withThreshold("-1") {
+      PrefixSum.minBeforeDesc(
+        big2.select(col("value").as("price"), col("id").as("size")),
+        "price", "size")
+    }
+    // exactly one row (the global max price) has a NULL prefix-min
+    assert(mb.filter(col("size_minBefore").isNull).count() == 1L)
   }
 
   test("adaptive switch: default threshold routes small inputs to ONE " +
