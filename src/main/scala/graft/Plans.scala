@@ -21,6 +21,10 @@ object Plans {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Plan pins always document the LARGE-input (scale) shape: at sf0.001
+    // the adaptive PrefixSum would take its single-window fast path and the
+    // dumped plans would contradict the two-phase annotations below.
+    spark.conf.set("graft.prefixsum.threshold", "-1")
 
     val headline = Seq(
       "q_indicator_union" -> "Full reference-pipeline parity: one Exchange+Sort feeds both WindowExec nodes, stack unpivot, broadcast dim join",
@@ -122,8 +126,37 @@ object Plans {
         org.apache.spark.sql.execution.FormattedMode)
       md.append(s"\n## $name\n\n$note\n\n```\n$plan```\n")
     }
+
+    // Streaming pins: the batch executed plan of a drained memory table is
+    // just a table scan, so these dump the ANALYZED STREAMING logical plan
+    // (state operator, watermark placement, time mode) of the un-started
+    // streams — the properties PlanSpec asserts.
+    val twsDir = Files.createTempDirectory("plans-tws").toString
+    md.append("\n## q_tws_sessions\n\n")
+    md.append(
+      """Timer-emitted streaming sessions: `TransformWithState` in EVENT-TIME mode keyed by user_id — one (start, last, n) triple + one event-time timer per ACTIVE key in RocksDB, bounded by concurrent-session cardinality, not stream length. The 0-second `EventTimeWatermark` sits DIRECTLY over the file source (every landing-zone file advances the clock; far-future sentinel files provide the slack that provably fires the tail timers inside the bounded `AvailableNow` drain). Drain runs on 8 shuffle partitions — one RocksDB store spins up per partition per micro-batch, so store setup, not data, is what the narrow drain bounds; the production stream sizes partitions to key cardinality instead.""")
+    md.append("\n\n```\n== Analyzed Streaming Logical Plan ==\n")
+    md.append(graft.streaming.SessionTimers
+      .sessionStream(spark, twsDir, 1800000000L)
+      .queryExecution.analyzed.treeString)
+    md.append("```\n")
+
+    val sojDir = Files.createTempDirectory("plans-soj").toString
+    md.append("\n## q_stream_outer_join\n\n")
+    md.append(
+      """LEFT OUTER stream-stream join: unmatched clicks emit with NULL purchase columns only once the watermark PROVES no in-window purchase can arrive (state eviction drives the null padding, not a recompute). ONE shared watermark node over the source — the per-side type filters sit ABOVE it, so the sentinel rows (which carry the join types themselves, out-of-domain negative keys) advance BOTH sides' clocks before dropping out of the join inputs. The join condition carries the user_id equi-key plus the 1-hour event-time range — exactly what bounds per-side state under the watermark. Drain narrowed to 8 shuffle partitions (4 state stores per partition).""")
+    md.append("\n\n```\n== Analyzed Streaming Logical Plan ==\n")
+    md.append(graft.queries.Ext37Queries.outerJoinStream(spark, sojDir)
+      .queryExecution.analyzed.treeString)
+    md.append("```\n")
+
+    md.append("\n## q_simhash_neardup / q_simhash_fast — cost note\n\n")
+    md.append(
+      """The two variants share one pipeline (shingle -> md5-prefix token hash -> 60 conditional-sum bit votes -> fingerprint -> 4-band pigeonhole join -> bit_count verify) and differ only in the final Hamming threshold. The per-doc fingerprint table is persisted across BOTH sides of the banded self-join (same posture as jaccardPrefixPairs' prefix postings) so the vote aggregate runs once. The residual gap between q_simhash_fast (runs first) and q_simhash_neardup at sf0.1 is one-time WHOLE-STAGE CODEGEN COMPILATION of the 60-vote aggregate — the second variant reuses the codegen cache — not a plan difference; at production scale the compile second is noise.""")
+    md.append("\n")
+
     Files.writeString(Paths.get("PLANS.md"), md.toString)
-    println(s"[plans] wrote PLANS.md (${headline.size} queries)")
+    println(s"[plans] wrote PLANS.md (${headline.size} + 2 streaming queries)")
     spark.stop()
   }
 }

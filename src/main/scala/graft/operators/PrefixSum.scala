@@ -93,6 +93,20 @@ object PrefixSum {
     if (bounds.isEmpty) lit(0)
     else bounds.map(b => when(lit(b) < ord, 1).otherwise(0)).reduce(_ + _)
 
+  /** The shared probe-and-gate for every entry point: None -> take the
+    * single-window small path (always when `parts <= 1`, where bucketing
+    * degenerates to one bucket anyway — even under threshold -1);
+    * Some(withPid) -> two-phase, the input tagged with its ordered bucket
+    * id. Keeping the gate in ONE place is what makes the threshold
+    * contract auditable. */
+  private def probeAndBucket(df: DataFrame, ord: Column,
+      parts: Int): Option[DataFrame] = {
+    if (parts <= 1) return None
+    val (n, bounds) = countAndBounds(df, ord, parts)
+    if (n <= threshold(df)) None
+    else Some(df.withColumn("_pid", bucketId(bounds, ord)))
+  }
+
   /** Append `<c>_excl` exclusive-prefix-sum columns for each of `sumCols`,
     * ordered globally by `orderCol`. `numParts` defaults to the session's
     * shuffle partitions.
@@ -103,9 +117,7 @@ object PrefixSum {
       if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ord = col(orderCol).cast("double")
-    val (n, bounds) =
-      if (parts <= 1) (0L, Seq.empty[Double]) else countAndBounds(df, ord, parts)
-    if (parts <= 1 || n <= threshold(df)) {
+    val withPid = probeAndBucket(df, ord, parts).getOrElse {
       // SMALL: probe says the whole input fits one task comfortably
       val w = Window.orderBy(col(orderCol))
         .rowsBetween(Window.unboundedPreceding, -1)
@@ -113,7 +125,6 @@ object PrefixSum {
         d.withColumn(s"${c}_excl", coalesce(sum(col(c)).over(w), lit(0L)))
       }
     }
-    val withPid = df.withColumn("_pid", bucketId(bounds, ord))
     val wIn = Window.partitionBy(col("_pid")).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = sumCols.foldLeft(withPid) { (d, c) =>
@@ -161,11 +172,9 @@ object PrefixSum {
       if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ord = col(valueCol).cast("double")
-    val (n, bounds) =
-      if (parts <= 1) (0L, Seq.empty[Double]) else countAndBounds(df, ord, parts)
     val ordCols = (if (descOrder) col(valueCol).desc else col(valueCol).asc) +:
       tieCols.map(col(_).asc)
-    if (parts <= 1 || n <= threshold(df)) {
+    val withPid = probeAndBucket(df, ord, parts).getOrElse {
       val w = Window.orderBy(ordCols: _*)
       val wRows = w.rowsBetween(Window.unboundedPreceding, -1)
       val d0 = df.withColumn(rnName, row_number().over(w).cast("long"))
@@ -173,7 +182,6 @@ object PrefixSum {
         d.withColumn(s"${c}_excl", sum(col(c)).over(wRows))
       }
     }
-    val withPid = df.withColumn("_pid", bucketId(bounds, ord))
     val wIn = Window.partitionBy(col("_pid")).orderBy(ordCols: _*)
     val wInRows = wIn.rowsBetween(Window.unboundedPreceding, -1)
     val local0 = withPid.withColumn("_local_rn", row_number().over(wIn))
@@ -217,15 +225,12 @@ object PrefixSum {
       if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ord = col(orderCol).cast("double")
-    val (n, bounds) =
-      if (parts <= 1) (0L, Seq.empty[Double]) else countAndBounds(df, ord, parts)
-    if (parts <= 1 || n <= threshold(df)) {
+    val withPid = probeAndBucket(df, ord, parts).getOrElse {
       val w = Window.orderBy(col(orderCol).desc)
         .rowsBetween(Window.unboundedPreceding, -1)
       return df.withColumn(s"${minCol}_minBefore",
         min(col(minCol)).over(w))
     }
-    val withPid = df.withColumn("_pid", bucketId(bounds, ord))
     val wIn = Window.partitionBy(col("_pid")).orderBy(col(orderCol).desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = withPid.withColumn("_local_min", min(col(minCol)).over(wIn))

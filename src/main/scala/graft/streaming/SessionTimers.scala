@@ -127,12 +127,6 @@ object SessionTimers {
         TimeMode.EventTime(), OutputMode.Append())
   }
 
-  /** Staged landing zones are replay-only — memoize per caller key so
-    * repeated drains of the same source (specs, re-runs in one JVM) skip
-    * the three staging write jobs. */
-  private val stagedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   def drain(s: SparkSession, events: DataFrame, gapUs: Long,
       cacheKey: String = null): DataFrame = {
     import s.implicits._
@@ -147,9 +141,12 @@ object SessionTimers {
         Seq(Seq((-1L, sentA)).toDF("user_id", "ts_us"),
           Seq((-1L, sentB)).toDF("user_id", "ts_us")))
     }
+    // staged landing zones are replay-only — memoize (revalidated) per
+    // caller key so repeated drains of the same source skip the three
+    // staging write jobs
     val staged =
       if (cacheKey == null) stage()
-      else stagedCache.computeIfAbsent(s"$cacheKey|$gapUs", _ => stage())
+      else StagedDirs.getOrStage(s"tws-sessions|$cacheKey|$gapUs")(stage())
 
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(providerKey)
