@@ -54,9 +54,14 @@ import org.apache.spark.sql.functions._
 object PrefixSum {
 
   /** Inputs at or below this row count take the single-window path; -1
-    * forces two-phase regardless of size (used by the plan pins). */
+    * forces two-phase regardless of size (used by the plan pins). Session
+    * conf wins; the JVM system property is the process-wide override (how
+    * a whole Verify drive is forced onto the two-phase path, e.g.
+    * `sbt -Dgraft.prefixsum.threshold=-1 "runMain graft.Verify ..."` —
+    * Verify's per-query newSession()s don't inherit root-session conf). */
   private def threshold(df: DataFrame): Long =
-    df.sparkSession.conf.get("graft.prefixsum.threshold", "100000").toLong
+    df.sparkSession.conf.get("graft.prefixsum.threshold",
+      sys.props.getOrElse("graft.prefixsum.threshold", "100000")).toLong
 
   /** One-pass size probe: (rowCount, ordered bucket bounds). The bounds are
     * the (1/parts .. (parts-1)/parts) approx percentiles of `ord` — a
