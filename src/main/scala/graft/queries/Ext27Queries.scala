@@ -79,7 +79,7 @@ object Ext27Queries {
       .agg(count(lit(1)).as("c_xy"))
     val uni = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val nUni = toks.count().toDouble
-    val nBi = bi.agg(sum("c_xy")).head.getLong(0).toDouble
+    val nBi = bi.agg(sum("c_xy")).head().getLong(0).toDouble
     val u1 = uni.select(col("term").as("w1"), col("c").as("c_x"))
     val u2 = uni.select(col("term").as("w2"), col("c").as("c_y"))
     bi.filter(col("c_xy") >= 5)

@@ -85,7 +85,7 @@ object SessionTimers {
         val (st, la, n) = open.get()
         // a superseded timer that raced deletion must not flush a session
         // that is still live under its newer timer
-        if (timerFor(la) == expiredTimerInfo.getExpiryTimeInMs) {
+        if (timerFor(la) == expiredTimerInfo.getExpiryTimeInMs()) {
           open.clear()
           return Iterator.single(SessionRow(key, st, la, n))
         }
