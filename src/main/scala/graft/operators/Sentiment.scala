@@ -310,10 +310,13 @@ object VaderData {
     "to die for" -> 3.0, "beating heart" -> 3.1, "broken heart" -> -2.9)
 
   /** (word -> valence) — values transcribed from the published
-    * vader_lexicon.txt. ~520 entries: common sentiment vocabulary + the
-    * crypto/finance/news domain the reference's feeds actually emit.
+    * vader_lexicon.txt: this core block (~520 entries: common sentiment
+    * vocabulary + the crypto/finance/news domain the reference's feeds
+    * actually emit) merged with the [[VaderLexiconExt]] widening block
+    * (~500 more high-frequency entries; kept as a separate object so no
+    * single constructor approaches the JVM 64 KB method ceiling).
     */
-  val lexicon: Map[String, Double] = Map(
+  private[graft] val coreLexicon: Map[String, Double] = Map(
     // --- positive ---
     "good" -> 1.9, "great" -> 3.1, "excellent" -> 2.7, "amazing" -> 2.8,
     "awesome" -> 3.1, "best" -> 3.2, "better" -> 1.9, "positive" -> 2.3,
@@ -468,6 +471,11 @@ object VaderData {
     "revolutionary" -> 1.7, "transform" -> 1.1, "transformation" -> 1.2,
     // --- emoticons (tokens the stripper preserves) ---
     ":)" -> 2.0, ":(" -> -1.9, ":d" -> 2.3, ":/" -> -1.4)
+
+  /** Core block + the [[VaderLexiconExt]] widening — defined AFTER both
+    * literals so object-initialization order is safe.
+    */
+  val lexicon: Map[String, Double] = coreLexicon ++ VaderLexiconExt.entries
 }
 
 /** Default full-rule scorer over the embedded published tables. */
