@@ -63,13 +63,12 @@ object Plans {
       "q_weighted_sample" -> "A-Res weighted sampling: hash-derived keys, TakeOrderedAndProject top-k (per-partition heaps, no global sort)",
       "q_kmeans_step" -> "k-means Lloyd step: k centroids broadcast into a single corpus scan, per-vector argmin window, k-group final aggregate — the corpus never re-partitions across iterations",
       "q_rrf_fusion" -> "Reciprocal-rank fusion: query vectors broadcast once, both rankers and the fused top-k run as windows over one scored pass",
-      "q_mann_whitney" -> "Mann-Whitney U: corpus collapses to the distinct-value histogram (partial agg before the shuffle); the global rank window only ever sees the histogram",
       "q_ewma" -> "EWMA: one shuffle to the per-key ordered fold — no per-row window state, no iterative joins",
       "q_stochastic" -> "Stochastic %K/%D: one Exchange builds the (symbol, hour) bars, one Exchange re-keys to symbol — all three windows (channel min/max, %D SMA, row_number) share the second Sort",
       "q_macd" -> "MACD: bar build + one shuffle to the per-symbol struct fold (ema12/ema26/signal in one pass) — recursive indicator with zero iterative joins and zero window state",
       "q_adamic_adar" -> "Adamic-Adar: adjacency wedge equi-join on the center node (no cartesian), degree weight joined once, left-anti against existing edges",
       "q_power_iteration" -> "PCA power step: corpus outer-product collapses to dim^2 cells (partial agg before the shuffle); means/norm broadcast back — no |corpus| x |corpus| anything",
-      "q_auc_roc" -> "AUC-ROC: corpus collapses to the per-score histogram (partial agg), rank-sum window runs over |distinct scores| rows only",
+      "q_auc_roc" -> "AUC-ROC: corpus collapses to the per-score histogram (partial agg), rank sums via the TWO-PHASE bucketed pass — the only global window runs over the ≤numParts per-bucket totals",
       "q_tpch_q2" -> "TPC-H Q2 (derived partsupp): correlated min-cost subquery rewritten to a window MIN over ps_partkey — one shuffle replaces per-part re-aggregation; part + region-filtered supplier dims broadcast",
       "q_tpch_q9" -> "TPC-H Q9 (derived partsupp): part semi-filter + supplier/nation broadcast; the one genuine fact x fact join (lineitem x partsupp) meets on the composite key; DECIMAL-exact profit",
       "q_tpch_q11" -> "TPC-H Q11 (derived partsupp): scalar threshold as a 1-row aggregate broadcast back (cross join), cohort semi-join before the value aggregate",

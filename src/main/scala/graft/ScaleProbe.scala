@@ -69,12 +69,24 @@ object ScaleProbe {
     // have a fixed micro-batch + RocksDB floor that should AMORTIZE (ratio
     // well under factor), with state bounded by active keys / join window.
     "q_graph_reachability", "q_tws_sessions", "q_stream_outer_join",
-    // rank-stat family at ARMING size: at sf0.1 their inputs sit under the
-    // adaptive PrefixSum threshold (single-window fast path), so only the
-    // 10x corpus EXECUTES the two-phase bucketed plan — the size-gated-path
-    // blind spot that hid the r10 AQE bucket-id bug.
     "q_rfm", "q_lorenz_share", "q_gini", "q_skyline", "q_ks_stat",
     "q_perplexity_filter")
+
+  /** The rank-stat family is probed with `graft.prefixsum.threshold=-1`
+    * (two-phase FORCED at both scales). Under the adaptive default most of
+    * these inputs never cross the 100k threshold even on the 10× corpus —
+    * replication offsets keys but does not grow distinct-VALUE histograms
+    * (q_skyline's price histogram stays ~1k rows, q_ks_stat's value
+    * histogram duplicates verbatim per copy) — so an unforced probe would
+    * silently time the single-window fast path and report a meaningless
+    * ratio for the plan that actually runs at production scale. Forcing
+    * the two-phase plan at BOTH scales makes the ratio a scaling signal
+    * for the 100 TB path (and executes the size-gated code path that hid
+    * the r10 AQE bucket-id bug).
+    */
+  private val forceTwoPhase = Set(
+    "q_mann_whitney", "q_auc_roc", "q_rfm", "q_lorenz_share", "q_gini",
+    "q_skyline", "q_ks_stat", "q_perplexity_filter")
 
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
@@ -93,6 +105,8 @@ object ScaleProbe {
     generate(spark, srcDir, outDir, factor)
 
     def time(name: String, dir: String): Double = {
+      if (forceTwoPhase(name))
+        spark.conf.set("graft.prefixsum.threshold", "-1")
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, dir)
@@ -102,6 +116,7 @@ object ScaleProbe {
         System.err.println(s"[scaleprobe] $name @ $dir failed: ${e.getMessage}")
         -1.0
       } finally {
+        spark.conf.unset("graft.prefixsum.threshold")
         graft.operators.Dedup.unpersistIntermediates()
         spark.catalog.clearCache()
       }

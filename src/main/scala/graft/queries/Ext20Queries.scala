@@ -195,6 +195,7 @@ object Ext20Queries {
     // (rank-1)/(n-1) follows arithmetically (0 for a single-row corpus,
     // the built-in's convention)
     val hist = scored.groupBy("ppl_raw").agg(count(lit(1)).as("_cnt"))
+      .localCheckpoint(eager = false) // read 3x: probe, prefix pass, totals
     val pre = graft.operators.PrefixSum.exclusive(hist, "ppl_raw", Seq("_cnt"))
     val tot = broadcast(hist.agg(sum(col("_cnt")).as("_n")))
     scored

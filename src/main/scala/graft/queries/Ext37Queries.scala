@@ -110,17 +110,6 @@ object Ext37Queries {
         col("session_last_us"), col("n"))
   }
 
-  /** LEFT OUTER stream-stream join — the capability beyond q_stream_join's
-    * inner form: an unmatched click emits with NULL purchase columns only
-    * once the watermark proves no in-window purchase can still arrive
-    * (state eviction + null padding, not a recompute). The drain uses the
-    * [[graft.streaming.LandingZone]] sentinel contract so the tail's
-    * null-padded rows provably flush; the oracle is the batch LEFT JOIN.
-    *
-    * Scale posture: per-side state is bounded by the 1-hour join window
-    * under the watermark — eviction is exactly what the outer join's
-    * null-padding rides on.
-    */
   /** The UN-STARTED left-outer stream-stream join over a staged landing
     * zone — exposed so the plan pin (PlanSpec/PLANS.md) can inspect the
     * streaming logical plan: ONE EventTimeWatermark(ts_t, 0s) directly over
@@ -155,6 +144,23 @@ object Ext37Queries {
       "leftOuter")
   }
 
+  /** LEFT OUTER stream-stream join — the capability beyond q_stream_join's
+    * inner form: an unmatched click emits with NULL purchase columns only
+    * once the watermark proves no in-window purchase can still arrive
+    * (state eviction + null padding, not a recompute). The drain uses the
+    * [[graft.streaming.LandingZone]] sentinel contract so the tail's
+    * null-padded rows provably flush; the oracle is the batch LEFT JOIN.
+    *
+    * Scale posture: per-side state is bounded by the 1-hour join window
+    * under the watermark — eviction is exactly what the outer join's
+    * null-padding rides on.
+    *
+    * Note on plan shapes: the ANALYZED plan (what PlanSpec pins) has the
+    * single watermark node directly over the source with the type filters
+    * above it; the OPTIMIZER then pushes those filters below the watermark
+    * (they don't reference the event-time column), which is why the
+    * sentinels below must carry the join types themselves.
+    */
   def streamOuterJoin(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.LandingZone

@@ -3,31 +3,60 @@ package graft.streaming
 import java.util.concurrent.ConcurrentHashMap
 
 /** Process-wide memo of staged landing-zone directories (replay-only
-  * copies). A cache hit is REVALIDATED — the directory must still exist and
-  * hold at least one file — because /tmp reapers or manual cleanup can
-  * remove a staged copy mid-JVM (deleteOnExit only fires at exit), and a
-  * blindly-reused dead path would make the file stream source drain ZERO
-  * rows silently: an empty result, not an error. Staleness of the SOURCE
-  * (a caller regenerating the table under the same path in-process) is out
-  * of scope — keys are source paths, and the test/verify drivers treat the
-  * testdata as immutable within a run.
+  * copies). A cache hit is REVALIDATED against the EXACT file count
+  * recorded at staging time — /tmp reapers or manual cleanup can remove a
+  * staged copy (or a subset of its files) mid-JVM (deleteOnExit only fires
+  * at exit), and a blindly-reused dead or PARTIALLY-reaped path would make
+  * the file stream source drain zero or truncated rows silently: a wrong
+  * answer, not an error. ("At least one file" is not enough — losing the
+  * data file while a sentinel survives still lists non-empty.) Staleness
+  * of the SOURCE (a caller regenerating the table under the same path
+  * in-process) is out of scope — keys are source paths, and the
+  * test/verify drivers treat the testdata as immutable within a run.
+  *
+  * Concurrency: staging runs multi-second Spark jobs, so it must NOT run
+  * inside `ConcurrentHashMap.compute` (whose mapping functions hold the
+  * bin lock and must be short — a colliding key would block for the whole
+  * stage, and a re-entrant call would throw). Instead a cheap per-key
+  * monitor serializes staging per key while leaving the map operations
+  * O(1).
   */
 object StagedDirs {
 
-  private val cache = new ConcurrentHashMap[String, String]()
+  private final case class Staged(dir: String, files: Int)
 
-  private def valid(path: String): Boolean = {
+  private val cache = new ConcurrentHashMap[String, Staged]()
+  private val locks = new ConcurrentHashMap[String, Object]()
+
+  /** Number of regular entries directly under `path`; -1 when not a
+    * directory (never throws — a reaped path must read as invalid).
+    */
+  private def fileCount(path: String): Int = {
     val d = java.nio.file.Paths.get(path)
-    java.nio.file.Files.isDirectory(d) && {
+    if (!java.nio.file.Files.isDirectory(d)) -1
+    else {
       val s = java.nio.file.Files.list(d)
-      try s.iterator().hasNext
+      try s.count().toInt
       finally s.close()
     }
   }
 
-  /** Return the staged dir for `key`, staging (atomically per key) when
-    * absent or when the cached dir no longer validates. */
-  def getOrStage(key: String)(stage: => String): String =
-    cache.compute(key, (_, cur) =>
-      if (cur != null && valid(cur)) cur else stage)
+  /** Return the staged dir for `key`, staging (serialized per key) when
+    * absent or when the cached dir no longer holds exactly the file set it
+    * was staged with.
+    */
+  def getOrStage(key: String)(stage: => String): String = {
+    val lock = locks.computeIfAbsent(key, _ => new Object)
+    lock.synchronized {
+      val cur = cache.get(key)
+      if (cur != null && fileCount(cur.dir) == cur.files) cur.dir
+      else {
+        val dir = stage
+        val n = fileCount(dir)
+        require(n > 0, s"staging for $key produced an empty dir: $dir")
+        cache.put(key, Staged(dir, n))
+        dir
+      }
+    }
+  }
 }

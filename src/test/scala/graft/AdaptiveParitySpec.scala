@@ -17,9 +17,11 @@ class AdaptiveParitySpec extends SparkTestBase {
     try body finally spark.conf.unset("graft.prefixsum.threshold")
   }
 
-  private def rows(name: String): Set[String] = {
+  // sorted MULTISET, not Set: a path bug that duplicates or collapses
+  // identical rows must fail the parity check, not vanish into set-equality
+  private def rows(name: String): Seq[String] = {
     val df = SparkEntry.queries(name)(spark, sf)
-    df.collect().map(_.toString).toSet
+    df.collect().map(_.toString).toSeq.sorted
   }
 
   Seq("q_rfm", "q_lorenz_share", "q_gini", "q_skyline", "q_ks_stat",
@@ -28,9 +30,9 @@ class AdaptiveParitySpec extends SparkTestBase {
       val fast = rows(name) // default threshold: small path at sf0.001
       val twoPhase = withThreshold("-1")(rows(name))
       assert(fast == twoPhase,
-        s"$name diverged between paths: " +
-          s"only-fast=${(fast -- twoPhase).take(3)} " +
-          s"only-two-phase=${(twoPhase -- fast).take(3)}")
+        s"$name diverged between paths (n=${fast.size} vs ${twoPhase.size}): " +
+          s"only-fast=${(fast.toSet -- twoPhase.toSet).take(3)} " +
+          s"only-two-phase=${(twoPhase.toSet -- fast.toSet).take(3)}")
     }
   }
 }
