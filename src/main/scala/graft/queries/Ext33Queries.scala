@@ -173,10 +173,14 @@ object Ext33Queries {
   def curationFunnel(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"),
       col("n_chars"))
+    // each drop set has TWO consumers (the union feeding the anti-join and
+    // its own count) — lazy localCheckpoints materialize each once instead
+    // of re-running the window / cluster / shingle pipelines per consumer
     val wExact = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
     val exactDrop = docs
       .withColumn("rn", row_number().over(wExact))
       .filter(col("rn") > 1).select(col("doc_id"))
+      .localCheckpoint(eager = false)
     val members = LlmQueries.dedupClusters(s, dir)
     val wCluster = Window.partitionBy(col("cluster_id"))
       .orderBy(col("n_chars").desc, col("doc_id").asc)
@@ -184,7 +188,9 @@ object Ext33Queries {
       .join(docs.select(col("doc_id"), col("n_chars")), "doc_id")
       .withColumn("rk", row_number().over(wCluster))
       .filter(col("rk") > 1).select(col("doc_id"))
+      .localCheckpoint(eager = false)
     val boilerDrop = Ext32Queries.boilerplate(s, dir).select(col("doc_id"))
+      .localCheckpoint(eager = false)
     val allDrops = exactDrop.unionByName(nearDrop).unionByName(boilerDrop)
       .distinct()
     val kept = docs.join(allDrops, Seq("doc_id"), "left_anti")
