@@ -70,7 +70,12 @@ object ScaleProbe {
     // well under factor), with state bounded by active keys / join window.
     "q_graph_reachability", "q_tws_sessions", "q_stream_outer_join",
     "q_rfm", "q_lorenz_share", "q_gini", "q_skyline", "q_ks_stat",
-    "q_perplexity_filter")
+    "q_perplexity_filter",
+    // the two most expensive COMPOSITION queries (funnel = exact dedup +
+    // cluster canonicals + boilerplate screen over one corpus): their
+    // sub-operators are probed individually above; these rows prove the
+    // composition itself adds no super-linear term.
+    "q_curation_funnel", "q_cluster_canonical")
 
   /** The rank-stat family is probed with `graft.prefixsum.threshold=-1`
     * (two-phase FORCED at both scales). Under the adaptive default most of
