@@ -1,21 +1,27 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Sentiment, VaderData, VaderLexiconExt}
+import graft.operators.{Sentiment, VaderData, VaderLexiconExt, VaderLexiconExt2}
 
-/** Structural invariants of the two-block embedded lexicon (core +
-  * round-10 widening). These are SEMANTIC guards, not style checks: a
+/** Structural invariants of the three-block embedded lexicon (core +
+  * round-10 widenings). These are SEMANTIC guards, not style checks: a
   * lexicon entry that shadows a booster/negation word changes rule
   * behavior at that token slot (the scorer suppresses booster/negation
-  * handling when the preceding word is in the lexicon), and a
-  * core/ext key collision would silently last-wins-overwrite a
-  * transcribed valence.
+  * handling when the preceding word is in the lexicon), and a cross-block
+  * key collision would silently last-wins-overwrite a transcribed valence.
   */
 class VaderLexiconSpec extends AnyFunSuite {
 
-  test("ext block does not overlap the core block (no silent shadowing)") {
-    val overlap = VaderData.coreLexicon.keySet & VaderLexiconExt.entries.keySet
-    assert(overlap.isEmpty, s"core/ext collision: $overlap")
+  private val blocks = Seq(
+    "core" -> VaderData.coreLexicon.keySet,
+    "ext" -> VaderLexiconExt.entries.keySet,
+    "ext2" -> VaderLexiconExt2.entries.keySet)
+
+  test("no pair of lexicon blocks overlaps (no silent shadowing)") {
+    for {
+      Seq((na, a), (nb, b)) <- blocks.combinations(2)
+      overlap = a & b
+    } assert(overlap.isEmpty, s"$na/$nb collision: $overlap")
   }
 
   test("no lexicon word is also a booster or negation (rule semantics)") {
@@ -33,11 +39,10 @@ class VaderLexiconSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"out-of-scale valences: $bad")
   }
 
-  test("merged lexicon covers >= 1200 entries and both blocks contribute") {
-    assert(VaderData.lexicon.size >= 1200,
+  test("merged lexicon covers >= 2500 entries and all blocks contribute") {
+    assert(VaderData.lexicon.size >= 2500,
       s"merged size ${VaderData.lexicon.size}")
-    assert(VaderData.lexicon.size ==
-      VaderData.coreLexicon.size + VaderLexiconExt.entries.size)
+    assert(VaderData.lexicon.size == blocks.map(_._2.size).sum)
   }
 
   test("widened words score with full rule machinery (booster + negation)") {
@@ -47,6 +52,13 @@ class VaderLexiconSpec extends AnyFunSuite {
     assert(Sentiment.score("very disturbing allegations") <
       Sentiment.score("disturbing allegations")) // booster amplifies
     assert(Sentiment.score("not hopeless") > 0) // negation flips
+
+    // ext2-block entries (OOV before this widening) through the same rules
+    assert(Sentiment.score("a heartwarming recovery") > 0.5)
+    assert(Sentiment.score("an absolutely devastating betrayal") < -0.5)
+    assert(Sentiment.score("very misleading claims") <
+      Sentiment.score("misleading claims"))
+    assert(Sentiment.score("not hostile") > 0)
   }
 
   test("lowercase keys only (scorer lowercases tokens before lookup)") {
