@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Sentiment, VaderData, VaderLexiconExt, VaderLexiconExt2}
+import graft.operators.{Sentiment, VaderData, VaderLexiconExt, VaderLexiconExt2, VaderLexiconExt3}
 
 /** Structural invariants of the three-block embedded lexicon (core +
   * round-10 widenings). These are SEMANTIC guards, not style checks: a
@@ -15,7 +15,8 @@ class VaderLexiconSpec extends AnyFunSuite {
   private val blocks = Seq(
     "core" -> VaderData.coreLexicon.keySet,
     "ext" -> VaderLexiconExt.entries.keySet,
-    "ext2" -> VaderLexiconExt2.entries.keySet)
+    "ext2" -> VaderLexiconExt2.entries.keySet,
+    "ext3" -> VaderLexiconExt3.entries.keySet)
 
   test("no pair of lexicon blocks overlaps (no silent shadowing)") {
     for {
@@ -39,8 +40,8 @@ class VaderLexiconSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"out-of-scale valences: $bad")
   }
 
-  test("merged lexicon covers >= 2500 entries and all blocks contribute") {
-    assert(VaderData.lexicon.size >= 2500,
+  test("merged lexicon covers >= 3300 entries and all blocks contribute") {
+    assert(VaderData.lexicon.size >= 3300,
       s"merged size ${VaderData.lexicon.size}")
     assert(VaderData.lexicon.size == blocks.map(_._2.size).sum)
   }
@@ -59,6 +60,13 @@ class VaderLexiconSpec extends AnyFunSuite {
     assert(Sentiment.score("very misleading claims") <
       Sentiment.score("misleading claims"))
     assert(Sentiment.score("not hostile") > 0)
+
+    // ext3-block entries: informal tokens + emoticons survive the
+    // punctuation stripper (<=2-char rule keeps pure-punct tokens intact)
+    assert(Sentiment.score("haha that was exemplary") > 0.5)
+    assert(Sentiment.score("ugh what a dud") < -0.5)
+    assert(Sentiment.score("miss you <3") > 0)
+    assert(Sentiment.score("my team lost :-(") < 0)
   }
 
   test("lowercase keys only (scorer lowercases tokens before lookup)") {
