@@ -26,9 +26,9 @@ import org.apache.spark.sql.functions.udf
   * SentimentSpec (e.g. "VADER is VERY SMART, handsome, and FUNNY!!!" ->
   * 0.9342) — those vectors exercise caps, boosters, damping, negation,
   * but-reweighting and punctuation together. The embedded lexicon is a
-  * ~3.3k-entry transcription of the published vader_lexicon.txt (core
-  * block + [[VaderLexiconExt]] + [[VaderLexiconExt2]] +
-  * [[VaderLexiconExt3]]: common sentiment vocabulary, informal/internet
+  * ~4.7k-entry transcription of the published vader_lexicon.txt (core
+  * block + the [[VaderLexiconExt]]..[[VaderLexiconExt4]] widenings:
+  * common sentiment vocabulary, informal/internet
   * tokens + the crypto-news domain); [[VaderScorer.fromLexiconFile]]
   * loads the full ~7.5k-entry published file for 100% lexical coverage —
   * the file format is the published TSV, no code changes needed.
@@ -314,10 +314,10 @@ object VaderData {
   /** (word -> valence) — values transcribed from the published
     * vader_lexicon.txt: this core block (~520 entries: common sentiment
     * vocabulary + the crypto/finance/news domain the reference's feeds
-    * actually emit) merged with the [[VaderLexiconExt]] /
-    * [[VaderLexiconExt2]] / [[VaderLexiconExt3]] widening blocks (~2.8k
-    * more entries; kept as separate objects so no single constructor
-    * approaches the JVM 64 KB method ceiling).
+    * actually emit) merged with the [[VaderLexiconExt]] ..
+    * [[VaderLexiconExt4]] widening blocks (~4.2k more entries; kept as
+    * separate objects so no single constructor approaches the JVM 64 KB
+    * method ceiling).
     */
   private[graft] val coreLexicon: Map[String, Double] = Map(
     // --- positive ---
@@ -476,12 +476,12 @@ object VaderData {
     ":)" -> 2.0, ":(" -> -1.9, ":d" -> 2.3, ":/" -> -1.4)
 
   /** Core block + the [[VaderLexiconExt]] / [[VaderLexiconExt2]] /
-    * [[VaderLexiconExt3]] widenings — defined AFTER the literals so
-    * object-initialization order is safe.
+    * [[VaderLexiconExt3]] / [[VaderLexiconExt4]] widenings — defined AFTER
+    * the literals so object-initialization order is safe.
     */
   val lexicon: Map[String, Double] =
     coreLexicon ++ VaderLexiconExt.entries ++ VaderLexiconExt2.entries ++
-      VaderLexiconExt3.entries
+      VaderLexiconExt3.entries ++ VaderLexiconExt4.entries
 }
 
 /** Default full-rule scorer over the embedded published tables. */

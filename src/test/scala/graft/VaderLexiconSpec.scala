@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Sentiment, VaderData, VaderLexiconExt, VaderLexiconExt2, VaderLexiconExt3}
+import graft.operators.{Sentiment, VaderData, VaderLexiconExt, VaderLexiconExt2, VaderLexiconExt3, VaderLexiconExt4}
 
 /** Structural invariants of the three-block embedded lexicon (core +
   * round-10 widenings). These are SEMANTIC guards, not style checks: a
@@ -16,7 +16,8 @@ class VaderLexiconSpec extends AnyFunSuite {
     "core" -> VaderData.coreLexicon.keySet,
     "ext" -> VaderLexiconExt.entries.keySet,
     "ext2" -> VaderLexiconExt2.entries.keySet,
-    "ext3" -> VaderLexiconExt3.entries.keySet)
+    "ext3" -> VaderLexiconExt3.entries.keySet,
+    "ext4" -> VaderLexiconExt4.entries.keySet)
 
   test("no pair of lexicon blocks overlaps (no silent shadowing)") {
     for {
@@ -40,8 +41,8 @@ class VaderLexiconSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"out-of-scale valences: $bad")
   }
 
-  test("merged lexicon covers >= 3300 entries and all blocks contribute") {
-    assert(VaderData.lexicon.size >= 3300,
+  test("merged lexicon covers >= 4700 entries and all blocks contribute") {
+    assert(VaderData.lexicon.size >= 4700,
       s"merged size ${VaderData.lexicon.size}")
     assert(VaderData.lexicon.size == blocks.map(_._2.size).sum)
   }
@@ -67,6 +68,13 @@ class VaderLexiconSpec extends AnyFunSuite {
     assert(Sentiment.score("ugh what a dud") < -0.5)
     assert(Sentiment.score("miss you <3") > 0)
     assert(Sentiment.score("my team lost :-(") < 0)
+
+    // ext4-block entries (f-z families) through the same rules
+    assert(Sentiment.score("a lucrative and seamless launch") > 0.5)
+    assert(Sentiment.score("an utterly reprehensible scam") < -0.5)
+    assert(Sentiment.score("extremely worrisome signals") <
+      Sentiment.score("worrisome signals"))
+    assert(Sentiment.score("not pointless") > 0)
   }
 
   test("lowercase keys only (scorer lowercases tokens before lookup)") {
