@@ -26,8 +26,8 @@ import org.apache.spark.sql.functions.udf
   * SentimentSpec (e.g. "VADER is VERY SMART, handsome, and FUNNY!!!" ->
   * 0.9342) — those vectors exercise caps, boosters, damping, negation,
   * but-reweighting and punctuation together. The embedded lexicon is a
-  * ~4.7k-entry transcription of the published vader_lexicon.txt (core
-  * block + the [[VaderLexiconExt]]..[[VaderLexiconExt4]] widenings:
+  * ~4.9k-entry transcription of the published vader_lexicon.txt (core
+  * block + the [[VaderLexiconExt]]..[[VaderLexiconExt5]] widenings:
   * common sentiment vocabulary, informal/internet
   * tokens + the crypto-news domain); [[VaderScorer.fromLexiconFile]]
   * loads the full ~7.5k-entry published file for 100% lexical coverage —
@@ -315,7 +315,7 @@ object VaderData {
     * vader_lexicon.txt: this core block (~520 entries: common sentiment
     * vocabulary + the crypto/finance/news domain the reference's feeds
     * actually emit) merged with the [[VaderLexiconExt]] ..
-    * [[VaderLexiconExt4]] widening blocks (~4.2k more entries; kept as
+    * [[VaderLexiconExt5]] widening blocks (~4.4k more entries; kept as
     * separate objects so no single constructor approaches the JVM 64 KB
     * method ceiling).
     */
@@ -481,7 +481,8 @@ object VaderData {
     */
   val lexicon: Map[String, Double] =
     coreLexicon ++ VaderLexiconExt.entries ++ VaderLexiconExt2.entries ++
-      VaderLexiconExt3.entries ++ VaderLexiconExt4.entries
+      VaderLexiconExt3.entries ++ VaderLexiconExt4.entries ++
+      VaderLexiconExt5.entries
 }
 
 /** Default full-rule scorer over the embedded published tables. */

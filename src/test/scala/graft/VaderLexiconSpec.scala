@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Sentiment, VaderData, VaderLexiconExt, VaderLexiconExt2, VaderLexiconExt3, VaderLexiconExt4}
+import graft.operators.{Sentiment, VaderData, VaderLexiconExt, VaderLexiconExt2, VaderLexiconExt3, VaderLexiconExt4, VaderLexiconExt5}
 
 /** Structural invariants of the three-block embedded lexicon (core +
   * round-10 widenings). These are SEMANTIC guards, not style checks: a
@@ -17,7 +17,8 @@ class VaderLexiconSpec extends AnyFunSuite {
     "ext" -> VaderLexiconExt.entries.keySet,
     "ext2" -> VaderLexiconExt2.entries.keySet,
     "ext3" -> VaderLexiconExt3.entries.keySet,
-    "ext4" -> VaderLexiconExt4.entries.keySet)
+    "ext4" -> VaderLexiconExt4.entries.keySet,
+    "ext5" -> VaderLexiconExt5.entries.keySet)
 
   test("no pair of lexicon blocks overlaps (no silent shadowing)") {
     for {
@@ -41,8 +42,8 @@ class VaderLexiconSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"out-of-scale valences: $bad")
   }
 
-  test("merged lexicon covers >= 4700 entries and all blocks contribute") {
-    assert(VaderData.lexicon.size >= 4700,
+  test("merged lexicon covers >= 4900 entries and all blocks contribute") {
+    assert(VaderData.lexicon.size >= 4900,
       s"merged size ${VaderData.lexicon.size}")
     assert(VaderData.lexicon.size == blocks.map(_._2.size).sum)
   }
