@@ -43,6 +43,9 @@ object Ext20Queries {
       .groupBy(least(col("c_nationkey"), col("s_nationkey")).as("u"),
         greatest(col("c_nationkey"), col("s_nationkey")).as("v"))
       .agg(count(lit(1)).as("w"))
+      // read twice (mean-threshold pass + the filtered edge pass): without
+      // this the 4-table lineitem join — the dominant cost — runs twice
+      .localCheckpoint(eager = false)
     val avgW = flows.agg(avg(col("w")).as("_avg_w"))
     flows.crossJoin(broadcast(avgW))
       .filter(col("w") > col("_avg_w"))
