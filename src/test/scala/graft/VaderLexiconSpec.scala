@@ -82,4 +82,20 @@ class VaderLexiconSpec extends AnyFunSuite {
     val nonLower = VaderData.lexicon.keys.filter(w => w != w.toLowerCase)
     assert(nonLower.isEmpty, s"non-lowercase keys: $nonLower")
   }
+
+  test("sampled valences stay at their transcribed values (edit tripwire)") {
+    // One pin per block family, strongest-valence words included: a future
+    // bulk edit (scale change, sign flip, block merge) trips immediately.
+    val pins = Map(
+      "awesome" -> 3.1, "awful" -> -2.0, "beautiful" -> 2.9,
+      "best" -> 3.2, "kill" -> -3.7, "murder" -> -3.4,
+      "free" -> 1.9, "freedom" -> 2.3, "happy" -> 2.7,
+      "betrayal" -> -2.8, "heartwarming" -> 2.6, "lmao" -> 2.4,
+      "wtf" -> -2.2, "reprehensible" -> -2.3, "lucrative" -> 1.9,
+      "feast" -> 1.7, "cold" -> -0.9)
+    pins.foreach { case (w, v) =>
+      assert(VaderData.lexicon.get(w).contains(v),
+        s"'$w': got ${VaderData.lexicon.get(w)}, pinned $v")
+    }
+  }
 }
