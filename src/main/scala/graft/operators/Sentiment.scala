@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions.udf
   * 0.9342) — those vectors exercise caps, boosters, damping, negation,
   * but-reweighting and punctuation together. The embedded lexicon is a
   * ~4.9k-entry transcription of the published vader_lexicon.txt (core
-  * block + the [[VaderLexiconExt]]..[[VaderLexiconExt7]] widenings:
+  * block + the [[VaderLexiconExt]]..[[VaderLexiconExt8]] widenings:
   * common sentiment vocabulary, informal/internet
   * tokens + the crypto-news domain); [[VaderScorer.fromLexiconFile]]
   * loads the full ~7.5k-entry published file for 100% lexical coverage —
@@ -315,7 +315,7 @@ object VaderData {
     * vader_lexicon.txt: this core block (~520 entries: common sentiment
     * vocabulary + the crypto/finance/news domain the reference's feeds
     * actually emit) merged with the [[VaderLexiconExt]] ..
-    * [[VaderLexiconExt7]] widening blocks (~5.9k more entries; kept as
+    * [[VaderLexiconExt8]] widening blocks (~6.4k more entries; kept as
     * separate objects so no single constructor approaches the JVM 64 KB
     * method ceiling).
     */
@@ -483,7 +483,7 @@ object VaderData {
     coreLexicon ++ VaderLexiconExt.entries ++ VaderLexiconExt2.entries ++
       VaderLexiconExt3.entries ++ VaderLexiconExt4.entries ++
       VaderLexiconExt5.entries ++ VaderLexiconExt6.entries ++
-      VaderLexiconExt7.entries
+      VaderLexiconExt7.entries ++ VaderLexiconExt8.entries
 }
 
 /** Default full-rule scorer over the embedded published tables. */
