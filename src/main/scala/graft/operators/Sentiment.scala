@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions.udf
   * SentimentSpec (e.g. "VADER is VERY SMART, handsome, and FUNNY!!!" ->
   * 0.9342) — those vectors exercise caps, boosters, damping, negation,
   * but-reweighting and punctuation together. The embedded lexicon is a
-  * ~4.9k-entry transcription of the published vader_lexicon.txt (core
+  * ~7.0k-entry transcription of the published vader_lexicon.txt (core
   * block + the [[VaderLexiconExt]]..[[VaderLexiconExt8]] widenings:
   * common sentiment vocabulary, informal/internet
   * tokens + the crypto-news domain); [[VaderScorer.fromLexiconFile]]
