@@ -266,8 +266,10 @@ object VaderScorer {
 
 /** The published constant tables: booster dictionary, negation list and
   * special-case idioms are the COMPLETE published sets; the lexicon is a
-  * ~520-entry transcription (valences from the published file) covering
-  * common English sentiment vocabulary plus the crypto/news domain.
+  * ~520-entry core transcription (common sentiment vocabulary plus the
+  * crypto/news domain) merged with the [[VaderLexiconExt]]..
+  * [[VaderLexiconExt8]] widening blocks to ~7.0k entries total — see
+  * [[VaderData.lexicon]].
   */
 object VaderData {
   import VaderScorer.{BoosterIncr => Inc, BoosterDecr => Dec}
@@ -475,9 +477,9 @@ object VaderData {
     // --- emoticons (tokens the stripper preserves) ---
     ":)" -> 2.0, ":(" -> -1.9, ":d" -> 2.3, ":/" -> -1.4)
 
-  /** Core block + the [[VaderLexiconExt]] / [[VaderLexiconExt2]] /
-    * [[VaderLexiconExt3]] / [[VaderLexiconExt4]] widenings — defined AFTER
-    * the literals so object-initialization order is safe.
+  /** Core block + the [[VaderLexiconExt]]..[[VaderLexiconExt8]]
+    * widenings (~7.0k entries total) — defined AFTER the literals so
+    * object-initialization order is safe.
     */
   val lexicon: Map[String, Double] =
     coreLexicon ++ VaderLexiconExt.entries ++ VaderLexiconExt2.entries ++
@@ -493,7 +495,7 @@ object Sentiment extends VaderScorer(
   /** Resolution behind [[active]], factored out so tests can exercise the
     * file path without racing the lazy val: system property
     * `graft.vader.lexicon` first, env `GRAFT_VADER_LEXICON` second, the
-    * embedded ~520-entry subset last.
+    * embedded ~7.0k-entry merge last.
     */
   private[graft] def resolveActive(): VaderScorer =
     sys.props.get("graft.vader.lexicon")

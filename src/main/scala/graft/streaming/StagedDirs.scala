@@ -41,6 +41,14 @@ object StagedDirs {
     }
   }
 
+  // Keys COLD-staged since the last [[drainRecentlyStaged]] call. Lets a
+  // timing harness distinguish a run that paid staging from one that hit
+  // the memo, and re-create the same state for a comparable re-run
+  // (Bench's noise guard: a warm re-run of a cold-staged query would mask
+  // a staging-path regression behind the memo).
+  private val recentlyStaged =
+    new java.util.concurrent.ConcurrentLinkedQueue[String]
+
   /** Return the staged dir for `key`, staging (serialized per key) when
     * absent or when the cached dir no longer holds exactly the file set it
     * was staged with.
@@ -55,8 +63,23 @@ object StagedDirs {
         val n = fileCount(dir)
         require(n > 0, s"staging for $key produced an empty dir: $dir")
         cache.put(key, Staged(dir, n))
+        recentlyStaged.add(key)
         dir
       }
     }
   }
+
+  /** Keys cold-staged since the previous drain (and clear the log). */
+  def drainRecentlyStaged(): Seq[String] = {
+    val b = Seq.newBuilder[String]
+    var k = recentlyStaged.poll()
+    while (k != null) { b += k; k = recentlyStaged.poll() }
+    b.result()
+  }
+
+  /** Forget the memo for `keys` so the next [[getOrStage]] re-stages them
+    * (staged dirs stay on disk; deleteOnExit owns cleanup).
+    */
+  def invalidate(keys: Seq[String]): Unit =
+    keys.foreach(cache.remove)
 }
