@@ -41,6 +41,7 @@ object SparkEntry {
     "q_decimal_cast" -> (WireQueries.decimalCast _),
     "q_exact_dedup" -> (WireQueries.exactDedup _),
     "q_stream_tumbling" -> (StreamQueries.streamTumbling _),
+    "q_state_inspect" -> (StreamQueries.stateInspect _),
     "q_session_window" -> (StreamQueries.sessionWindow _),
     "q_sliding_window" -> (StreamQueries.slidingWindow _),
     "q_token_stats" -> (LlmQueries.tokenStats _),
@@ -498,6 +499,7 @@ object SparkEntry {
     "q_decimal_cast" -> graft.queries.WireQueries.decimalCastOracle,
     "q_exact_dedup" -> graft.queries.WireQueries.exactDedupOracle,
     "q_stream_tumbling" -> graft.queries.StreamQueries.streamTumblingOracle,
+    "q_state_inspect" -> graft.queries.StreamQueries.stateInspectOracle,
     "q_session_window" -> graft.queries.StreamQueries.sessionWindowOracle,
     "q_sliding_window" -> graft.queries.StreamQueries.slidingWindowOracle,
     "q_token_stats" -> LlmQueries.tokenStatsOracle,

@@ -197,4 +197,56 @@ object StreamQueries {
       |)
       |SELECT win_start_us, event_type, COUNT(*) AS n
       |FROM buckets GROUP BY 1, 2""".stripMargin
+
+  /** Offline streaming-state introspection: drain a tumbling-window count
+    * aggregation to a checkpoint, then read the aggregation OPERATOR STATE
+    * back through Spark's `statestore` data source — the ops capability a
+    * production streaming pipeline needs to audit what a stateful job is
+    * actually holding (skewed keys, watermark stalls, state bloat) without
+    * touching the running query. The gate pins state = the exact per-window
+    * counts the batch oracle computes, i.e. the checkpoint holds precisely
+    * the expected aggregation state after a full drain.
+    *
+    * Runs on an ISOLATED `newSession()`: the statestore reader instantiates
+    * the provider class from the READER's SQL conf, so write and read must
+    * see the same provider; sibling queries (transformWithState) flip the
+    * shared session's provider conf mid-run, and an isolated conf makes
+    * this query immune to that race. State partitions are narrowed to 8 so
+    * provider spin-up, not data, stops dominating the bounded drain.
+    *
+    * Scale posture: state is one row per (window, event_type) — bounded by
+    * key cardinality, not event volume; the reader scans state files
+    * partition-parallel with no driver-side state.
+    */
+  def stateInspect(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.shuffle.partitions", "8")
+    s2.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state." +
+        "HDFSBackedStateStoreProvider")
+    val agg = eventsStream(s2, dir)
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-state-inspect")
+    ckpt.toFile.deleteOnExit()
+    val q = agg.writeStream
+      .outputMode("update")
+      .format("noop")
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    graft.streaming.Drain.awaitOrFail(q, "state_inspect")
+    // the agg buffer's state field is named after the FUNCTION ("count"),
+    // not the output alias
+    s2.read.format("statestore").option("path", ckpt.toString).load()
+      .select(
+        unix_micros(col("key.window.start")).as("win_start_us"),
+        col("key.event_type").as("event_type"),
+        col("value.count").as("n"))
+  }
+
+  val stateInspectOracle: String =
+    """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS win_start_us,
+      |  event_type, COUNT(*) AS n
+      |FROM events GROUP BY 1, 2""".stripMargin
 }

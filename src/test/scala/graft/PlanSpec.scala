@@ -911,6 +911,21 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("state inspect: the checkpoint is read back through the statestore " +
+      "DSv2 source (an operator-state scan), not a recompute of the input") {
+    val df = graft.queries.StreamQueries
+      .stateInspect(spark, "/root/testdata/sf0.001")
+    val rels = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2Relation => r
+    }
+    assert(rels.size == 1, "expected exactly one DSv2 relation (state scan)")
+    val tbl = rels.head.table.getClass.getName
+    assert(tbl.contains(".state."),
+      s"relation is not the statestore table: $tbl")
+    assert(df.columns.toSeq == Seq("win_start_us", "event_type", "n"))
+  }
+
   test("lexical diversity: three stacked aggregates, no joins, doc scan " +
       "pruned to (doc_id, lang, text)") {
     withStaticPlans {
