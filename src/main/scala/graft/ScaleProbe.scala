@@ -69,6 +69,11 @@ object ScaleProbe {
     // have a fixed micro-batch + RocksDB floor that should AMORTIZE (ratio
     // well under factor), with state bounded by active keys / join window.
     "q_graph_reachability", "q_tws_sessions", "q_stream_outer_join",
+    // statestore-reader query: write-side state is one row per (window,
+    // event_type) — key-cardinality-bounded — and the read scans state
+    // files partition-parallel; expect the same amortizing fixed-floor
+    // shape as the other bounded drains.
+    "q_state_inspect",
     "q_rfm", "q_lorenz_share", "q_gini", "q_skyline", "q_ks_stat",
     "q_perplexity_filter",
     // the two most expensive COMPOSITION queries (funnel = exact dedup +
