@@ -228,7 +228,11 @@ object StreamQueries {
       .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"))
     val ckpt = java.nio.file.Files.createTempDirectory("graft-state-inspect")
-    ckpt.toFile.deleteOnExit()
+    // deleteOnExit alone never removes a NON-EMPTY dir (the checkpoint
+    // grows offsets/commits/state subtrees); forceDeleteOnExit walks
+    // recursively at JVM exit. The dir must outlive this call — the
+    // returned reader DataFrame is lazy and scans it on materialization.
+    org.apache.commons.io.FileUtils.forceDeleteOnExit(ckpt.toFile)
     val q = agg.writeStream
       .outputMode("update")
       .format("noop")
