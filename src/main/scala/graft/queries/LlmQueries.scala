@@ -480,6 +480,13 @@ object LlmQueries {
     * published override priority, bigram boosters, the least-check, the
     * but-clause re-weighting, and '!'/'?' emphasis — all generated from
     * the SAME maps the Scala scorer uses (one source of truth).
+    *
+    * The valence steps are one CTE per level (st0..st13), NOT lateral
+    * column aliases in a single SELECT: DuckDB expands lateral aliases by
+    * textual substitution, so a 12-deep chain where each level references
+    * the previous 1-3 times builds a ~3^12-node expression tree — the
+    * single-SELECT form of this oracle took 243 s to plan+run at sf0.01
+    * (corpus-size-independent); the chained form runs in ~1 s.
     */
   val sentimentOracle: String = {
     def esc(x: String): String = x.replace("'", "''")
@@ -581,45 +588,75 @@ object LlmQueries {
        |  LEFT JOIN boost gb1 ON gb1.word = c.p3 || ' ' || c.p2 || ' ' || c.p1
        |  LEFT JOIN boost gb2 ON gb2.word = c.p3 || ' ' || c.p2
        |  LEFT JOIN boost gb3 ON gb3.word = c.p2 || ' ' || c.p1
-       |), stepped AS (
-       |  SELECT id, i, but_i, wl, l1, selfboost, lexval,
+       |), st0 AS (
+       |  SELECT id, i, but_i, wl, l1, selfboost, lexval, p1, p2, p3, p1lex, p2lex, p3lex, u1, u2, u3, up, capdiff, neg1, neg2, neg3, b1, b2, b3, id_onezero, id_twoonezero, id_twoone, id_threetwoone, id_threetwo, id_zeroone, id_zeroonetwo, ng_threetwoone, ng_threetwo, ng_twoone, l1lex,
        |    CASE WHEN (p1 = 'no') OR (p2 = 'no')
        |              OR (p3 = 'no' AND p1 IN ('or', 'nor'))
        |           THEN lexval * -0.74
        |         WHEN wl = 'no' AND l1lex THEN 0.0
-       |         ELSE lexval END AS vb,
+       |         ELSE lexval END AS vb
+       |  FROM j
+       |), st1 AS (
+       |  SELECT id, i, but_i, wl, l1, selfboost, lexval, p1, p2, p3, p1lex, p2lex, p3lex, u1, u2, u3, up, capdiff, neg1, neg2, neg3, b1, b2, b3, id_onezero, id_twoonezero, id_twoone, id_threetwoone, id_threetwo, id_zeroone, id_zeroonetwo, ng_threetwoone, ng_threetwo, ng_twoone, vb,
        |    vb + CASE WHEN up AND capdiff
        |              THEN (CASE WHEN vb > 0 THEN 0.733 ELSE -0.733 END)
-       |              ELSE 0.0 END AS v0,
+       |              ELSE 0.0 END AS v0
+       |  FROM st0
+       |), st2 AS (
+       |  SELECT id, i, but_i, wl, l1, selfboost, lexval, p1, p2, p3, p1lex, p2lex, p3lex, u1, u2, u3, up, capdiff, neg1, neg2, neg3, b1, b2, b3, id_onezero, id_twoonezero, id_twoone, id_threetwoone, id_threetwo, id_zeroone, id_zeroonetwo, ng_threetwoone, ng_threetwo, ng_twoone, v0,
        |    CASE WHEN p1 IS NOT NULL AND NOT p1lex AND b1 IS NOT NULL THEN
        |      (CASE WHEN v0 < 0 THEN -b1 ELSE b1 END)
        |      + (CASE WHEN u1 AND capdiff
        |              THEN (CASE WHEN v0 > 0 THEN 0.733 ELSE -0.733 END)
        |              ELSE 0.0 END)
-       |    ELSE 0.0 END AS s1,
-       |    v0 + s1 AS v1a,
+       |    ELSE 0.0 END AS s1
+       |  FROM st1
+       |), st3 AS (
+       |  SELECT id, i, but_i, wl, l1, selfboost, lexval, p1, p2, p3, p1lex, p2lex, p3lex, u1, u2, u3, up, capdiff, neg1, neg2, neg3, b1, b2, b3, id_onezero, id_twoonezero, id_twoone, id_threetwoone, id_threetwo, id_zeroone, id_zeroonetwo, ng_threetwoone, ng_threetwo, ng_twoone, v0, s1,
+       |    v0 + s1 AS v1a
+       |  FROM st2
+       |), st4 AS (
+       |  SELECT id, i, but_i, wl, l1, selfboost, lexval, p1, p2, p3, p1lex, p2lex, p3lex, u1, u2, u3, up, capdiff, neg1, neg2, neg3, b1, b2, b3, id_onezero, id_twoonezero, id_twoone, id_threetwoone, id_threetwo, id_zeroone, id_zeroonetwo, ng_threetwoone, ng_threetwo, ng_twoone,
        |    CASE WHEN p1 IS NOT NULL AND NOT p1lex AND neg1
-       |         THEN v1a * -0.74 ELSE v1a END AS v1,
+       |         THEN v1a * -0.74 ELSE v1a END AS v1
+       |  FROM st3
+       |), st5 AS (
+       |  SELECT id, i, but_i, wl, l1, selfboost, lexval, p1, p2, p3, p1lex, p2lex, p3lex, u1, u2, u3, up, capdiff, neg1, neg2, neg3, b1, b2, b3, id_onezero, id_twoonezero, id_twoone, id_threetwoone, id_threetwo, id_zeroone, id_zeroonetwo, ng_threetwoone, ng_threetwo, ng_twoone, v1,
        |    CASE WHEN p2 IS NOT NULL AND NOT p2lex AND b2 IS NOT NULL THEN
        |      ((CASE WHEN v1 < 0 THEN -b2 ELSE b2 END)
        |       + (CASE WHEN u2 AND capdiff
        |              THEN (CASE WHEN v1 > 0 THEN 0.733 ELSE -0.733 END)
        |              ELSE 0.0 END)) * 0.95
-       |    ELSE 0.0 END AS s2,
-       |    v1 + s2 AS v2a,
+       |    ELSE 0.0 END AS s2
+       |  FROM st4
+       |), st6 AS (
+       |  SELECT id, i, but_i, wl, l1, selfboost, lexval, p1, p2, p3, p1lex, p2lex, p3lex, u1, u2, u3, up, capdiff, neg1, neg2, neg3, b1, b2, b3, id_onezero, id_twoonezero, id_twoone, id_threetwoone, id_threetwo, id_zeroone, id_zeroonetwo, ng_threetwoone, ng_threetwo, ng_twoone, v1, s2,
+       |    v1 + s2 AS v2a
+       |  FROM st5
+       |), st7 AS (
+       |  SELECT id, i, but_i, wl, l1, selfboost, lexval, p1, p2, p3, p1lex, p2lex, p3lex, u1, u2, u3, up, capdiff, neg1, neg2, neg3, b1, b2, b3, id_onezero, id_twoonezero, id_twoone, id_threetwoone, id_threetwo, id_zeroone, id_zeroonetwo, ng_threetwoone, ng_threetwo, ng_twoone,
        |    CASE WHEN p2 IS NOT NULL AND NOT p2lex THEN
        |      CASE WHEN p2 = 'never' AND p1 IN ('so', 'this') THEN v2a * 1.25
        |           WHEN p2 = 'without' AND p1 = 'doubt' THEN v2a
        |           WHEN neg2 THEN v2a * -0.74
        |           ELSE v2a END
-       |    ELSE v2a END AS v2,
+       |    ELSE v2a END AS v2
+       |  FROM st6
+       |), st8 AS (
+       |  SELECT id, i, but_i, wl, l1, selfboost, lexval, p1, p2, p3, p1lex, p2lex, p3lex, u1, u2, u3, up, capdiff, neg1, neg2, neg3, b1, b2, b3, id_onezero, id_twoonezero, id_twoone, id_threetwoone, id_threetwo, id_zeroone, id_zeroonetwo, ng_threetwoone, ng_threetwo, ng_twoone, v2,
        |    CASE WHEN p3 IS NOT NULL AND NOT p3lex AND b3 IS NOT NULL THEN
        |      ((CASE WHEN v2 < 0 THEN -b3 ELSE b3 END)
        |       + (CASE WHEN u3 AND capdiff
        |              THEN (CASE WHEN v2 > 0 THEN 0.733 ELSE -0.733 END)
        |              ELSE 0.0 END)) * 0.9
-       |    ELSE 0.0 END AS s3,
-       |    v2 + s3 AS v3a,
+       |    ELSE 0.0 END AS s3
+       |  FROM st7
+       |), st9 AS (
+       |  SELECT id, i, but_i, wl, l1, selfboost, lexval, p1, p2, p3, p1lex, p2lex, p3lex, u1, u2, u3, up, capdiff, neg1, neg2, neg3, b1, b2, b3, id_onezero, id_twoonezero, id_twoone, id_threetwoone, id_threetwo, id_zeroone, id_zeroonetwo, ng_threetwoone, ng_threetwo, ng_twoone, v2, s3,
+       |    v2 + s3 AS v3a
+       |  FROM st8
+       |), st10 AS (
+       |  SELECT id, i, but_i, wl, l1, selfboost, lexval, p1, p2, p3, p1lex, p2lex, p3lex, u1, u2, u3, up, capdiff, neg1, neg2, neg3, b1, b2, b3, id_onezero, id_twoonezero, id_twoone, id_threetwoone, id_threetwo, id_zeroone, id_zeroonetwo, ng_threetwoone, ng_threetwo, ng_twoone,
        |    CASE WHEN p3 IS NOT NULL AND NOT p3lex THEN
        |      CASE WHEN (p3 = 'never' AND p2 IN ('so', 'this'))
        |                OR (p1 IN ('so', 'this')) THEN v3a * 1.25
@@ -627,20 +664,31 @@ object LlmQueries {
        |             THEN v3a
        |           WHEN neg3 THEN v3a * -0.74
        |           ELSE v3a END
-       |    ELSE v3a END AS v3,
+       |    ELSE v3a END AS v3
+       |  FROM st9
+       |), st11 AS (
+       |  SELECT id, i, but_i, wl, l1, selfboost, lexval, p1, p2, p3, p1lex, p2lex, p3lex, u1, u2, u3, up, capdiff, neg1, neg2, neg3, b1, b2, b3, id_onezero, id_twoonezero, id_twoone, id_threetwoone, id_threetwo, id_zeroone, id_zeroonetwo, ng_threetwoone, ng_threetwo, ng_twoone, v3,
        |    CASE WHEN p3 IS NOT NULL AND NOT p3lex THEN
        |      COALESCE(id_zeroonetwo, id_zeroone, id_onezero, id_twoonezero,
        |               id_twoone, id_threetwoone, id_threetwo, v3)
-       |    ELSE v3 END AS v4a,
+       |    ELSE v3 END AS v4a
+       |  FROM st10
+       |), st12 AS (
+       |  SELECT id, i, but_i, wl, l1, selfboost, lexval, p1, p2, p3, p1lex, p2lex, p3lex, u1, u2, u3, up, capdiff, neg1, neg2, neg3, b1, b2, b3, id_onezero, id_twoonezero, id_twoone, id_threetwoone, id_threetwo, id_zeroone, id_zeroonetwo, ng_threetwoone, ng_threetwo, ng_twoone,
        |    v4a + CASE WHEN p3 IS NOT NULL AND NOT p3lex THEN
        |      COALESCE(ng_threetwoone, 0.0) + COALESCE(ng_threetwo, 0.0)
-       |      + COALESCE(ng_twoone, 0.0) ELSE 0.0 END AS v4,
+       |      + COALESCE(ng_twoone, 0.0) ELSE 0.0 END AS v4
+       |  FROM st11
+       |), st13 AS (
+       |  SELECT id, i, but_i, wl, l1, selfboost, lexval, p1, p2, p3, p1lex, p2lex, p3lex, u1, u2, u3, up, capdiff, neg1, neg2, neg3, b1, b2, b3, id_onezero, id_twoonezero, id_twoone, id_threetwoone, id_threetwo, id_zeroone, id_zeroonetwo, ng_threetwoone, ng_threetwo, ng_twoone,
        |    CASE WHEN p1 = 'least' AND NOT p1lex THEN
        |      CASE WHEN p2 IS NOT NULL THEN
        |             (CASE WHEN p2 NOT IN ('at', 'very') THEN v4 * -0.74 ELSE v4 END)
        |           ELSE v4 * -0.74 END
        |    ELSE v4 END AS v5
-       |  FROM j
+       |  FROM st12
+       |), stepped AS (
+       |  SELECT id, i, but_i, wl, l1, selfboost, lexval, v5 FROM st13
        |), scored AS (
        |  SELECT id,
        |    (CASE WHEN selfboost OR (wl = 'kind' AND l1 = 'of')
