@@ -376,8 +376,8 @@ object Ext19Queries {
   }
 
   val macdOracle: String =
-    s"""WITH RECURSIVE bars AS (\n$barsDuck\n),
-      |seq AS (
+    s"""WITH RECURSIVE bars AS MATERIALIZED (\n$barsDuck\n),
+      |seq AS MATERIALIZED (
       |  SELECT event_type, close,
       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr_us)
       |      AS BIGINT) AS i
@@ -448,8 +448,8 @@ object Ext19Queries {
   }
 
   val heikinAshiOracle: String =
-    s"""WITH RECURSIVE bars AS (\n$barsDuck\n),
-      |seq AS (
+    s"""WITH RECURSIVE bars AS MATERIALIZED (\n$barsDuck\n),
+      |seq AS MATERIALIZED (
       |  SELECT event_type, open, high, low, close,
       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr_us)
       |      AS BIGINT) AS i

@@ -214,10 +214,10 @@ object Ext21Queries {
       |    first_value(value) OVER (PARTITION BY event_type, hr_us
       |      ORDER BY ts_us DESC, event_id DESC) AS c
       |  FROM h
-      |), bars AS (
+      |), bars AS MATERIALIZED (
       |  SELECT event_type, hr_us, MAX(c) AS close
       |  FROM w GROUP BY event_type, hr_us
-      |), seq AS (
+      |), seq AS MATERIALIZED (
       |  SELECT event_type, close,
       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr_us)
       |      AS BIGINT) AS i
@@ -247,7 +247,7 @@ object Ext21Queries {
       |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |  WHERE c.c_nationkey <> s.s_nationkey
       |  GROUP BY 1, 2
-      |), e AS (SELECT u, v FROM pw WHERE w > (SELECT AVG(w) FROM pw))""".stripMargin
+      |), e AS MATERIALIZED (SELECT u, v FROM pw WHERE w > (SELECT AVG(w) FROM pw))""".stripMargin
 
   /** 3-round 2-core peel over the trade graph: iteratively drop nodes of
     * degree < 2 and the edges touching them (three unrolled rounds — fixed
@@ -301,19 +301,19 @@ object Ext21Queries {
 
   val twoCoreOracle: String =
     s"""WITH $tradeEdgesSql,
-      |d1 AS (SELECT node FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+      |d1 AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
       |  GROUP BY node HAVING COUNT(*) >= 2),
-      |e1 AS (SELECT u, v FROM e WHERE u IN (SELECT node FROM d1)
+      |e1 AS MATERIALIZED (SELECT u, v FROM e WHERE u IN (SELECT node FROM d1)
       |  AND v IN (SELECT node FROM d1)),
-      |d2 AS (SELECT node FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
+      |d2 AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e1 UNION ALL SELECT v FROM e1)
       |  GROUP BY node HAVING COUNT(*) >= 2),
-      |e2 AS (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM d2)
+      |e2 AS MATERIALIZED (SELECT u, v FROM e1 WHERE u IN (SELECT node FROM d2)
       |  AND v IN (SELECT node FROM d2)),
-      |d3 AS (SELECT node FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+      |d3 AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
       |  GROUP BY node HAVING COUNT(*) >= 2),
-      |e3 AS (SELECT u, v FROM e2 WHERE u IN (SELECT node FROM d3)
+      |e3 AS MATERIALIZED (SELECT u, v FROM e2 WHERE u IN (SELECT node FROM d3)
       |  AND v IN (SELECT node FROM d3)),
-      |core AS (SELECT DISTINCT node FROM
+      |core AS MATERIALIZED (SELECT DISTINCT node FROM
       |  (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)),
       |total AS (SELECT DISTINCT node FROM
       |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e))

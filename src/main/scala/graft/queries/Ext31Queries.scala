@@ -304,8 +304,8 @@ object Ext31Queries {
   }
 
   val trixOracle: String =
-    s"""WITH RECURSIVE bars AS (\n$barsDuck\n),
-      |seq AS (
+    s"""WITH RECURSIVE bars AS MATERIALIZED (\n$barsDuck\n),
+      |seq AS MATERIALIZED (
       |  SELECT event_type, close,
       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr_us)
       |      AS BIGINT) AS i
@@ -388,8 +388,8 @@ object Ext31Queries {
   }
 
   val keltnerOracle: String =
-    s"""WITH RECURSIVE bars AS (\n$barsDuck\n),
-      |seq AS (
+    s"""WITH RECURSIVE bars AS MATERIALIZED (\n$barsDuck\n),
+      |seq AS MATERIALIZED (
       |  SELECT event_type, high, low, close,
       |    (high + low + close) / 3 AS tp,
       |    CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr_us)
