@@ -34,6 +34,24 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(missing.isEmpty, s"queries without oracles: $missing")
   }
 
+  test("slow-oracle shapes stay fixed: chained valence CTEs + materialized helpers") {
+    // DuckDB expands lateral column aliases and multiply-referenced CTEs by
+    // textual substitution; these two shapes are what keeps the driver's
+    // oracle pass at ~20 s instead of ~10 min (see LlmQueries.sentimentOracle
+    // scaladoc). Trip if a rewrite reintroduces the exponential forms.
+    assert(graft.queries.LlmQueries.sentimentOracle.contains("st13 AS ("),
+      "sentiment oracle lost its chained per-level CTEs")
+    for ((name, sql) <- Seq(
+        "q_macd" -> graft.queries.Ext19Queries.macdOracle,
+        "q_heikin_ashi" -> graft.queries.Ext19Queries.heikinAshiOracle,
+        "q_trix" -> graft.queries.Ext31Queries.trixOracle,
+        "q_keltner" -> graft.queries.Ext31Queries.keltnerOracle,
+        "q_kalman_1d" -> graft.queries.Ext21Queries.kalman1dOracle,
+        "q_two_core" -> graft.queries.Ext21Queries.twoCoreOracle))
+      assert(sql.contains("AS MATERIALIZED ("),
+        s"$name oracle lost its MATERIALIZED helper CTEs")
+  }
+
   test("golden pin: the e2e pipeline result is byte-stable across rounds") {
     // Fixture-driven, so this hash must never change unless semantics
     // intentionally change — catches silent drift in any pipeline stage.
