@@ -107,7 +107,7 @@ object Plans {
       "q_sax_word" -> "SAX words: daily bar shuffle + per-symbol window stats, the word is an in-row ordered fold — zero joins",
       "q_quantile_normalize" -> "Quantile normalization: ntile grid window, per-(type,bucket) aggregate, 100-row reference broadcast back — no sort-merge join",
       "q_ngram_coverage" -> "Eval n-gram coverage: distinct train shingles via left-semi against the eval postings — linear postings shuffles, no pair join, coverage is a per-doc aggregate",
-      "q_weighted_jaccard" -> "Weighted (multiset) Jaccard: scores ONLY the prefix-filtered candidate pairs; Σmax folded to ΣA+ΣB−Σmin so the token union never materializes — per-doc count re-aggregation + id-keyed joins",
+      "q_weighted_jaccard" -> "Weighted (multiset) Jaccard: scores ONLY the prefix-filtered candidate pairs; the corpus is LEFT-SEMI-joined down to candidate-pair docs BEFORE tokenizing (candidates ≪ corpus at scale), and Σmax folds to ΣA+ΣB−Σmin so the token union never materializes",
       "q_graph_reachability" -> "Recursive-CTE reachability as level-synchronous BFS: 4 unrolled levels, each a shuffled equi-join of frontier vs edges plus a (src,dst) anti-join — no cartesian, min-hop by first discovery (plan shown with level checkpoints, each level materializes once)",
       "q_percentile_disc" -> "SQL-standard inverse-distribution quantiles: pruned 2-column scan, ONE shuffle into a partial/final percentile aggregate pair — no joins, no windows",
       "q_mann_whitney" -> "Mann-Whitney U: corpus collapses to the distinct-value histogram (partial-aggregated), rank prefix sums via the TWO-PHASE bucketed pass — the only global window runs over the ≤numParts per-bucket totals, never the data",

@@ -85,12 +85,25 @@ object Ext36Queries {
     */
   def weightedJaccard(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
+    // consumed twice below (candidate-id projection + the Σmin join) —
+    // checkpoint so the prefix-filter candidate generator runs once
     val pairs = Dedup.jaccardPrefixPairs(docs, "doc_id", "text",
         n = 3, threshold = 0.5)
       .select(col("id_1"), col("id_2"))
-    val counts = docs
+      .localCheckpoint(eager = false)
+    // only docs that appear in a candidate pair ever contribute a token
+    // count — semi-join the corpus down BEFORE tokenizing, so the
+    // explode+groupBy runs over the candidate subset, not the corpus
+    // (candidates ≪ corpus at scale; identical results, the downstream
+    // inner joins on pair ids already discarded the rest)
+    val candIds = pairs
+      .select(explode(array(col("id_1"), col("id_2"))).as("doc_id"))
+      .distinct()
+    val counts = docs.join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+      // read by both sides of the Σmin join and the totals agg
+      .localCheckpoint(eager = false)
     val totals = counts.groupBy(col("doc_id")).agg(sum(col("c")).as("tot"))
     val commonMin = pairs
       .join(counts.as("ca"), col("id_1") === col("ca.doc_id"))
