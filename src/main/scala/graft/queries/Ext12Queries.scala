@@ -246,8 +246,12 @@ object Ext12Queries {
     Graphs.triangleCount(edges, "u", "v")
   }
 
+  // pw/e MATERIALIZED: un-materialized, DuckDB re-inlines the 4-table
+  // lineitem join at every one of e's six references (>180 s at sf0.1;
+  // 0.1 s materialized) — the multiply-referenced-CTE pathology pinned
+  // by QueriesSmokeSpec's slow-oracle tripwire.
   val triangleCountOracle: String =
-    """WITH pw AS (
+    """WITH pw AS MATERIALIZED (
       |  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
       |    greatest(c.c_nationkey, s.s_nationkey) AS v, COUNT(*) AS w
       |  FROM lineitem l
@@ -256,7 +260,8 @@ object Ext12Queries {
       |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |  WHERE c.c_nationkey <> s.s_nationkey
       |  GROUP BY 1, 2
-      |), e AS (SELECT u, v FROM pw WHERE w > (SELECT AVG(w) FROM pw))
+      |), e AS MATERIALIZED (
+      |  SELECT u, v FROM pw WHERE w > (SELECT AVG(w) FROM pw))
       |SELECT
       |  (SELECT COUNT(DISTINCT n) FROM
       |    (SELECT u AS n FROM e UNION ALL SELECT v FROM e)) AS n_nodes,

@@ -52,8 +52,13 @@ object Ext20Queries {
       .select(col("u"), col("v"))
   }
 
+  // MATERIALIZED: pw (the 4-table lineitem join, the dominant cost) is
+  // referenced twice by e, and e is referenced by every consumer — DuckDB
+  // inlines un-materialized CTEs at each reference, re-running the join
+  // per copy (>180 s at sf0.1 vs 0.1 s materialized; the same pathology
+  // as the k-core oracles, see QueriesSmokeSpec's slow-oracle tripwire).
   private val nationFlowEdgesSql: String =
-    """pw AS (
+    """pw AS MATERIALIZED (
       |  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
       |    greatest(c.c_nationkey, s.s_nationkey) AS v, COUNT(*) AS w
       |  FROM lineitem l
@@ -62,7 +67,8 @@ object Ext20Queries {
       |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |  WHERE c.c_nationkey <> s.s_nationkey
       |  GROUP BY 1, 2
-      |), e AS (SELECT u, v FROM pw WHERE w > (SELECT AVG(w) FROM pw))""".stripMargin
+      |), e AS MATERIALIZED (
+      |  SELECT u, v FROM pw WHERE w > (SELECT AVG(w) FROM pw))""".stripMargin
 
   /** Adamic–Adar link prediction over the trade graph
     * ([[Graphs.adamicAdar]]): which non-adjacent nation pairs share the most
@@ -74,7 +80,8 @@ object Ext20Queries {
 
   val adamicAdarOracle: String =
     s"""WITH $nationFlowEdgesSql,
-      |adj AS (SELECT u AS z, v AS n FROM e UNION ALL SELECT v AS z, u AS n FROM e),
+      |adj AS MATERIALIZED (
+      |  SELECT u AS z, v AS n FROM e UNION ALL SELECT v AS z, u AS n FROM e),
       |deg AS (SELECT z, COUNT(*) AS d FROM adj GROUP BY z),
       |wedge AS (
       |  SELECT l.n AS u, r.n AS v,
@@ -119,7 +126,7 @@ object Ext20Queries {
 
   val khopReachOracle: String =
     s"""WITH $nationFlowEdgesSql,
-      |adj AS (SELECT DISTINCT * FROM (
+      |adj AS MATERIALIZED (SELECT DISTINCT * FROM (
       |  SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e)),
       |h0 AS (SELECT n_nationkey AS node FROM nation WHERE n_regionkey = 0),
       |h1 AS (SELECT DISTINCT dst AS node FROM adj JOIN h0 ON src = node),

@@ -297,8 +297,10 @@ object Ext32Queries {
           6).as("coeff"))
   }
 
+  // pw/e/sym MATERIALIZED: see triangleCountOracle — un-materialized CTE
+  // re-inlining re-runs the lineitem join per reference (>180 s at sf0.1).
   val clusteringCoeffOracle: String =
-    """WITH pw AS (
+    """WITH pw AS MATERIALIZED (
       |  SELECT least(c.c_nationkey, s.s_nationkey) AS u,
       |    greatest(c.c_nationkey, s.s_nationkey) AS v, COUNT(*) AS w
       |  FROM lineitem l
@@ -307,8 +309,10 @@ object Ext32Queries {
       |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
       |  WHERE c.c_nationkey <> s.s_nationkey
       |  GROUP BY 1, 2
-      |), e AS (SELECT u, v FROM pw WHERE w > (SELECT AVG(w) FROM pw)),
-      |sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+      |), e AS MATERIALIZED (
+      |  SELECT u, v FROM pw WHERE w > (SELECT AVG(w) FROM pw)),
+      |sym AS MATERIALIZED (
+      |  SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
       |deg AS (SELECT a AS node, COUNT(*) AS degree FROM sym GROUP BY a),
       |wedge AS (
       |  SELECT s1.a AS center, s1.b AS x, s2.b AS y

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -83,8 +83,18 @@ object Ext35Queries {
     * means, and each row is reassigned its bucket's reference. The audit
     * reports per-type means before/after — after-means collapse to
     * near-equality, the method's defining property.
+    *
+    * Every mean is SUM(DECIMAL)/COUNT, not a double AVG: decimal sums are
+    * exact and summation-order-independent, so the result is bit-identical
+    * regardless of partial-aggregation merge order (Spark) vs sequential
+    * scan order (the DuckDB oracle). With double AVGs the two engines
+    * disagree at ~1e-9 from float associativity alone, and a mean that
+    * lands within 1e-9 of a ROUND(·,6) half-boundary flips the rounded
+    * digit — observed once at sf0.1 (mean_before 50.373209 vs 50.37321).
     */
   def quantileNormalize(s: SparkSession, dir: String): DataFrame = {
+    def decAvg(c: Column, n: Column): Column =
+      sum(c.cast("decimal(28,12)")).cast("double") / n
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("event_type"))
       .orderBy(col("value"), col("event_id"))
@@ -92,9 +102,9 @@ object Ext35Queries {
       .select(col("event_type"), col("value"), col("event_id"))
       .withColumn("b", ntile(100).over(w))
     val perTypeBucket = bucketed.groupBy(col("event_type"), col("b"))
-      .agg(avg(col("value")).as("tb_mean"))
+      .agg(decAvg(col("value"), count(col("value"))).as("tb_mean"))
     val ref = perTypeBucket.groupBy(col("b"))
-      .agg(avg(col("tb_mean")).as("ref_val"),
+      .agg(decAvg(col("tb_mean"), count(lit(1))).as("ref_val"),
         count(lit(1)).as("n_types_at_bucket"))
     // After-stats aggregate at BUCKET level (each bucket once): with the
     // full grid present, every type's normalized distribution IS the
@@ -106,8 +116,8 @@ object Ext35Queries {
       .groupBy(col("event_type"))
       .agg(
         count(lit(1)).as("n_buckets"),
-        round(avg(col("tb_mean")), 6).as("mean_before"),
-        round(avg(col("ref_val")), 6).as("mean_after"),
+        round(decAvg(col("tb_mean"), count(lit(1))), 6).as("mean_before"),
+        round(decAvg(col("ref_val"), count(lit(1))), 6).as("mean_after"),
         round(max(abs(col("tb_mean") - col("ref_val"))), 6).as("max_shift"),
         min(col("n_types_at_bucket")).as("min_types_at_bucket"))
   }
@@ -119,16 +129,22 @@ object Ext35Queries {
       |      ORDER BY value, event_id) AS b
       |  FROM events
       |), ptb AS (
-      |  SELECT event_type, b, AVG(value) AS tb_mean
+      |  SELECT event_type, b,
+      |    CAST(SUM(CAST(value AS DECIMAL(28,12))) AS DOUBLE)
+      |      / COUNT(value) AS tb_mean
       |  FROM bucketed GROUP BY event_type, b
       |), ref AS (
-      |  SELECT b, AVG(tb_mean) AS ref_val,
+      |  SELECT b,
+      |    CAST(SUM(CAST(tb_mean AS DECIMAL(28,12))) AS DOUBLE)
+      |      / COUNT(*) AS ref_val,
       |    CAST(COUNT(*) AS BIGINT) AS n_types_at_bucket
       |  FROM ptb GROUP BY b
       |)
       |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_buckets,
-      |  ROUND(AVG(tb_mean), 6) AS mean_before,
-      |  ROUND(AVG(ref_val), 6) AS mean_after,
+      |  ROUND(CAST(SUM(CAST(tb_mean AS DECIMAL(28,12))) AS DOUBLE)
+      |    / COUNT(*), 6) AS mean_before,
+      |  ROUND(CAST(SUM(CAST(ref_val AS DECIMAL(28,12))) AS DOUBLE)
+      |    / COUNT(*), 6) AS mean_after,
       |  ROUND(MAX(ABS(tb_mean - ref_val)), 6) AS max_shift,
       |  MIN(n_types_at_bucket) AS min_types_at_bucket
       |FROM ptb JOIN ref USING (b)

@@ -47,7 +47,15 @@ class QueriesSmokeSpec extends SparkTestBase {
         "q_trix" -> graft.queries.Ext31Queries.trixOracle,
         "q_keltner" -> graft.queries.Ext31Queries.keltnerOracle,
         "q_kalman_1d" -> graft.queries.Ext21Queries.kalman1dOracle,
-        "q_two_core" -> graft.queries.Ext21Queries.twoCoreOracle))
+        "q_two_core" -> graft.queries.Ext21Queries.twoCoreOracle,
+        // the trade-graph family: pw (the 4-table lineitem join) sits under
+        // a doubly-referencing e, and e under 2-6 consumers — un-materialized
+        // these went >180 s at sf0.1 (0.1 s materialized)
+        "q_triangle_count" -> graft.queries.Ext12Queries.triangleCountOracle,
+        "q_clustering_coeff" -> graft.queries.Ext32Queries.clusteringCoeffOracle,
+        "q_graph_jaccard" -> graft.queries.Ext33Queries.graphJaccardOracle,
+        "q_adamic_adar" -> graft.queries.Ext20Queries.adamicAdarOracle,
+        "q_khop_reach" -> graft.queries.Ext20Queries.khopReachOracle))
       assert(sql.contains("AS MATERIALIZED ("),
         s"$name oracle lost its MATERIALIZED helper CTEs")
   }
