@@ -105,7 +105,7 @@ object Plans {
       "q_split_leakage" -> "Split-leakage audit: prefix-filtered pair stream + two broadcast split joins — corpus-scale safe, no all-pairs anywhere",
       "q_bootstrap_ci" -> "Bayesian bootstrap: flat x32 explode, (type, replicate) partial-aggregated DECIMAL sums, 32-element per-type order statistics — no shuffle grows beyond xB",
       "q_sax_word" -> "SAX words: daily bar shuffle + per-symbol window stats, the word is an in-row ordered fold — zero joins",
-      "q_quantile_normalize" -> "Quantile normalization: ntile grid window, per-(type,bucket) aggregate, 100-row reference broadcast back — no sort-merge join",
+      "q_quantile_normalize" -> "Quantile normalization: ntile grid window, per-(type,bucket) aggregate, 100-row reference broadcast back — no sort-merge join; all means are exact decimal sums (order-independent, so results are identical at any partition count)",
       "q_ngram_coverage" -> "Eval n-gram coverage: distinct train shingles via left-semi against the eval postings — linear postings shuffles, no pair join, coverage is a per-doc aggregate",
       "q_weighted_jaccard" -> "Weighted (multiset) Jaccard: scores ONLY the prefix-filtered candidate pairs; the corpus is LEFT-SEMI-joined down to candidate-pair docs BEFORE tokenizing (candidates ≪ corpus at scale), and Σmax folds to ΣA+ΣB−Σmin so the token union never materializes",
       "q_graph_reachability" -> "Recursive-CTE reachability as level-synchronous BFS: 4 unrolled levels, each a shuffled equi-join of frontier vs edges plus a (src,dst) anti-join — no cartesian, min-hop by first discovery (plan shown with level checkpoints, each level materializes once)",
