@@ -123,7 +123,12 @@ object ScaleProbe {
           .write.format("noop").mode("overwrite").save()
         (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
-        System.err.println(s"[scaleprobe] $name @ $dir failed: ${e.getMessage}")
+        // walk to the root cause: Spark wraps task/broadcast failures in
+        // layers whose own getMessage ("Boxed Exception") hides the fault
+        val root = Iterator.iterate(e)(_.getCause)
+          .takeWhile(_ != null).toSeq.last
+        System.err.println(s"[scaleprobe] $name @ $dir failed: ${e.getMessage}" +
+          (if (root ne e) s" | root: ${root.toString.take(500)}" else ""))
         -1.0
       } finally {
         spark.conf.unset("graft.prefixsum.threshold")

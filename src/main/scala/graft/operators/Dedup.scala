@@ -95,6 +95,32 @@ object Dedup {
     shinglePostings(df, idCol, textCol, n)
       .select(col("id"), xxhash64(col("shingle")).as("shingle"))
 
+  /** Corpora at or below this doc count broadcast their per-doc
+    * signature/shingle-set tables into the candidate stream; larger corpora
+    * shuffle the candidates against them sort-merge instead. The per-doc
+    * tables carry a ~1 KB array per doc, so the 200k default keeps each
+    * broadcast around ~200 MB — comfortably inside executor memory while
+    * still covering every corpus where the broadcast is the clear win
+    * (candidates ≫ docs). Found empirically: at the 100x scale probe
+    * (500k docs) the unconditioned broadcast OOM'd the driver. -1 means
+    * always broadcast (no probe), 0 never. Session conf wins over the JVM
+    * system property (same precedence as graft.prefixsum.threshold). */
+  private def docBroadcastCutoff(df: DataFrame): Long =
+    df.sparkSession.conf.get("graft.dedup.broadcastMaxDocs",
+      sys.props.getOrElse("graft.dedup.broadcastMaxDocs", "200000")).toLong
+
+  /** Resolve a caller's broadcast request against the corpus size: true
+    * only if requested AND the doc count clears [[docBroadcastCutoff]].
+    * The count is one lightweight eager job (column-pruned to a metadata
+    * count for parquet inputs) — the same probe-at-call-time posture as
+    * [[PrefixSum]]. */
+  private def shouldBroadcastDocTables(
+      df: DataFrame, requested: Boolean): Boolean =
+    requested && {
+      val cut = docBroadcastCutoff(df)
+      cut == -1L || (cut > 0L && df.count() <= cut)
+    }
+
   // --- exact n-gram Jaccard --------------------------------------------------
 
   /** All pairs with shingle-set Jaccard >= threshold, by self-joining the
@@ -215,15 +241,16 @@ object Dedup {
     * at 64 bands — so the verified output matches the exact algorithm's
     * output in expectation AND the exact filter guarantees precision.
     */
-  /** @param broadcastDocTables broadcast the per-doc signature/shingle-set
-    *        tables into the candidate stream (right for corpora whose
-    *        signatures fit in executor memory, i.e. up to ~10M docs); at
-    *        larger scale set false to shuffle candidates against them
-    *        sort-merge instead.
+  /** @param broadcastDocTables ALLOW broadcasting the per-doc signature/
+    *        shingle-set tables into the candidate stream; the actual
+    *        decision is size-gated by [[docBroadcastCutoff]] (default 200k
+    *        docs), above which the joins run sort-merge — false forces
+    *        sort-merge regardless of size.
     */
   def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, k: Int = 128, bands: Int = 64,
       broadcastDocTables: Boolean = true): DataFrame = {
+    val bcastDocs = shouldBroadcastDocTables(df, broadcastDocTables)
     // postings feed signatures + exact-verify sets; signatures feed banding
     // + both estimate joins — persist both so the expensive tokenize/hash/
     // aggregate stages run once each (see jaccardPairs on persist-vs-
@@ -233,7 +260,7 @@ object Dedup {
     val sigs = track(minhashSignatures(postings, k).persist(lvl))
     val cands = lshCandidates(sigs, bands)
     def maybeBroadcast(d: DataFrame): DataFrame =
-      if (broadcastDocTables) broadcast(d) else d
+      if (bcastDocs) broadcast(d) else d
     // Stage 1 — estimate: signature agreement approximates Jaccard with
     // sigma = sqrt(J(1-J)/k) ~ 0.044 at k=128. Pruning candidates below
     // threshold - 0.2 (>4.5 sigma) costs ~3e-6 miss probability per true
@@ -458,14 +485,15 @@ object Dedup {
     * postings self-join. The frequency table is one extra agg on the postings
     * it already has in memory.
     */
-  /** @param broadcastDocTables broadcast the per-doc shingle-set table into
-    *        the candidate stream (same posture and ~10M-doc ceiling as
-    *        [[minhashNearDup]]'s doc tables); false shuffles the candidates
-    *        against it sort-merge instead.
+  /** @param broadcastDocTables ALLOW broadcasting the per-doc shingle-set
+    *        table into the candidate stream (size-gated by
+    *        [[docBroadcastCutoff]], same posture as [[minhashNearDup]]);
+    *        false forces sort-merge regardless of size.
     */
   def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5,
       broadcastDocTables: Boolean = true): DataFrame = {
+    val bcastDocs = shouldBroadcastDocTables(df, broadcastDocTables)
     val sh = track(hashedPostings(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = broadcast(sh.groupBy(col("id")).agg(count(lit(1)).as("sz")))
@@ -499,7 +527,7 @@ object Dedup {
     // row explosion through two shuffles before the intersection count
     // (measured 5.2 s -> 1.9 s for q_jaccard_prefix at sf0.1).
     def maybeBroadcast(d: DataFrame): DataFrame =
-      if (broadcastDocTables) broadcast(d) else d
+      if (bcastDocs) broadcast(d) else d
     val sets = sh.groupBy(col("id")).agg(collect_set(col("shingle")).as("set"))
     cand
       .join(maybeBroadcast(sets.as("sa")), col("id_1") === col("sa.id"))
@@ -527,6 +555,7 @@ object Dedup {
   def containmentPrefixPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8,
       broadcastDocTables: Boolean = true): DataFrame = {
+    val bcastDocs = shouldBroadcastDocTables(df, broadcastDocTables)
     val sh = track(hashedPostings(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val sizes = broadcast(sh.groupBy(col("id")).agg(count(lit(1)).as("sz")))
@@ -551,7 +580,7 @@ object Dedup {
       .select(col("a.id").as("sub_id"), col("b.id").as("super_id"))
       .distinct()
     def maybeBroadcast(d: DataFrame): DataFrame =
-      if (broadcastDocTables) broadcast(d) else d
+      if (bcastDocs) broadcast(d) else d
     val sets = sh.groupBy(col("id")).agg(collect_set(col("shingle")).as("set"))
     cand
       .join(maybeBroadcast(sets.as("sa")), col("sub_id") === col("sa.id"))

@@ -141,10 +141,16 @@ object LlmQueries {
     * Jaccard pair graph, labeling each clustered doc with the minimum
     * reachable doc_id. Only non-singleton members are returned. The oracle
     * computes the same transitive closure with a recursive CTE.
+    *
+    * The pair graph comes from the prefix-filtered join — provably the
+    * same pair set as the all-pairs verifier (Bayardo prefix filter is
+    * lossless at the threshold) but corpus-scale: the 100x probe tripped
+    * [[Dedup.jaccardPairs]]' ScaleFence here at 500k docs, exactly the
+    * failure the fence exists to force off the all-pairs path.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", n = 3,
+    val pairs = Dedup.jaccardPrefixPairs(docs, "doc_id", "text", n = 3,
       threshold = JaccardThreshold)
     val labels = Dedup.clusterLabels(pairs.select("id_1", "id_2"),
       docs.select("doc_id"))
