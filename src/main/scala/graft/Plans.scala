@@ -35,7 +35,7 @@ object Plans {
       "q_cosine_topk" -> "Brute-force top-k: window row_number over codegen'd scores",
       "q_asof_join" -> "AS-OF join: one Exchange + one Sort, carry-forward last() window",
       "q_session_window" -> "Event-time session windows",
-      "q_minhash_neardup" -> "MinHash-LSH: band-bucket self-join, broadcast signature/set verify",
+      "q_minhash_neardup" -> "MinHash-LSH: band-bucket self-join, signature/set verify joins broadcast below graft.dedup.broadcastMaxDocs (200k docs) and sort-merge above",
       "q_asof_native" -> "NATIVE as-of: custom AsOfJoinExec, two per-side Exchanges, no union/window",
       "q_cube" -> "CUBE grouping sets: one Expand pass, partial HashAggregate before the single shuffle",
       "q_range_frame" -> "Time-RANGE frame: one Exchange + one WindowExec over a 4-column pruned scan",
@@ -93,7 +93,7 @@ object Plans {
       "q_woe_iv" -> "WOE/IV feature screen: 2-column pruned scan, scalar totals broadcast back (1-row nested loop), zero sort-merge joins",
       "q_clustering_coeff" -> "Clustering coefficients: wedge enumeration + closure check as equi-joins over the trade graph — no cartesian",
       "q_lexical_diversity" -> "Lexical diversity: three stacked partial aggregates (word, doc, lang), 3-column pruned scan, no joins",
-      "q_cluster_canonical" -> "Canonical-per-cluster selection: dedup components + one window pick — the pair graph dominates, the pick is one narrow shuffle",
+      "q_cluster_canonical" -> "Canonical-per-cluster selection: dedup components (prefix-filtered pair source — corpus-scale, identical pair set) + one window pick — the pair graph dominates, the pick is one narrow shuffle",
       "q_containment" -> "Directed containment pairs: fenced postings self-join on hashed shingles, per-direction normalization — same scale posture as jaccardPairs",
       "q_containment_prefix" -> "Prefix-filtered containment: rarity-ordered sub-side prefix probes the full postings; candidates verify via in-row array_intersect — the lossless scale path",
       "q_boilerplate" -> "Boilerplate detection: postings + df aggregate + join back — linear shuffles on shingle/doc keys, no pair joins anywhere",
