@@ -80,7 +80,30 @@ object ScaleProbe {
     // cluster canonicals + boilerplate screen over one corpus): their
     // sub-operators are probed individually above; these rows prove the
     // composition itself adds no super-linear term.
-    "q_curation_funnel", "q_cluster_canonical")
+    "q_curation_funnel", "q_cluster_canonical",
+    // the embedding/ANN family (added for the round-10 100x probe, which
+    // caught the dedup family's broadcast OOM): IVF probe-limited search
+    // and the 20-query brute-force/hard-negative baselines are linear in
+    // the corpus as-is; the three index-parameterized queries run under
+    // probeConf's scale knobs (see below). q_embed_neardup is deliberately
+    // NOT probed — like q_ngram_jaccard it is the FENCED all-pairs exact
+    // verifier, quadratic by design; q_semdedup / q_lsh_ann are its
+    // measured scale paths.
+    "q_ann_ivf", "q_lsh_ann", "q_semdedup",
+    "q_cosine_topk", "q_hard_negatives", "q_knn_classify")
+
+  /** Scale-knob confs applied (at BOTH scales) to queries whose gate shape
+    * pins an index parameter that must grow with the corpus: LSH bits ~
+    * log2(N), IVF/semdedup centroids ~ sqrt(N). The gate defaults (6 bits,
+    * 8-10 centroids) are what the DuckDB oracle replays and stay selective
+    * only at the test SFs; probing them at 100x would time a configuration
+    * no one would run at that size (per-bucket pair volume is N^2/buckets).
+    * Same force-the-scale-path rationale as [[forceTwoPhase]].
+    */
+  private val probeConf: Map[String, Seq[(String, String)]] = Map(
+    "q_lsh_ann" -> Seq("graft.lsh.bitsPerBand" -> "14"),
+    "q_semdedup" -> Seq("graft.semdedup.centroids" -> "512"),
+    "q_knn_classify" -> Seq("graft.ivf.centroids" -> "512"))
 
   /** The rank-stat family is probed with `graft.prefixsum.threshold=-1`
     * (two-phase FORCED at both scales). Under the adaptive default most of
@@ -117,6 +140,9 @@ object ScaleProbe {
     def time(name: String, dir: String): Double = {
       if (forceTwoPhase(name))
         spark.conf.set("graft.prefixsum.threshold", "-1")
+      probeConf.getOrElse(name, Nil).foreach { case (k, v) =>
+        spark.conf.set(k, v)
+      }
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, dir)
@@ -132,6 +158,9 @@ object ScaleProbe {
         -1.0
       } finally {
         spark.conf.unset("graft.prefixsum.threshold")
+        probeConf.getOrElse(name, Nil).foreach { case (k, _) =>
+          spark.conf.unset(k)
+        }
         graft.operators.Dedup.unpersistIntermediates()
         spark.catalog.clearCache()
       }
@@ -194,11 +223,24 @@ object ScaleProbe {
           array_join(transform(split(col("text"), " "),
             t => concat(t, lit(s"x$i"))), " "))
       case "embeddings" =>
-        // Deterministic jitter breaks exact/near-identity across copies
-        // while keeping vector scale (IVF centroids, norms) realistic.
+        // Per-copy ORTHOGONAL transform: rotate the components by the copy
+        // index and flip signs with a deterministic per-(copy, component)
+        // pattern. Each copy is an isometric image of the base corpus —
+        // within-copy norms/cosines/near-dup structure are EXACTLY the
+        // base corpus's — while cross-copy cosines collapse to ~0
+        // (rotation decorrelates; the sign flips kill the rotation-lag
+        // collisions that would recur every `dim` copies). The previous
+        // small additive jitter left copies at cos≈0.999, so every
+        // cosine-threshold result (LSH buckets, semdedup drops, near-dup
+        // pairs) grew QUADRATICALLY with factor — a synthesis artifact,
+        // not a scale signal (the embedding analog of naive text
+        // replication, which token-salting already avoids).
         df = df.withColumn("embedding",
-          transform(col("embedding"), (x, j) =>
-            (x + sin(col("vec_id") * 31 + j * 7 + lit(i * 13)) * lit(0.05))
+          transform(col("embedding"), (_, j) =>
+            (element_at(col("embedding"),
+                ((j + lit(i)) % size(col("embedding"))) + 1)
+              * when(sin(j * 17 + lit(i * 29) + lit(0.5)) >= 0, 1.0f)
+                .otherwise(-1.0f))
               .cast("float")))
       case _ => ()
     }

@@ -10,6 +10,17 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
+  /** Resolve an integer scale knob: session conf wins, then the JVM system
+    * property, then the default (the same precedence as
+    * `graft.prefixsum.threshold`). Gate queries pin index parameters
+    * (centroid counts, LSH bits) to small oracle-replayable defaults; the
+    * scale probe raises them through these knobs to the configuration a
+    * real corpus would use (centroids ~ sqrt(N), bits ~ log2(N)) without
+    * touching the oracle-gated default path.
+    */
+  def intKnob(s: SparkSession, key: String, default: Int): Int =
+    s.conf.get(key, sys.props.getOrElse(key, default.toString)).toInt
+
   /** Persist a DataFrame as a bucketed+sorted table: joins and aggregations
     * on the bucket keys then run shuffle-free (bucket pruning + co-location).
     * The write shuffles ONCE; every subsequent join amortizes it.

@@ -34,10 +34,16 @@ object Ext12Queries {
   /** SemDeDup ([[Similarity.semDedup]]): deterministic centroids (vec_id<8),
     * drop vectors with a lower-id cluster-mate at cosine >= 0.45; returns the
     * kept (vec_id, centroid_id) assignment.
+    *
+    * The gate pins 8 centroids (what the oracle replays); per-centroid
+    * bucket size — and so the pairwise verify — grows as N/k, so a real
+    * corpus scales k ~ sqrt(N). The `graft.semdedup.centroids` knob lets
+    * the 100x scale probe run that configuration on the same plan.
     */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    Similarity.semDedup(emb, emb.filter(col("vec_id") < 8),
+    val k = graft.operators.Scale.intKnob(s, "graft.semdedup.centroids", 8)
+    Similarity.semDedup(emb, emb.filter(col("vec_id") < k),
       "vec_id", "embedding", 0.45)
   }
 

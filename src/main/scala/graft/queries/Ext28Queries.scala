@@ -28,10 +28,14 @@ object Ext28Queries {
     */
   def knnClassify(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
+    // 10 centroids is the oracle-replayed gate shape; candidate volume is
+    // nprobe*N^2/centroids, so a real corpus scales centroids ~ sqrt(N) —
+    // the knob lets the 100x probe run that configuration on the same plan
+    val c = graft.operators.Scale.intKnob(s, "graft.ivf.centroids", 10)
     val neigh = Similarity.ivfTopK(
       queries = emb,
       corpus = emb,
-      centroids = emb.filter(col("vec_id") < 10),
+      centroids = emb.filter(col("vec_id") < c),
       "vec_id", "embedding", k = 5, nprobe = 2)
     val labels = emb.select(col("vec_id"), col("label"))
     val votes = neigh

@@ -153,10 +153,16 @@ object Ext2Queries {
     * dot products are INTEGER arithmetic from an md5-derived seed, so the
     * oracle recomputes the identical buckets in SQL — the full approximate
     * index is replayed, not just sampled.
+    *
+    * The gate pins bitsPerBand=6 (what the oracle replays — selective at
+    * the test SFs); bits must grow ~log2(corpus) to stay selective, so the
+    * `graft.lsh.bitsPerBand` knob lets the 100x scale probe run the
+    * configuration a 200k-vector corpus needs (14 bits) on the same plan.
     */
   def lshAnn(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.lshNearDup(
-        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45)
+        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45,
+        bitsPerBand = Scale.intKnob(s, "graft.lsh.bitsPerBand", 6))
       .select(col("id_1"), col("id_2"), round(col("cos"), 6).as("cos"))
 
   val lshAnnOracle: String = {
