@@ -149,13 +149,24 @@ object Plans {
       .queryExecution.analyzed.treeString)
     md.append("```\n")
 
+    md.append("\n## q_state_inspect\n\n")
+    md.append(
+      """Offline streaming-state introspection, two pinned halves. (1) The DRAIN: a tumbling-window count aggregation over the file-replay source, drained with `Trigger.AvailableNow` + update mode to a checkpoint on an ISOLATED memoized session (8 shuffle partitions, HDFSBacked provider — the reader instantiates the provider from the READER's conf, so write and read pin the same one). (2) The READ: the `statestore` DSv2 source over that checkpoint — ONE DSv2 relation, no recompute of the input; state is one row per (window, event_type), bounded by key cardinality, scanned partition-parallel. The drain below is the analyzed STREAMING plan (un-started); the reader plan follows from the memoized checkpoint the dump run drains once.""")
+    md.append("\n\n```\n== Analyzed Streaming Logical Plan (drain) ==\n")
+    md.append(graft.queries.StreamQueries.stateInspectAgg(spark, sfDir)
+      .queryExecution.analyzed.treeString)
+    md.append("\n== Analyzed Logical Plan (statestore read) ==\n")
+    md.append(graft.queries.StreamQueries.stateInspect(spark, sfDir)
+      .queryExecution.analyzed.treeString)
+    md.append("```\n")
+
     md.append("\n## q_simhash_neardup / q_simhash_fast — cost note\n\n")
     md.append(
       """The two variants share one pipeline (shingle -> md5-prefix token hash -> 60 conditional-sum bit votes -> fingerprint -> 4-band pigeonhole join -> bit_count verify) and differ only in the final Hamming threshold. The per-doc fingerprint table is persisted across BOTH sides of the banded self-join (same posture as jaccardPrefixPairs' prefix postings) so the vote aggregate runs once. The residual gap between q_simhash_fast (runs first) and q_simhash_neardup at sf0.1 is one-time WHOLE-STAGE CODEGEN COMPILATION of the 60-vote aggregate — the second variant reuses the codegen cache — not a plan difference; at production scale the compile second is noise.""")
     md.append("\n")
 
     Files.writeString(Paths.get("PLANS.md"), md.toString)
-    println(s"[plans] wrote PLANS.md (${headline.size} + 2 streaming queries)")
+    println(s"[plans] wrote PLANS.md (${headline.size} + 3 streaming queries)")
     spark.stop()
   }
 }

@@ -34,6 +34,20 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** Deepest cause of `e`, robust to CYCLIC cause chains (a self-caused or
+    * mutually-caused Throwable — legal via initCause — would spin the naive
+    * `Iterator.iterate(_.getCause).takeWhile(_ != null)` walk forever).
+    * Identity-set bounded, Guava-getRootCause style: stop at the first
+    * already-visited link and return the last NEW throwable seen. */
+  private[graft] def rootCause(e: Throwable): Throwable = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[Throwable, java.lang.Boolean]())
+    var cur = e
+    seen.add(cur)
+    while (cur.getCause != null && seen.add(cur.getCause)) cur = cur.getCause
+    cur
+  }
+
   private val KeyOffset = 1000000000L
 
   /** Key columns to offset per copy, by table. */
@@ -151,8 +165,7 @@ object ScaleProbe {
       } catch { case e: Throwable =>
         // walk to the root cause: Spark wraps task/broadcast failures in
         // layers whose own getMessage ("Boxed Exception") hides the fault
-        val root = Iterator.iterate(e)(_.getCause)
-          .takeWhile(_ != null).toSeq.last
+        val root = rootCause(e)
         System.err.println(s"[scaleprobe] $name @ $dir failed: ${e.getMessage}" +
           (if (root ne e) s" | root: ${root.toString.take(500)}" else ""))
         -1.0

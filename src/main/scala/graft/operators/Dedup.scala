@@ -102,23 +102,69 @@ object Dedup {
     * broadcast around ~200 MB — comfortably inside executor memory while
     * still covering every corpus where the broadcast is the clear win
     * (candidates ≫ docs). Found empirically: at the 100x scale probe
-    * (500k docs) the unconditioned broadcast OOM'd the driver. -1 means
-    * always broadcast (no probe), 0 never. Session conf wins over the JVM
-    * system property (same precedence as graft.prefixsum.threshold). */
-  private def docBroadcastCutoff(df: DataFrame): Long =
-    df.sparkSession.conf.get("graft.dedup.broadcastMaxDocs",
-      sys.props.getOrElse("graft.dedup.broadcastMaxDocs", "200000")).toLong
+    * (500k docs) the unconditioned broadcast OOM'd the driver. ANY
+    * negative value means always broadcast (no probe), 0 never; a
+    * non-numeric value is rejected with the conf key named. Session conf
+    * wins over the JVM system property (same precedence as
+    * graft.prefixsum.threshold). */
+  private[graft] def docBroadcastCutoff(df: DataFrame): Long = {
+    val key = "graft.dedup.broadcastMaxDocs"
+    val raw = df.sparkSession.conf.get(key,
+      sys.props.getOrElse(key, "200000"))
+    try raw.toLong catch { case _: NumberFormatException =>
+      throw new IllegalArgumentException(
+        s"$key must be a long (any negative = always broadcast, " +
+          s"0 = never, N > 0 = broadcast up to N docs); got '$raw'")
+    }
+  }
+
+  /** Memoized corpus counts for the broadcast probe, keyed by the
+    * CANONICALIZED analyzed plan (+ owning session): composed queries that
+    * feed one input through several gated operators (q_curation_funnel
+    * pays exact dedup AND cluster canonicals over the same docs) execute
+    * the upstream plan for the probe ONCE, not once per operator. Bounded
+    * LRU — each entry is one plan reference + a Long, and distinct gated
+    * inputs per JVM are few, but the bound makes the worst case explicit. */
+  private val docCountCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        (org.apache.spark.sql.SparkSession,
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+        java.lang.Long](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[
+            (org.apache.spark.sql.SparkSession,
+              org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+            java.lang.Long]): Boolean = size() > 64
+    })
+  private[graft] val docCountProbeRuns =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def memoizedCount(df: DataFrame): Long = {
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+    val cached = docCountCache.get(key)
+    if (cached ne null) cached.longValue()
+    else {
+      // count OUTSIDE the map lock — it runs a Spark job; a duplicate
+      // probe under a race is cheaper than serializing jobs on the cache
+      docCountProbeRuns.incrementAndGet()
+      val n = df.count()
+      docCountCache.put(key, java.lang.Long.valueOf(n))
+      n
+    }
+  }
 
   /** Resolve a caller's broadcast request against the corpus size: true
     * only if requested AND the doc count clears [[docBroadcastCutoff]].
     * The count is one lightweight eager job (column-pruned to a metadata
-    * count for parquet inputs) — the same probe-at-call-time posture as
-    * [[PrefixSum]]. */
+    * count for parquet inputs), MEMOIZED per canonical input plan so
+    * repeated gated operators over the same input (and re-runs in bench /
+    * the determinism spec) never re-execute the upstream plan for the
+    * probe. */
   private def shouldBroadcastDocTables(
       df: DataFrame, requested: Boolean): Boolean =
     requested && {
       val cut = docBroadcastCutoff(df)
-      cut == -1L || (cut > 0L && df.count() <= cut)
+      cut < 0L || (cut > 0L && memoizedCount(df) <= cut)
     }
 
   // --- exact n-gram Jaccard --------------------------------------------------

@@ -148,4 +148,46 @@ class DedupSpec extends SparkTestBase {
     assert(full == Set((1L, 2L, 0.07)))
     assert(pref == full)
   }
+
+  test("docBroadcastCutoff: any negative = always, 0 = never, " +
+      "malformed value names the conf key (round-12 contract fix)") {
+    val key = "graft.dedup.broadcastMaxDocs"
+    def withConf[A](v: String)(f: => A): A = {
+      spark.conf.set(key, v)
+      try f finally spark.conf.unset(key)
+    }
+    assert(withConf("-1")(Dedup.docBroadcastCutoff(corpus)) == -1L)
+    assert(withConf("-7")(Dedup.docBroadcastCutoff(corpus)) == -7L)
+    assert(withConf("0")(Dedup.docBroadcastCutoff(corpus)) == 0L)
+    assert(withConf("123")(Dedup.docBroadcastCutoff(corpus)) == 123L)
+    val e = intercept[IllegalArgumentException] {
+      withConf("not-a-number")(Dedup.docBroadcastCutoff(corpus))
+    }
+    assert(e.getMessage.contains(key),
+      s"error must name the conf key: ${e.getMessage}")
+    assert(e.getMessage.contains("not-a-number"))
+    // semantics: -7 (any negative) must broadcast exactly like -1 — both
+    // skip the count probe entirely
+    val runsBefore = Dedup.docCountProbeRuns.get()
+    withConf("-7")(Dedup.minhashNearDup(corpus, "doc_id", "text").count())
+    withConf("0")(Dedup.minhashNearDup(corpus, "doc_id", "text").count())
+    assert(Dedup.docCountProbeRuns.get() == runsBefore,
+      "negative and zero cutoffs must never run the count probe")
+  }
+
+  test("broadcast count probe is memoized per canonical input plan") {
+    // derived (non-parquet-metadata) input: probe must execute its plan
+    // at most once across repeated gated operators and re-invocations
+    val derived = corpus.filter($"doc_id" >= 0L)
+      .withColumn("text2", $"text")
+    val runsBefore = Dedup.docCountProbeRuns.get()
+    Dedup.minhashNearDup(derived, "doc_id", "text").count()
+    val afterFirst = Dedup.docCountProbeRuns.get()
+    assert(afterFirst == runsBefore + 1, "first gated call probes once")
+    // same canonical plan, different operator + re-run: no new probe
+    Dedup.jaccardPrefixPairs(derived, "doc_id", "text")
+    Dedup.minhashNearDup(derived, "doc_id", "text").count()
+    assert(Dedup.docCountProbeRuns.get() == afterFirst,
+      "repeat gated calls over the same input must reuse the cached count")
+  }
 }

@@ -125,4 +125,22 @@ class EdgeCasesSpec extends SparkTestBase {
       s"union of [0,1000),[100,1100),[200,1200) must be 1200, " +
         s"got ${out.getAs[Long]("cov")}")
   }
+
+  test("ScaleProbe.rootCause terminates on cyclic cause chains and finds " +
+      "the deepest cause on acyclic ones (round-12 bounded walk)") {
+    // acyclic: a -> b -> c, root is c
+    val c = new RuntimeException("root fault")
+    val b = new RuntimeException("wrapper", c)
+    val a = new RuntimeException("outer", b)
+    assert(ScaleProbe.rootCause(a) eq c)
+    assert(ScaleProbe.rootCause(c) eq c)
+    // cyclic: x -> y -> x (initCause is legal exactly once on exceptions
+    // built WITHOUT a constructor cause); the naive takeWhile(_ != null)
+    // walk never returns on this chain
+    val x = new RuntimeException("x")
+    val y = new RuntimeException("y", x)
+    x.initCause(y)
+    val r = ScaleProbe.rootCause(x)
+    assert((r eq x) || (r eq y), "walk must stop inside the cycle")
+  }
 }

@@ -911,11 +911,28 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
-  // q_state_inspect's plan pin (one DSv2 statestore relation, no input
+  // q_state_inspect's READER pin (one DSv2 statestore relation, no input
   // recompute) lives in StateInspectSpec: the reader only exists over a
-  // MATERIALIZED checkpoint, so the pin reuses the drain that suite
-  // already runs instead of paying a streaming job in this lazy-plan-only
-  // suite.
+  // MATERIALIZED checkpoint, so that half reuses the drain that suite
+  // already runs. The DRAIN half is lazy-plan-inspectable and pinned here.
+
+  test("state inspect drain: one streaming tumbling-window count over the " +
+      "file-replay source — grouped by (window, event_type) so state is " +
+      "bounded by key cardinality, not event volume") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val plan = graft.queries.StreamQueries.stateInspectAgg(spark, sf)
+      .queryExecution.analyzed
+    assert(plan.isStreaming, "drain must be a streaming plan")
+    val aggs = plan.collect { case a: Aggregate => a }
+    assert(aggs.size == 1, "expected exactly one aggregation")
+    val grouping = aggs.head.groupingExpressions.map(_.toString).mkString("|")
+    assert(grouping.contains("window"), "grouping lost the tumbling window")
+    assert(grouping.contains("event_type"), "grouping lost event_type")
+    // no joins anywhere — the drain is a single-source fold
+    assert(plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }.isEmpty, "drain must stay single-source")
+  }
 
   test("lexical diversity: three stacked aggregates, no joins, doc scan " +
       "pruned to (doc_id, lang, text)") {

@@ -39,25 +39,48 @@ class QueriesSmokeSpec extends SparkTestBase {
     // textual substitution; these two shapes are what keeps the driver's
     // oracle pass at ~20 s instead of ~10 min (see LlmQueries.sentimentOracle
     // scaladoc). Trip if a rewrite reintroduces the exponential forms.
-    assert(graft.queries.LlmQueries.sentimentOracle.contains("st13 AS ("),
-      "sentiment oracle lost its chained per-level CTEs")
-    for ((name, sql) <- Seq(
-        "q_macd" -> graft.queries.Ext19Queries.macdOracle,
-        "q_heikin_ashi" -> graft.queries.Ext19Queries.heikinAshiOracle,
-        "q_trix" -> graft.queries.Ext31Queries.trixOracle,
-        "q_keltner" -> graft.queries.Ext31Queries.keltnerOracle,
-        "q_kalman_1d" -> graft.queries.Ext21Queries.kalman1dOracle,
-        "q_two_core" -> graft.queries.Ext21Queries.twoCoreOracle,
-        // the trade-graph family: pw (the 4-table lineitem join) sits under
-        // a doubly-referencing e, and e under 2-6 consumers — un-materialized
-        // these went >180 s at sf0.1 (0.1 s materialized)
-        "q_triangle_count" -> graft.queries.Ext12Queries.triangleCountOracle,
-        "q_clustering_coeff" -> graft.queries.Ext32Queries.clusteringCoeffOracle,
-        "q_graph_jaccard" -> graft.queries.Ext33Queries.graphJaccardOracle,
-        "q_adamic_adar" -> graft.queries.Ext20Queries.adamicAdarOracle,
-        "q_khop_reach" -> graft.queries.Ext20Queries.khopReachOracle))
-      assert(sql.contains("AS MATERIALIZED ("),
-        s"$name oracle lost its MATERIALIZED helper CTEs")
+    //
+    // The sentiment oracle's load-bearing shape is the FULL per-level CTE
+    // ladder (st1..st13): each valence step must be its own chained CTE —
+    // one lateral-alias chain inside a single SELECT re-inflates DuckDB's
+    // binder exponentially. Assert every level, not one literal.
+    for (lvl <- 1 to 13)
+      assert(graft.queries.LlmQueries.sentimentOracle.contains(s"st$lvl AS ("),
+        s"sentiment oracle lost chained CTE level st$lvl")
+    // Per-oracle LOAD-BEARING CTE names (round-12 hardening): the helper
+    // whose un-materialization re-runs the dominant subplan per reference
+    // must itself be MATERIALIZED — a generic contains("AS MATERIALIZED")
+    // passed as long as ANY helper kept the keyword, even if the
+    // load-bearing one (pw: the 4-table lineitem join referenced twice by
+    // e; e: referenced by 2-6 consumers; bars/seq: the recursive-seed scan)
+    // lost it. Un-materialized these went >180 s at sf0.1 (0.1 s
+    // materialized).
+    for ((name, sql, ctes) <- Seq[(String, String, Seq[String])](
+        ("q_macd", graft.queries.Ext19Queries.macdOracle,
+          Seq("bars", "seq")),
+        ("q_heikin_ashi", graft.queries.Ext19Queries.heikinAshiOracle,
+          Seq("bars", "seq")),
+        ("q_trix", graft.queries.Ext31Queries.trixOracle,
+          Seq("bars", "seq")),
+        ("q_keltner", graft.queries.Ext31Queries.keltnerOracle,
+          Seq("bars", "seq")),
+        ("q_kalman_1d", graft.queries.Ext21Queries.kalman1dOracle,
+          Seq("bars", "seq")),
+        ("q_two_core", graft.queries.Ext21Queries.twoCoreOracle,
+          Seq("e", "core")),
+        ("q_triangle_count", graft.queries.Ext12Queries.triangleCountOracle,
+          Seq("pw", "e")),
+        ("q_clustering_coeff", graft.queries.Ext32Queries.clusteringCoeffOracle,
+          Seq("pw", "e", "sym")),
+        ("q_graph_jaccard", graft.queries.Ext33Queries.graphJaccardOracle,
+          Seq("pw", "e", "sym")),
+        ("q_adamic_adar", graft.queries.Ext20Queries.adamicAdarOracle,
+          Seq("pw", "e", "adj")),
+        ("q_khop_reach", graft.queries.Ext20Queries.khopReachOracle,
+          Seq("pw", "e", "adj")));
+        cte <- ctes)
+      assert(sql.contains(s"$cte AS MATERIALIZED ("),
+        s"$name oracle: load-bearing CTE '$cte' is no longer MATERIALIZED")
   }
 
   test("golden pin: the e2e pipeline result is byte-stable across rounds") {

@@ -50,11 +50,41 @@ class StateInspectSpec extends SparkTestBase {
         s"only-batch=${(want -- got).take(3)}")
   }
 
-  test("repeat run is deterministic (fresh checkpoint, same state)") {
-    val a = graft.queries.StreamQueries.stateInspect(spark, dir)
-      .collect().map(_.toString).sorted
-    val b = graft.queries.StreamQueries.stateInspect(spark, dir)
+  test("repeat run is deterministic (fresh checkpoints, same state)") {
+    // stateInspectFresh bypasses the memo: each call drains to its OWN
+    // fresh checkpoint and deletes it after collect — two independent
+    // drains must agree with each other and with the cached path.
+    val a = graft.queries.StreamQueries.stateInspectFresh(spark, dir)
+      .map(_.toString).sorted
+    val b = graft.queries.StreamQueries.stateInspectFresh(spark, dir)
+      .map(_.toString).sorted
+    val cached = graft.queries.StreamQueries.stateInspect(spark, dir)
       .collect().map(_.toString).sorted
     assert(a.sameElements(b))
+    assert(a.sameElements(cached))
+  }
+
+  test("repeated calls leak neither sessions nor checkpoint dirs " +
+      "(round-12 fix: memoized isolated session + per-dir checkpoint)") {
+    def ckptDirs(): Set[String] = {
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"))
+      Option(tmp.list()).getOrElse(Array.empty[String])
+        .filter(_.startsWith("graft-state-inspect")).toSet
+    }
+    // prime the memo, then snapshot
+    graft.queries.StreamQueries.stateInspect(spark, dir).count()
+    val sessionsBefore =
+      graft.queries.StreamQueries.isolatedSessionCount.get()
+    val dirsBefore = ckptDirs()
+    (1 to 3).foreach { _ =>
+      assert(graft.queries.StreamQueries.stateInspect(spark, dir).count() > 0)
+    }
+    assert(graft.queries.StreamQueries.isolatedSessionCount.get()
+      == sessionsBefore, "cached calls must not create new sessions")
+    assert(ckptDirs() == dirsBefore,
+      "cached calls must not create new checkpoint dirs")
+    // at most one isolated session ever exists per root session
+    assert(sessionsBefore == 1)
   }
 }
