@@ -485,7 +485,8 @@ object VaderData {
     coreLexicon ++ VaderLexiconExt.entries ++ VaderLexiconExt2.entries ++
       VaderLexiconExt3.entries ++ VaderLexiconExt4.entries ++
       VaderLexiconExt5.entries ++ VaderLexiconExt6.entries ++
-      VaderLexiconExt7.entries ++ VaderLexiconExt8.entries
+      VaderLexiconExt7.entries ++ VaderLexiconExt8.entries ++
+      VaderLexiconExt9.entries
 }
 
 /** Default full-rule scorer over the embedded published tables. */

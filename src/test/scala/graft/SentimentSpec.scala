@@ -27,7 +27,21 @@ class SentimentSpec extends SparkTestBase {
       "Today SUX!" -> -0.5461,
       "Today only kinda sux! But I'll get by, lol" -> 0.5249,
       // pins sure=1.3, ":)"=2.0, ":d"=2.3 + caps emphasis + '!' emphasis
-      "Make sure you :) or :D today!" -> 0.8633)
+      "Make sure you :) or :D today!" -> 0.8633,
+      // round-12 widenings from the published "tricky sentences" demo:
+      // the three Roger Dodger compounds jointly pin compelling=0.9 (the
+      // booster, least-damping and at-least-exception paths over one word)
+      "Roger Dodger is one of the most compelling variations on this theme." -> 0.2944,
+      "Roger Dodger is one of the least compelling variations on this theme." -> -0.1695,
+      "Roger Dodger is at least compelling as a variation on the theme." -> 0.2263,
+      // pins uncompelling (calibrated) + but-reweighting + negated great
+      "The plot was good, but the characters are uncompelling and the dialog is not great." -> -0.7042,
+      "A really bad, horrible book." -> -0.8211,
+      "Sentiment analysis has never been good." -> -0.3412,
+      "Sentiment analysis has never been this good!" -> 0.5672,
+      "Most automated sentiment analysis tools are shit." -> -0.5574,
+      "With VADER, sentiment analysis is the shit!" -> 0.6476,
+      "Other sentiment analysis tools can be quite bad." -> -0.5849)
     goldens.foreach { case (text, expected) =>
       assert(round4(Sentiment.score(text)) == expected,
         s"'$text': got ${Sentiment.score(text)}, want $expected")

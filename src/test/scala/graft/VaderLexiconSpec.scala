@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Sentiment, VaderData, VaderLexiconExt, VaderLexiconExt2, VaderLexiconExt3, VaderLexiconExt4, VaderLexiconExt5, VaderLexiconExt6, VaderLexiconExt7, VaderLexiconExt8}
+import graft.operators.{Sentiment, VaderData, VaderLexiconExt, VaderLexiconExt2, VaderLexiconExt3, VaderLexiconExt4, VaderLexiconExt5, VaderLexiconExt6, VaderLexiconExt7, VaderLexiconExt8, VaderLexiconExt9}
 
 /** Structural invariants of the three-block embedded lexicon (core +
   * round-10 widenings). These are SEMANTIC guards, not style checks: a
@@ -21,7 +21,8 @@ class VaderLexiconSpec extends AnyFunSuite {
     "ext5" -> VaderLexiconExt5.entries.keySet,
     "ext6" -> VaderLexiconExt6.entries.keySet,
     "ext7" -> VaderLexiconExt7.entries.keySet,
-    "ext8" -> VaderLexiconExt8.entries.keySet)
+    "ext8" -> VaderLexiconExt8.entries.keySet,
+    "ext9" -> VaderLexiconExt9.entries.keySet)
 
   test("no pair of lexicon blocks overlaps (no silent shadowing)") {
     for {
@@ -45,8 +46,8 @@ class VaderLexiconSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"out-of-scale valences: $bad")
   }
 
-  test("merged lexicon covers >= 6800 entries and all blocks contribute") {
-    assert(VaderData.lexicon.size >= 6800,
+  test("merged lexicon covers >= 7000 entries and all blocks contribute") {
+    assert(VaderData.lexicon.size >= 7000,
       s"merged size ${VaderData.lexicon.size}")
     assert(VaderData.lexicon.size == blocks.map(_._2.size).sum)
   }
