@@ -298,6 +298,16 @@ object StreamQueries {
     (df, ckpt)
   }
 
+  /** Drop all memoized reader results so the next [[stateInspect]] call
+    * pays a genuinely fresh drain. For measurement honesty: Bench's
+    * noise-guard re-run calls this, otherwise the re-run would time a
+    * trivial scan of the cached checkpoint and could mask a real drain
+    * regression behind the memo. Already-registered checkpoint dirs stay
+    * on disk until JVM exit (the dropped DataFrames may still be
+    * referenced); the count is bounded by invalidation calls, which only
+    * happen on noise-guard re-runs. */
+  def invalidateStateInspectCache(): Unit = stateInspectCache.clear()
+
   /** Test seam: run a genuinely FRESH drain (bypassing the memo), collect
     * its state rows, and delete the checkpoint immediately — the
     * determinism spec uses this to prove independent drains agree without
