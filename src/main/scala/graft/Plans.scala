@@ -93,7 +93,7 @@ object Plans {
       "q_woe_iv" -> "WOE/IV feature screen: 2-column pruned scan, scalar totals broadcast back (1-row nested loop), zero sort-merge joins",
       "q_clustering_coeff" -> "Clustering coefficients: wedge enumeration + closure check as equi-joins over the trade graph — no cartesian",
       "q_lexical_diversity" -> "Lexical diversity: three stacked partial aggregates (word, doc, lang), 3-column pruned scan, no joins",
-      "q_cluster_canonical" -> "Canonical-per-cluster selection: dedup components (prefix-filtered pair source — corpus-scale, identical pair set) + one window pick — the pair graph dominates, the pick is one narrow shuffle",
+      "q_cluster_canonical" -> "Canonical-per-cluster selection: dedup components (prefix-filtered pair source — corpus-scale, identical pair set) + one window pick — the pair graph dominates, the pick is one narrow shuffle. Cost note: the prefix-pair source is the deliberate scale-safe price (the all-pairs source ScaleFences at 100x); isolated min-of-3 at sf0.1 is 2.3 s vs the 3.4 s anchor, while full-314-run readings sit at 5-6 s across rounds — block-manager/GC churn from 300 cold siblings, not a plan term (the plan is round-count-free: single-task union-find below the 5M-edge cutoff)",
       "q_containment" -> "Directed containment pairs: fenced postings self-join on hashed shingles, per-direction normalization — same scale posture as jaccardPairs",
       "q_containment_prefix" -> "Prefix-filtered containment: rarity-ordered sub-side prefix probes the full postings; candidates verify via in-row array_intersect — the lossless scale path",
       "q_boilerplate" -> "Boilerplate detection: postings + df aggregate + join back — linear shuffles on shingle/doc keys, no pair joins anywhere",
