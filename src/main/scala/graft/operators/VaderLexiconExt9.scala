@@ -28,6 +28,18 @@ package graft.operators
   * Same structural invariants as [[VaderLexiconExt]] (no overlap with any
   * other block or with boosters/negations; valences in [-4, 4]; lowercase
   * keys), enforced by VaderLexiconSpec.
+  *
+  * Remaining known gap after this block: the published file's emoticon
+  * VARIANT tail ("(-:", "):", ";p", ":*", ">:)" …) — a round-12 probe of
+  * 119 emoticon/slang tokens found the high-traffic forms (":)", ":(",
+  * ":d", "<3", "xd", "lol", "rofl", …) already embedded and ~2 dozen rare
+  * variants missing; their crowd means cannot be reconstructed offline
+  * with useful precision, and a wrong valence is worse than OOV (which
+  * at least scores 0, matching no-hit). Sentiment-free fillers the probe
+  * also flagged ("hmm", "idk", "um") are CORRECTLY absent — the published
+  * lexicon only carries nonzero-mean tokens — and "nope" is excluded by
+  * the negation-disjointness invariant, as published VADER treats it as a
+  * negator, not a lexicon word.
   */
 object VaderLexiconExt9 {
 

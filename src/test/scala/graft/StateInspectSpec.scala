@@ -87,4 +87,25 @@ class StateInspectSpec extends SparkTestBase {
     // at most one isolated session ever exists per root session
     assert(sessionsBefore == 1)
   }
+
+  test("invalidateStateInspectCache forces a genuinely fresh drain " +
+      "(bench noise-guard contract)") {
+    def ckptDirs(): Set[String] = {
+      val tmp = new java.io.File(
+        System.getProperty("java.io.tmpdir", "/tmp"))
+      Option(tmp.list()).getOrElse(Array.empty[String])
+        .filter(_.startsWith("graft-state-inspect")).toSet
+    }
+    val before = graft.queries.StreamQueries.stateInspect(spark, dir)
+      .collect().map(_.toString).sorted
+    val dirsBefore = ckptDirs()
+    graft.queries.StreamQueries.invalidateStateInspectCache()
+    val after = graft.queries.StreamQueries.stateInspect(spark, dir)
+      .collect().map(_.toString).sorted
+    // a fresh drain means a NEW checkpoint dir appeared…
+    assert(ckptDirs().size == dirsBefore.size + 1,
+      "post-invalidation call must drain to a fresh checkpoint")
+    // …with identical state (determinism across independent drains)
+    assert(before.sameElements(after))
+  }
 }
