@@ -187,8 +187,7 @@ object Ext11Queries {
     * the CSV/ORC round trips).
     */
   def schemaEvolution(s: SparkSession, dir: String): DataFrame = {
-    val root = java.nio.file.Files.createTempDirectory("graft-schema-evo")
-    root.toFile.deleteOnExit()
+    val root = graft.util.TempDirs.create("graft-schema-evo")
     val ev = Tables.events(s, dir)
     ev.select(col("event_id"), col("event_type"), col("value"))
       .write.mode("overwrite").parquet(root.toString + "/v=1")
@@ -222,12 +221,10 @@ object Ext11Queries {
     * shape as StreamQueries.eventsStream).
     */
   private def docsStream(s: SparkSession, dir: String): DataFrame = {
-    val staged = java.nio.file.Files.createTempDirectory("graft-stream-docs")
-    staged.toFile.deleteOnExit()
+    val staged = graft.util.TempDirs.create("graft-stream-docs")
     val stagedFile = staged.resolve("documents.parquet")
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/documents.parquet"), stagedFile)
-    stagedFile.toFile.deleteOnExit()
     s.readStream.schema(docsSchema).parquet(staged.toString)
   }
 

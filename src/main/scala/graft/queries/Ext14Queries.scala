@@ -246,8 +246,7 @@ object Ext14Queries {
 
   private def ensureBinStaged(s: SparkSession, dir: String): String =
     binDirs.computeIfAbsent(dir, _ => {
-      val staged = java.nio.file.Files.createTempDirectory("graft-bin")
-      staged.toFile.deleteOnExit()
+      val staged = graft.util.TempDirs.create("graft-bin")
       Tables.documents(s, dir).filter(col("doc_id") < 100)
         .select("doc_id", "text").collect().foreach { r =>
           java.nio.file.Files.write(

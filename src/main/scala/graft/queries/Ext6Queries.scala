@@ -114,8 +114,7 @@ object Ext6Queries {
 
   private[graft] def ensureStaged(s: SparkSession, dir: String): String =
     stagedDirs.computeIfAbsent(dir, _ => {
-      val staged = java.nio.file.Files.createTempDirectory("graft-pscan")
-      staged.toFile.deleteOnExit()
+      val staged = graft.util.TempDirs.create("graft-pscan")
       Tables.events(s, dir)
         .write.partitionBy("event_type").mode("overwrite")
         .parquet(staged.toString)

@@ -276,8 +276,7 @@ object Ext7Queries {
     * scan path (header skip, type coercion) the wire tier needs.
     */
   def csvRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val staged = java.nio.file.Files.createTempDirectory("graft-csv")
-    staged.toFile.deleteOnExit()
+    val staged = graft.util.TempDirs.create("graft-csv")
     Tables.events(s, dir)
       .select("event_id", "ts_us", "user_id", "event_type", "value")
       .write.mode("overwrite").option("header", "true").csv(staged.toString)
@@ -302,8 +301,7 @@ object Ext7Queries {
     * at 100 TB an inference pass is a full extra read of the corpus.
     */
   def jsonRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val staged = java.nio.file.Files.createTempDirectory("graft-json")
-    staged.toFile.deleteOnExit()
+    val staged = graft.util.TempDirs.create("graft-json")
     Tables.events(s, dir)
       .select("event_id", "ts_us", "event_type", "value", "props")
       .write.mode("overwrite").json(staged.toString)

@@ -60,8 +60,7 @@ object Ext8Queries {
     * cost at 100 TB is one read like every other format.
     */
   def xmlSource(s: SparkSession, dir: String): DataFrame = {
-    val staged = java.nio.file.Files.createTempDirectory("graft-xml")
-    staged.toFile.deleteOnExit()
+    val staged = graft.util.TempDirs.create("graft-xml")
     import s.implicits._
     // one well-formed document PER PARTITION (<items> root wrapping the
     // items): the XML scanner needs a root element — bare fragment lines
@@ -191,7 +190,7 @@ object Ext8Queries {
     * fact tables use exactly this path with a server-side database.
     */
   def jdbcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val db = java.nio.file.Files.createTempDirectory("graft-derby")
+    val db = graft.util.TempDirs.create("graft-derby")
       .resolve("eventsdb")
     val url = s"jdbc:derby:$db;create=true"
     val props = new java.util.Properties()
@@ -230,8 +229,7 @@ object Ext8Queries {
     * JSON, XML, JDBC, ORC here.
     */
   def orcRoundtrip(s: SparkSession, dir: String): DataFrame = {
-    val staged = java.nio.file.Files.createTempDirectory("graft-orc")
-    staged.toFile.deleteOnExit()
+    val staged = graft.util.TempDirs.create("graft-orc")
     Tables.events(s, dir)
       .select("event_id", "ts_us", "user_id", "event_type", "value")
       .write.mode("overwrite").orc(staged.toString)
@@ -256,8 +254,7 @@ object Ext8Queries {
     * with; the oracle recomputes both populations from the corruption rule.
     */
   def corruptRecords(s: SparkSession, dir: String): DataFrame = {
-    val staged = java.nio.file.Files.createTempDirectory("graft-corrupt")
-    staged.toFile.deleteOnExit()
+    val staged = graft.util.TempDirs.create("graft-corrupt")
     Tables.events(s, dir)
       .select(when(col("event_id") % 10 === 0,
           concat(lit("{\"event_id\":"), col("event_id").cast("string"),

@@ -304,8 +304,7 @@ object ExtQueries {
     * oracle as the literal-fixture decode.
     */
   def sourceV2(s: SparkSession, dir: String): DataFrame = {
-    val staged = java.nio.file.Files.createTempDirectory("graft-klines-zone")
-    staged.toFile.deleteOnExit()
+    val staged = graft.util.TempDirs.create("graft-klines-zone")
     // key extraction mirrors the producer's "SYMBOL-interval" message key
     // (producer_prices.py:38,63), interval defaulting to 1h like E15
     WireQueries.priceFixtures.groupBy { f =>
@@ -316,7 +315,6 @@ object ExtQueries {
     }.foreach { case (key, msgs) =>
       val p = staged.resolve(s"$key.jsonl")
       java.nio.file.Files.write(p, msgs.mkString("\n").getBytes("UTF-8"))
-      p.toFile.deleteOnExit()
     }
     val raw = s.read.format("graft-klines")
       .option("path", staged.toString).load()

@@ -41,10 +41,7 @@ object StreamQueries {
     // revalidation in [[graft.streaming.StagedDirs]] — the round-9
     // verdict's shared-landing-zone item) serves every streaming query.
     val staged = graft.streaming.StagedDirs.getOrStage(s"events|$dir") {
-      val dst = java.nio.file.Files.createTempDirectory("graft-stream-events")
-      // deleteOnExit runs LIFO: register the dir BEFORE its files so the
-      // files delete first and the (then-empty) dir deletion succeeds
-      dst.toFile.deleteOnExit()
+      val dst = graft.util.TempDirs.create("graft-stream-events")
       val src = java.nio.file.Paths.get(s"$dir/events.parquet")
       val dataFiles: Seq[java.nio.file.Path] =
         if (java.nio.file.Files.isDirectory(src)) {
@@ -58,9 +55,7 @@ object StreamQueries {
           } finally s0.close()
         } else Seq(src)
       dataFiles.zipWithIndex.foreach { case (f, i) =>
-        val stagedFile = dst.resolve(s"events-$i.parquet")
-        java.nio.file.Files.copy(f, stagedFile)
-        stagedFile.toFile.deleteOnExit()
+        java.nio.file.Files.copy(f, dst.resolve(s"events-$i.parquet"))
       }
       dst.toString
     }
@@ -232,10 +227,10 @@ object StreamQueries {
     stateInspectCache.computeIfAbsent((s, dir), { _ =>
       val (df, ckpt) = drainAndReadState(inspectSession(s), dir)
       // deleteOnExit alone never removes a NON-EMPTY dir (the checkpoint
-      // grows offsets/commits/state subtrees); forceDeleteOnExit walks
-      // recursively at JVM exit. One dir per (session, dir) key — the
-      // memoization above is what bounds the count.
-      org.apache.commons.io.FileUtils.forceDeleteOnExit(ckpt.toFile)
+      // grows offsets/commits/state subtrees); the TempDirs shutdown hook
+      // walks the tree recursively AT EXIT. One dir per (session, dir)
+      // key — the memoization above is what bounds the count.
+      graft.util.TempDirs.register(ckpt)
       df
     })
 

@@ -29,8 +29,7 @@ object LandingZone {
     * must share one schema.
     */
   def stage(first: DataFrame, sentinels: Seq[DataFrame]): String = {
-    val staged = java.nio.file.Files.createTempDirectory("graft-landing")
-    staged.toFile.deleteOnExit()
+    val staged = graft.util.TempDirs.create("graft-landing")
     val t0 = System.currentTimeMillis() - 60000L
     (first +: sentinels).zipWithIndex.foreach { case (df, i) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-landing-stage")
@@ -48,7 +47,6 @@ object LandingZone {
       java.nio.file.Files.copy(src, dst)
       java.nio.file.Files.setLastModifiedTime(dst,
         java.nio.file.attribute.FileTime.fromMillis(t0 + i * 10000L))
-      dst.toFile.deleteOnExit()
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
     staged.toString

@@ -5,8 +5,9 @@ import java.util.concurrent.ConcurrentHashMap
 /** Process-wide memo of staged landing-zone directories (replay-only
   * copies). A cache hit is REVALIDATED against the EXACT file count
   * recorded at staging time — /tmp reapers or manual cleanup can remove a
-  * staged copy (or a subset of its files) mid-JVM (deleteOnExit only fires
-  * at exit), and a blindly-reused dead or PARTIALLY-reaped path would make
+  * staged copy (or a subset of its files) mid-JVM (exit-time cleanup —
+  * [[graft.util.TempDirs]] — only fires at exit), and a blindly-reused
+  * dead or PARTIALLY-reaped path would make
   * the file stream source drain zero or truncated rows silently: a wrong
   * answer, not an error. ("At least one file" is not enough — losing the
   * data file while a sentinel survives still lists non-empty.) Staleness
@@ -78,7 +79,8 @@ object StagedDirs {
   }
 
   /** Forget the memo for `keys` so the next [[getOrStage]] re-stages them
-    * (staged dirs stay on disk; deleteOnExit owns cleanup).
+    * (staged dirs stay on disk; [[graft.util.TempDirs]]' exit-time
+    * registration owns cleanup).
     */
   def invalidate(keys: Seq[String]): Unit =
     keys.foreach(cache.remove)

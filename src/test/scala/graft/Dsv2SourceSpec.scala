@@ -8,17 +8,15 @@ class Dsv2SourceSpec extends SparkTestBase {
   import spark.implicits._
 
   private lazy val zone: String = {
-    val dir = java.nio.file.Files.createTempDirectory("dsv2-spec-zone")
-    dir.toFile.deleteOnExit()
+    val dir = graft.util.TempDirs.create("dsv2-spec-zone")
     val files = Map(
       "BTCUSDT-1h" -> Seq("""{"symbol":"BTCUSDT","interval":"1h","open_time":1704067200000,"open":"1.0","high":"2.0","low":"0.5","close":"1.5","volume":"10.0","close_time":1704070799999,"fetched_at":"2024-01-01T01:00:05"}""",
         """{"symbol":"BTCUSDT","interval":"1h","open_time":1704070800000,"open":"1.5","high":"2.5","low":"1.0","close":"2.0","volume":"11.0","close_time":1704074399999,"fetched_at":"2024-01-01T02:00:05"}"""),
       "BTCUSDT-1d" -> Seq("""{"symbol":"BTCUSDT","interval":"1d","open_time":1704067200000,"open":"1.0","high":"3.0","low":"0.4","close":"2.2","volume":"99.0","close_time":1704153599999,"fetched_at":"2024-01-02T00:00:07"}"""),
       "ETHUSDT-1h" -> Seq("""{"symbol":"ETHUSDT","interval":"1h","open_time":1704067200000,"open":"5.0","high":"6.0","low":"4.5","close":"5.5","volume":"20.0","close_time":1704070799999,"fetched_at":"2024-01-01T01:00:05"}"""))
     files.foreach { case (k, lines) =>
-      val p = dir.resolve(s"$k.jsonl")
-      java.nio.file.Files.write(p, lines.mkString("\n").getBytes("UTF-8"))
-      p.toFile.deleteOnExit()
+      java.nio.file.Files.write(
+        dir.resolve(s"$k.jsonl"), lines.mkString("\n").getBytes("UTF-8"))
     }
     dir.toString
   }

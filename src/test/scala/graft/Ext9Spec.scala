@@ -157,8 +157,7 @@ class Ext9Spec extends SparkTestBase {
       (2L, "the quick brown fox jumps over lazy dogs tonight quietly", "en", "s", 56L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     docs.createOrReplaceTempView("documents_tmp")
-    val staged = java.nio.file.Files.createTempDirectory("graft-rep")
-    staged.toFile.deleteOnExit()
+    val staged = graft.util.TempDirs.create("graft-rep")
     docs.write.mode("overwrite").parquet(staged.toString + "/documents.parquet")
     val out = Ext9Queries.repetitionFilter(spark, staged.toString).collect()
       .map(r => r.getLong(0) -> r).toMap

@@ -26,7 +26,7 @@ class IndicatorJobSpec extends SparkTestBase {
   }
 
   test("run is idempotent: second run on unchanged input appends 0 rows") {
-    val dir = Files.createTempDirectory("graft-ind").toString
+    val dir = graft.util.TempDirs.create("graft-ind").toString
     val klinePath = s"$dir/kline_fact"
     val indPath = s"$dir/indicator_fact"
     klineFixture.write.parquet(klinePath)
@@ -39,7 +39,7 @@ class IndicatorJobSpec extends SparkTestBase {
   }
 
   test("late rows: only the new keys are appended on re-run") {
-    val dir = Files.createTempDirectory("graft-ind2").toString
+    val dir = graft.util.TempDirs.create("graft-ind2").toString
     val klinePath = s"$dir/kline_fact"
     val indPath = s"$dir/indicator_fact"
     klineFixture.write.parquet(klinePath)

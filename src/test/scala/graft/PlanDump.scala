@@ -13,11 +13,11 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val d1 = java.nio.file.Files.createTempDirectory("pin-tws").toString
+    val d1 = graft.util.TempDirs.create("pin-tws").toString
     println("=== TWS_SESSIONS ANALYZED ===")
     println(graft.streaming.SessionTimers
       .sessionStream(spark, d1, 1800000000L).queryExecution.analyzed.treeString)
-    val d2 = java.nio.file.Files.createTempDirectory("pin-soj").toString
+    val d2 = graft.util.TempDirs.create("pin-soj").toString
     println("=== STREAM_OUTER_JOIN ANALYZED ===")
     println(graft.queries.Ext37Queries
       .outerJoinStream(spark, d2).queryExecution.analyzed.treeString)

@@ -865,8 +865,7 @@ class PlanSpec extends SparkTestBase {
       "user_id, fed by a 0-second watermark directly over the file source " +
       "(every landing-zone file advances the clock)") {
     import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, TransformWithState}
-    val staged = java.nio.file.Files.createTempDirectory("graft-pin-tws")
-    staged.toFile.deleteOnExit()
+    val staged = graft.util.TempDirs.create("graft-pin-tws")
     val plan = graft.streaming.SessionTimers
       .sessionStream(spark, staged.toString, 1800000000L)
       .queryExecution.analyzed
@@ -890,8 +889,7 @@ class PlanSpec extends SparkTestBase {
       "above the source so sentinels advance both sides' clocks before the " +
       "type filters") {
     import org.apache.spark.sql.catalyst.plans.logical.{EventTimeWatermark, Join}
-    val staged = java.nio.file.Files.createTempDirectory("graft-pin-soj")
-    staged.toFile.deleteOnExit()
+    val staged = graft.util.TempDirs.create("graft-pin-soj")
     val plan = graft.queries.Ext37Queries
       .outerJoinStream(spark, staged.toString)
       .queryExecution.analyzed

@@ -46,8 +46,7 @@ class ScaleSpec extends SparkTestBase {
       "spark.sql.autoBroadcastJoinThreshold" -> "-1")
     val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
     confs.foreach { case (k, v) => spark.conf.set(k, v) }
-    val dir = java.nio.file.Files.createTempDirectory("graft-skew")
-    dir.toFile.deleteOnExit()
+    val dir = graft.util.TempDirs.create("graft-skew")
     try {
       val skewed = spark.range(0, 200000)
         .select(when(col("id") % 5 =!= 0, lit(7L)).otherwise(col("id")).as("k"),
@@ -95,7 +94,7 @@ class ScaleSpec extends SparkTestBase {
   }
 
   test("partitioned write produces partition directories and round-trips") {
-    val dir = java.nio.file.Files.createTempDirectory("graft-part").toString + "/out"
+    val dir = graft.util.TempDirs.create("graft-part").toString + "/out"
     val ev = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
       .withColumn("etype", col("event_type"))
     Scale.writePartitioned(ev, dir, Seq("etype"), targetPartitions = 4)

@@ -10,11 +10,8 @@ import graft.streaming.StagedDirs
 class StagedDirsSpec extends AnyFunSuite {
 
   private def mkStaged(): String = {
-    val d = java.nio.file.Files.createTempDirectory("graft-stageddirs-spec")
-    d.toFile.deleteOnExit()
-    val f = d.resolve("data.bin")
-    java.nio.file.Files.write(f, Array[Byte](1, 2, 3))
-    f.toFile.deleteOnExit()
+    val d = graft.util.TempDirs.create("graft-stageddirs-spec")
+    java.nio.file.Files.write(d.resolve("data.bin"), Array[Byte](1, 2, 3))
     d.toString
   }
 

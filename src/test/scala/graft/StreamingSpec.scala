@@ -15,7 +15,7 @@ import graft.streaming.{IdempotentWriter, Pipelines, StatefulIndicators}
 class StreamingSpec extends SparkTestBase {
   import spark.implicits._
 
-  private def tmp(prefix: String) = Files.createTempDirectory(prefix).toString
+  private def tmp(prefix: String) = graft.util.TempDirs.create(prefix).toString
 
   test("priceFlow through MemoryStream: duplicates collapse, malformed rows dropped (T3/T4)") {
     implicit val sqlCtx = spark.sqlContext
