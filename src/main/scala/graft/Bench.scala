@@ -97,6 +97,10 @@ object Bench {
           // re-run must pay the full drain again or it measures a cached
           // checkpoint scan instead of the query
           graft.queries.StreamQueries.invalidateStateInspectCache()
+          // likewise the dedup broadcast probe memoizes its corpus count
+          // per canonical plan; a re-run of a gated query must pay the
+          // probe job again or the min-merge measures less work
+          graft.operators.Dedup.invalidateDocCountCache()
           val t2 = materialize(n)
           n -> (if (t2 >= 0) math.min(t, t2) else t)
         case _ => n -> t

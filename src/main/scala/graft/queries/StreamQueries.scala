@@ -223,21 +223,44 @@ object StreamQueries {
     * key cardinality, not event volume; the reader scans state files
     * partition-parallel with no driver-side state.
     */
-  def stateInspect(s: SparkSession, dir: String): DataFrame =
-    stateInspectCache.computeIfAbsent((s, dir), { _ =>
+  def stateInspect(s: SparkSession, dir: String): DataFrame = {
+    val key = (s, dir)
+    val hit = stateInspectCache.get(key)
+    // REVALIDATE a hit against the exact regular-file count recorded at
+    // drain time — the same contract as StagedDirs: a /tmp reaper can
+    // remove the checkpoint (or a subset of its state files) mid-JVM, and
+    // a blindly-reused partial checkpoint would return TRUNCATED state
+    // rows silently. A dead/shrunken/grown tree forces a fresh drain.
+    if (hit != null && regularFileCount(hit.ckpt) == hit.nFiles) hit.df
+    else {
+      // drain OUTSIDE the map lock — it runs a full (bounded) streaming
+      // job; a duplicate drain under a race is cheaper than blocking every
+      // other key in the bin for up to the drain timeout (same rationale
+      // as Dedup.memoizedCount)
       val (df, ckpt) = drainAndReadState(inspectSession(s), dir)
-      // deleteOnExit alone never removes a NON-EMPTY dir (the checkpoint
-      // grows offsets/commits/state subtrees); the TempDirs shutdown hook
-      // walks the tree recursively AT EXIT. One dir per (session, dir)
-      // key — the memoization above is what bounds the count.
-      graft.util.TempDirs.register(ckpt)
+      stateInspectCache.put(key, InspectEntry(df, ckpt, regularFileCount(ckpt)))
       df
-    })
+    }
+  }
+
+  private final case class InspectEntry(
+      df: DataFrame, ckpt: java.nio.file.Path, nFiles: Long)
 
   /** Memoized reader results: one drained checkpoint + lazy statestore
-    * reader per (root session, input dir). */
+    * reader per (root session, input dir), with the checkpoint's
+    * drain-time file count for hit revalidation. */
   private val stateInspectCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), InspectEntry]()
+
+  /** Regular files under `p` right now; -1 if `p` is gone (never a valid
+    * drain-time count, so a dead path always fails revalidation). */
+  private def regularFileCount(p: java.nio.file.Path): Long =
+    if (!java.nio.file.Files.isDirectory(p)) -1L
+    else {
+      val s0 = java.nio.file.Files.walk(p)
+      try s0.filter(java.nio.file.Files.isRegularFile(_)).count()
+      finally s0.close()
+    }
 
   /** Memoized isolated sessions, one per root session (test-visible count
     * asserts the memoization holds). */
@@ -257,25 +280,33 @@ object StreamQueries {
       s2
     })
 
+  /** The tumbling-count aggregation itself — the ONE definition both the
+    * real drain and the plan pin build from, so an edit to the drain's
+    * shape cannot silently diverge from what PLANS.md / PlanSpec assert. */
+  private def tumblingCountAgg(s2: SparkSession, dir: String): DataFrame =
+    eventsStream(s2, dir)
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+
   /** The UN-STARTED streaming aggregation the state-inspect drain runs —
     * exposed as a seam so PLANS.md / PlanSpec can pin its analyzed
     * streaming plan (tumbling-window count over the file-replay source)
     * without paying a drain. */
   private[graft] def stateInspectAgg(s: SparkSession, dir: String): DataFrame =
-    eventsStream(inspectSession(s), dir)
-      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
+    tumblingCountAgg(inspectSession(s), dir)
 
   /** Uncached drain + state read: drains the tumbling-count aggregation to
     * a FRESH temp checkpoint and returns the lazy statestore reader over it
-    * plus the checkpoint path. The caller owns the dir's lifetime — it must
-    * survive until the reader's last materialization. */
+    * plus the checkpoint path. The dir is exit-registered FROM BIRTH
+    * ([[graft.util.TempDirs.create]]) so a drain that fails mid-way (e.g.
+    * the await timeout) cannot orphan a populated checkpoint; callers that
+    * finish with it sooner may still delete eagerly (the hook no-ops on
+    * missing paths), but the memoized path must let it outlive the
+    * reader's last materialization. */
   private def drainAndReadState(
       s2: SparkSession, dir: String): (DataFrame, java.nio.file.Path) = {
-    val agg = eventsStream(s2, dir)
-      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"))
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-state-inspect")
+    val agg = tumblingCountAgg(s2, dir)
+    val ckpt = graft.util.TempDirs.create("graft-state-inspect")
     val q = agg.writeStream
       .outputMode("update")
       .format("noop")

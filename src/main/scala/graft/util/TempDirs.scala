@@ -37,8 +37,12 @@ object TempDirs {
     * fires at JVM exit, where nothing can assert. */
   private[graft] def deleteAll(paths: Iterable[java.nio.file.Path]): Unit =
     paths.foreach { p =>
+      // per-path NonFatal, not just IOException: one undeletable path (or
+      // a path a reaper replaced with a plain file, which deleteDirectory
+      // rejects with IllegalArgumentException) must not abort cleanup of
+      // every remaining registered dir
       try org.apache.commons.io.FileUtils.deleteDirectory(p.toFile)
-      catch { case _: java.io.IOException => () } // exit anyway
+      catch { case scala.util.control.NonFatal(_) => () } // exit anyway
     }
 
   // installed lazily so JVMs that never stage anything add no hook

@@ -190,4 +190,15 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.docCountProbeRuns.get() == afterFirst,
       "repeat gated calls over the same input must reuse the cached count")
   }
+
+  test("invalidateDocCountCache forces a fresh probe " +
+      "(bench noise-guard contract)") {
+    val derived = corpus.filter($"doc_id" >= 0L).withColumn("text3", $"text")
+    Dedup.minhashNearDup(derived, "doc_id", "text").count() // prime
+    val primed = Dedup.docCountProbeRuns.get()
+    Dedup.invalidateDocCountCache()
+    Dedup.minhashNearDup(derived, "doc_id", "text").count()
+    assert(Dedup.docCountProbeRuns.get() == primed + 1,
+      "post-invalidation gated call must pay a genuinely fresh probe job")
+  }
 }

@@ -108,4 +108,39 @@ class StateInspectSpec extends SparkTestBase {
     // …with identical state (determinism across independent drains)
     assert(before.sameElements(after))
   }
+
+  test("a reaper-damaged checkpoint fails revalidation and re-drains — " +
+      "never truncated state rows") {
+    val tmp = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir", "/tmp"))
+    def ckptDirs(): Set[java.nio.file.Path] = {
+      val s0 = java.nio.file.Files.list(tmp)
+      try {
+        import scala.jdk.CollectionConverters._
+        s0.iterator().asScala
+          .filter(_.getFileName.toString.startsWith("graft-state-inspect"))
+          .toSet
+      } finally s0.close()
+    }
+    // isolate: force the next call to drain to a dir we can identify
+    graft.queries.StreamQueries.invalidateStateInspectCache()
+    val dirsBefore = ckptDirs()
+    val want = graft.queries.StreamQueries.stateInspect(spark, dir)
+      .collect().map(_.toString).sorted
+    val memoDir = (ckptDirs() -- dirsBefore).head
+    // simulate a /tmp reaper partially deleting the checkpoint: remove one
+    // regular file — the file-count revalidation must notice and re-drain
+    val walk = java.nio.file.Files.walk(memoDir)
+    val victim =
+      try walk.filter(java.nio.file.Files.isRegularFile(_)).findFirst().get()
+      finally walk.close()
+    java.nio.file.Files.delete(victim)
+    val dirsDamaged = ckptDirs()
+    val after = graft.queries.StreamQueries.stateInspect(spark, dir)
+      .collect().map(_.toString).sorted
+    assert(ckptDirs().size == dirsDamaged.size + 1,
+      "damaged checkpoint must force a fresh drain to a new dir")
+    assert(after.sameElements(want),
+      "revalidation must yield complete state, never a truncated read")
+  }
 }

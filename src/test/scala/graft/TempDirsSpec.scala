@@ -30,6 +30,19 @@ class TempDirsSpec extends AnyFunSuite {
     TempDirs.deleteAll(Seq(d)) // must not throw
   }
 
+  test("a path a reaper replaced with a plain FILE doesn't abort cleanup " +
+      "of the remaining registered dirs") {
+    val bad = TempDirs.create("tempdirs-spec-bad")
+    val good = TempDirs.create("tempdirs-spec-good")
+    java.nio.file.Files.write(good.resolve("f"), Array[Byte](1))
+    java.nio.file.Files.delete(bad)
+    java.nio.file.Files.write(bad, "not a dir".getBytes) // now a plain file
+    TempDirs.deleteAll(Seq(bad, good)) // bad first: must not short-circuit
+    assert(!java.nio.file.Files.exists(good),
+      "one undeletable path must not leak every dir registered after it")
+    java.nio.file.Files.deleteIfExists(bad)
+  }
+
   test("register returns its argument and covers later content") {
     val d = java.nio.file.Files.createTempDirectory("tempdirs-spec-reg")
     assert(TempDirs.register(d) eq d)
