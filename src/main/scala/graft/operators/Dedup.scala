@@ -119,7 +119,8 @@ object Dedup {
   }
 
   /** Memoized corpus counts for the broadcast probe, keyed by the
-    * CANONICALIZED analyzed plan (+ owning session): composed queries that
+    * CANONICALIZED analyzed plan (+ owning session + input-file-set token,
+    * see [[memoizedCount]]'s staleness guard): composed queries that
     * feed one input through several gated operators (q_curation_funnel
     * pays exact dedup AND cluster canonicals over the same docs) execute
     * the upstream plan for the probe ONCE, not once per operator. Bounded
@@ -128,12 +129,12 @@ object Dedup {
   private val docCountCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[
         (org.apache.spark.sql.SparkSession,
-          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
         java.lang.Long](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[
             (org.apache.spark.sql.SparkSession,
-              org.apache.spark.sql.catalyst.plans.logical.LogicalPlan),
+              org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
             java.lang.Long]): Boolean = size() > 64
     })
   private[graft] val docCountProbeRuns =
@@ -148,7 +149,16 @@ object Dedup {
   def invalidateDocCountCache(): Unit = docCountCache.clear()
 
   private def memoizedCount(df: DataFrame): Long = {
-    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized)
+    // STALENESS GUARD: two fresh reads of one parquet path canonicalize
+    // EQUAL (verified empirically — InMemoryFileIndex does not partake in
+    // plan equality), so a plan-only key would keep returning a count
+    // taken before the dir was appended/rewritten and wave a grown corpus
+    // past the broadcast cutoff — the driver-OOM the cutoff exists to
+    // prevent. Folding the (already-listed, driver-cached) input-file set
+    // into the key makes any file-level change a cache miss; in-memory
+    // inputs list no files and fall back to plan equality alone.
+    val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized,
+      df.inputFiles.sorted.toSeq.hashCode)
     val cached = docCountCache.get(key)
     if (cached ne null) cached.longValue()
     else {

@@ -32,7 +32,11 @@ object LandingZone {
     val staged = graft.util.TempDirs.create("graft-landing")
     val t0 = System.currentTimeMillis() - 60000L
     (first +: sentinels).zipWithIndex.foreach { case (df, i) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-landing-stage")
+      // exit-registered like every staging dir: a write that FAILS below
+      // (disk full, task error) must not orphan a populated intermediate;
+      // the eager delete on the success path still runs (exit hook no-ops
+      // on missing paths)
+      val tmp = graft.util.TempDirs.create("graft-landing-stage")
       df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
       val listing = java.nio.file.Files.list(tmp)
       var src: java.nio.file.Path = null
@@ -43,6 +47,9 @@ object LandingZone {
           if (p.getFileName.toString.endsWith(".parquet")) src = p
         }
       } finally listing.close()
+      require(src != null,
+        s"landing-zone step $i wrote no .parquet part file under $tmp " +
+          "(empty-partition write?) — the drain would silently skip a batch")
       val dst = staged.resolve(f"step-$i%03d.parquet")
       java.nio.file.Files.copy(src, dst)
       java.nio.file.Files.setLastModifiedTime(dst,

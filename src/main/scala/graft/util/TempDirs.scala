@@ -45,14 +45,20 @@ object TempDirs {
       catch { case scala.util.control.NonFatal(_) => () } // exit anyway
     }
 
-  // installed lazily so JVMs that never stage anything add no hook
+  // installed lazily so JVMs that never stage anything add no hook.
+  // addShutdownHook throws IllegalStateException when the JVM is ALREADY
+  // shutting down (a query thread creating a dir as SIGTERM lands) —
+  // swallow it: create() must return the dir and surface the caller's own
+  // outcome, not replace it with a shutdown artifact. That one dir may
+  // leak (best-effort, same as deleteOnExit's shutdown-time no-op).
   private lazy val hookInstalled: Unit =
-    Runtime.getRuntime.addShutdownHook(new Thread(
+    try Runtime.getRuntime.addShutdownHook(new Thread(
       { () =>
         import scala.jdk.CollectionConverters._
         deleteAll(registered.asScala)
       }: Runnable,
       "graft-tempdirs-cleanup"))
+    catch { case _: IllegalStateException => () }
 
   /** Create a temp dir whose ENTIRE TREE — including files Spark writes
     * into it later — is deleted at JVM exit. */

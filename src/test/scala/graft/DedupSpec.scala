@@ -191,6 +191,24 @@ class DedupSpec extends SparkTestBase {
       "repeat gated calls over the same input must reuse the cached count")
   }
 
+  test("probe memo goes stale-safe when the corpus files change " +
+      "(a rewritten dir must re-probe, not reuse the old count)") {
+    val dir = graft.util.TempDirs.create("graft-dedup-stale")
+    corpus.limit(2).write.mode("overwrite").parquet(dir.toString)
+    val runs0 = Dedup.docCountProbeRuns.get()
+    Dedup.minhashNearDup(
+      spark.read.parquet(dir.toString), "doc_id", "text").count()
+    assert(Dedup.docCountProbeRuns.get() == runs0 + 1)
+    // grow the corpus in place — fresh reads of the same path canonicalize
+    // EQUAL, so without the file-set token the stale 2-doc count would
+    // wave the bigger corpus past the broadcast cutoff
+    corpus.write.mode("overwrite").parquet(dir.toString)
+    Dedup.minhashNearDup(
+      spark.read.parquet(dir.toString), "doc_id", "text").count()
+    assert(Dedup.docCountProbeRuns.get() == runs0 + 2,
+      "changed input files must force a fresh probe count")
+  }
+
   test("invalidateDocCountCache forces a fresh probe " +
       "(bench noise-guard contract)") {
     val derived = corpus.filter($"doc_id" >= 0L).withColumn("text3", $"text")
