@@ -239,13 +239,12 @@ object Ext14Queries {
   /** Staged binary landing zone: the first 100 docs written as UTF-8 .bin
     * files, once per JVM — a fixture for the binaryFile-source claim, not
     * the behavior under measurement (same convention as
-    * Ext6Queries.ensureStaged).
+    * Ext6Queries.ensureStaged). Memoized via
+    * [[graft.streaming.StagedDirs]] so a reaped copy re-stages on its
+    * exact-file-count revalidation instead of reading a partial file set.
     */
-  private val binDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private def ensureBinStaged(s: SparkSession, dir: String): String =
-    binDirs.computeIfAbsent(dir, _ => {
+    graft.streaming.StagedDirs.getOrStage(s"bin|$dir") {
       val staged = graft.util.TempDirs.create("graft-bin")
       Tables.documents(s, dir).filter(col("doc_id") < 100)
         .select("doc_id", "text").collect().foreach { r =>
@@ -254,7 +253,7 @@ object Ext14Queries {
             r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
         }
       staged.toString
-    })
+    }
 
   /** `binaryFile` source scan — the ingestion shape for raw media/blob
     * corpora (each file one row: path, length, binary content). The query

@@ -103,23 +103,23 @@ object Ext6Queries {
     * data skipping layer under everything else at 100 TB; Ext6Spec asserts
     * the pruned scan). Gated against the plain filtered aggregate.
     */
-  /** Staged partitioned copies, one per input dir per JVM. The partitioned
+  /** Staged partitioned copies, one per input dir per JVM, memoized via
+    * [[graft.streaming.StagedDirs]] so a cache hit REVALIDATES the staged
+    * copy's top-level entry count (a /tmp-reaped copy re-stages instead of
+    * failing or silently reading a partial partition set). The partitioned
     * write is a FIXTURE for the pruned-scan claim the query makes, not the
     * behavior under measurement — staging it once (Bench's untimed warmup
     * calls this) leaves the timed region scan-only, so the recorded number
     * reflects partition pruning, not a write+read round trip.
     */
-  private val stagedDirs =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   private[graft] def ensureStaged(s: SparkSession, dir: String): String =
-    stagedDirs.computeIfAbsent(dir, _ => {
+    graft.streaming.StagedDirs.getOrStage(s"pscan|$dir") {
       val staged = graft.util.TempDirs.create("graft-pscan")
       Tables.events(s, dir)
         .write.partitionBy("event_type").mode("overwrite")
         .parquet(staged.toString)
       staged.toString
-    })
+    }
 
   def partitionedScan(s: SparkSession, dir: String): DataFrame =
     prunedClickAgg(s.read.parquet(ensureStaged(s, dir)))
