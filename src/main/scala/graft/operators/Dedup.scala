@@ -129,12 +129,12 @@ object Dedup {
   private val docCountCache = java.util.Collections.synchronizedMap(
     new java.util.LinkedHashMap[
         (org.apache.spark.sql.SparkSession,
-          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+          org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
         java.lang.Long](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[
             (org.apache.spark.sql.SparkSession,
-              org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, Int),
+              org.apache.spark.sql.catalyst.plans.logical.LogicalPlan, String),
             java.lang.Long]): Boolean = size() > 64
     })
   private[graft] val docCountProbeRuns =
@@ -148,17 +148,39 @@ object Dedup {
     * min-merge could mask a probe-path regression behind the memo. */
   def invalidateDocCountCache(): Unit = docCountCache.clear()
 
+  /** Staleness token for [[memoizedCount]]'s key: an MD5 of the sorted
+    * input-file paths plus the file relations' total byte size — both from
+    * the driver-cached file index, no filesystem round trip. Paths alone
+    * would miss a same-NAME in-place rewrite (a fixture regenerated under
+    * a constant filename); a 32-bit hash alone could collide two file
+    * sets onto one stale count. Non-file inputs list nothing and fall
+    * back to plan equality. */
+  private def inputFilesToken(df: DataFrame): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(
+      df.inputFiles.sorted.mkString("\u0000") // NUL: never part of a path
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val size = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        lr.relation match {
+          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            fs.location.sizeInBytes
+          case _ => 0L
+        }
+    }.sum
+    java.util.Base64.getEncoder.encodeToString(digest) + ":" + size
+  }
+
   private def memoizedCount(df: DataFrame): Long = {
     // STALENESS GUARD: two fresh reads of one parquet path canonicalize
     // EQUAL (verified empirically — InMemoryFileIndex does not partake in
     // plan equality), so a plan-only key would keep returning a count
     // taken before the dir was appended/rewritten and wave a grown corpus
     // past the broadcast cutoff — the driver-OOM the cutoff exists to
-    // prevent. Folding the (already-listed, driver-cached) input-file set
-    // into the key makes any file-level change a cache miss; in-memory
-    // inputs list no files and fall back to plan equality alone.
+    // prevent. Folding the input-file token into the key makes a
+    // file-level change (new/removed part files, or a same-name rewrite
+    // that changes the byte size) a cache miss.
     val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized,
-      df.inputFiles.sorted.toSeq.hashCode)
+      inputFilesToken(df))
     val cached = docCountCache.get(key)
     if (cached ne null) cached.longValue()
     else {

@@ -217,19 +217,17 @@ object Ext11Queries {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
-  /** File-stream replay of the documents table (same staged-landing-zone
-    * shape as StreamQueries.eventsStream, and the same
-    * [[graft.streaming.StagedDirs]] memo + file-count revalidation — a
-    * fresh copy per CALL would re-pay the copy on every bench repeat and
-    * still be reapable mid-JVM).
+  /** File-stream replay of the documents table: the SAME staging helper
+    * as StreamQueries.eventsStream (file-or-dataset-directory aware — a
+    * bare Files.copy of a directory source would stage an empty dir and
+    * drain nothing) and the same [[graft.streaming.StagedDirs]] memo +
+    * file-count revalidation — a fresh copy per CALL would re-pay the
+    * copy on every bench repeat and still be reapable mid-JVM.
     */
   private def docsStream(s: SparkSession, dir: String): DataFrame = {
     val staged = graft.streaming.StagedDirs.getOrStage(s"docs|$dir") {
-      val dst = graft.util.TempDirs.create("graft-stream-docs")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/documents.parquet"),
-        dst.resolve("documents.parquet"))
-      dst.toString
+      StreamQueries.stageTableCopy(
+        s"$dir/documents.parquet", "graft-stream-docs", "documents")
     }
     s.readStream.schema(docsSchema).parquet(staged)
   }

@@ -41,23 +41,7 @@ object StreamQueries {
     // revalidation in [[graft.streaming.StagedDirs]] — the round-9
     // verdict's shared-landing-zone item) serves every streaming query.
     val staged = graft.streaming.StagedDirs.getOrStage(s"events|$dir") {
-      val dst = graft.util.TempDirs.create("graft-stream-events")
-      val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-      val dataFiles: Seq[java.nio.file.Path] =
-        if (java.nio.file.Files.isDirectory(src)) {
-          val s0 = java.nio.file.Files.list(src)
-          try {
-            import scala.jdk.CollectionConverters._
-            s0.iterator().asScala.filter { p =>
-              val n = p.getFileName.toString
-              n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
-            }.toList
-          } finally s0.close()
-        } else Seq(src)
-      dataFiles.zipWithIndex.foreach { case (f, i) =>
-        java.nio.file.Files.copy(f, dst.resolve(s"events-$i.parquet"))
-      }
-      dst.toString
+      stageTableCopy(s"$dir/events.parquet", "graft-stream-events", "events")
     }
     val (tsT, tsUs) = tsType match {
       case LongType =>
@@ -68,6 +52,34 @@ object StreamQueries {
     s.readStream.schema(eventsSchema(tsType)).parquet(staged)
       .withColumn("ts_t", tsT)
       .withColumn("ts_us", tsUs)
+  }
+
+  /** Stage a parquet TABLE (single file or Spark-written dataset DIRECTORY
+    * of part files) as a flat replay-only landing-zone copy: the data
+    * files land as `$base-$i.parquet` under a fresh exit-registered temp
+    * dir. The directory case matters: a bare `Files.copy` of a dataset
+    * directory creates an EMPTY dir (entries are not copied) and the file
+    * stream would silently drain nothing. Shared by every table-replay
+    * staging site so the two cases cannot diverge per caller. */
+  private[queries] def stageTableCopy(
+      srcPath: String, tmpPrefix: String, base: String): String = {
+    val dst = graft.util.TempDirs.create(tmpPrefix)
+    val src = java.nio.file.Paths.get(srcPath)
+    val dataFiles: Seq[java.nio.file.Path] =
+      if (java.nio.file.Files.isDirectory(src)) {
+        val s0 = java.nio.file.Files.list(src)
+        try {
+          import scala.jdk.CollectionConverters._
+          s0.iterator().asScala.filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+          }.toList
+        } finally s0.close()
+      } else Seq(src)
+    dataFiles.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.copy(f, dst.resolve(s"$base-$i.parquet"))
+    }
+    dst.toString
   }
 
   private def eventsBatch(s: SparkSession, dir: String): DataFrame =

@@ -29,15 +29,19 @@ object StagedDirs {
   private val cache = new ConcurrentHashMap[String, Staged]()
   private val locks = new ConcurrentHashMap[String, Object]()
 
-  /** Number of regular entries directly under `path`; -1 when not a
+  /** Number of REGULAR FILES under `path`, RECURSIVELY; -1 when not a
     * directory (never throws — a reaped path must read as invalid).
+    * Recursion matters for nested staged layouts (a Hive-partitioned copy
+    * keeps its `k=v/` subdirs): a reaper deleting part files INSIDE a
+    * surviving subdir leaves the top-level entry count unchanged, and a
+    * top-level-only check would silently reuse the truncated copy.
     */
   private def fileCount(path: String): Int = {
     val d = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isDirectory(d)) -1
     else {
-      val s = java.nio.file.Files.list(d)
-      try s.count().toInt
+      val s = java.nio.file.Files.walk(d)
+      try s.filter(java.nio.file.Files.isRegularFile(_)).count().toInt
       finally s.close()
     }
   }

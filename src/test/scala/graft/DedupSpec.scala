@@ -209,6 +209,27 @@ class DedupSpec extends SparkTestBase {
       "changed input files must force a fresh probe count")
   }
 
+  test("probe memo staleness guard catches a same-NAME in-place rewrite " +
+      "(constant filename, different bytes)") {
+    val dir = graft.util.TempDirs.create("graft-dedup-samename")
+    val f = dir.resolve("docs.parquet")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"), f)
+    val runs0 = Dedup.docCountProbeRuns.get()
+    Dedup.minhashNearDup(
+      spark.read.parquet(f.toString), "doc_id", "text").count()
+    assert(Dedup.docCountProbeRuns.get() == runs0 + 1)
+    // replace the SAME path with a different-size file: the path set is
+    // unchanged, so a paths-only token would reuse the stale count
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.01/documents.parquet"), f,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Dedup.minhashNearDup(
+      spark.read.parquet(f.toString), "doc_id", "text").count()
+    assert(Dedup.docCountProbeRuns.get() == runs0 + 2,
+      "a same-name rewrite that changes the byte size must re-probe")
+  }
+
   test("invalidateDocCountCache forces a fresh probe " +
       "(bench noise-guard contract)") {
     val derived = corpus.filter($"doc_id" >= 0L).withColumn("text3", $"text")
