@@ -148,26 +148,41 @@ object Dedup {
     * min-merge could mask a probe-path regression behind the memo. */
   def invalidateDocCountCache(): Unit = docCountCache.clear()
 
-  /** Staleness token for [[memoizedCount]]'s key: an MD5 of the sorted
-    * input-file paths plus the file relations' total byte size — both from
-    * the driver-cached file index, no filesystem round trip. Paths alone
+  /** Staleness token for [[memoizedCount]]'s key: an MD5 over each input
+    * file's (path, length, modification time), all read from the
+    * driver-cached file index — no filesystem round trip. Paths alone
     * would miss a same-NAME in-place rewrite (a fixture regenerated under
-    * a constant filename); a 32-bit hash alone could collide two file
-    * sets onto one stale count. Non-file inputs list nothing and fall
-    * back to plan equality. */
+    * a constant filename); path+size would still miss a rewrite landing on
+    * an identical total size; a 32-bit hash could collide two file sets
+    * onto one stale count. Covers BOTH V1 (LogicalRelation/
+    * HadoopFsRelation) and DSv2 (FileTable) file scans — `df.inputFiles`
+    * lists paths for both, so the stat-bearing token must too. Non-file
+    * inputs list nothing and fall back to plan equality. */
   private def inputFilesToken(df: DataFrame): String = {
+    import org.apache.spark.sql.execution.datasources.{
+      FileIndex, HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
+    import org.apache.spark.sql.execution.datasources.v2.{
+      DataSourceV2Relation, FileTable}
+    val indexes: Seq[FileIndex] = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => Seq(fs.location)
+        case _ => Seq.empty[FileIndex]
+      }
+      case r: DataSourceV2Relation => r.table match {
+        case ft: FileTable => Seq(ft.fileIndex)
+        case _ => Seq.empty[FileIndex]
+      }
+    }.flatten
+    val entries: Seq[String] = indexes.flatMap {
+      case p: PartitioningAwareFileIndex =>
+        p.allFiles().map(f =>
+          s"${f.getPath}\u0000${f.getLen}\u0000${f.getModificationTime}")
+      case other => // stat-less fallback: paths + the index's total size
+        other.inputFiles.toSeq :+ s"\u0000size:${other.sizeInBytes}"
+    }.sorted
     val digest = java.security.MessageDigest.getInstance("MD5").digest(
-      df.inputFiles.sorted.mkString("\u0000") // NUL: never part of a path
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    val size = df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
-        lr.relation match {
-          case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            fs.location.sizeInBytes
-          case _ => 0L
-        }
-    }.sum
-    java.util.Base64.getEncoder.encodeToString(digest) + ":" + size
+      entries.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.util.Base64.getEncoder.encodeToString(digest)
   }
 
   private def memoizedCount(df: DataFrame): Long = {
@@ -177,8 +192,8 @@ object Dedup {
     // taken before the dir was appended/rewritten and wave a grown corpus
     // past the broadcast cutoff — the driver-OOM the cutoff exists to
     // prevent. Folding the input-file token into the key makes a
-    // file-level change (new/removed part files, or a same-name rewrite
-    // that changes the byte size) a cache miss.
+    // file-level change (new/removed part files, or a same-name rewrite —
+    // caught by per-file length/mtime) a cache miss.
     val key = (df.sparkSession, df.queryExecution.analyzed.canonicalized,
       inputFilesToken(df))
     val cached = docCountCache.get(key)

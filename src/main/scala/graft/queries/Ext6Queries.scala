@@ -105,8 +105,9 @@ object Ext6Queries {
     */
   /** Staged partitioned copies, one per input dir per JVM, memoized via
     * [[graft.streaming.StagedDirs]] so a cache hit REVALIDATES the staged
-    * copy's top-level entry count (a /tmp-reaped copy re-stages instead of
-    * failing or silently reading a partial partition set). The partitioned
+    * copy's RECURSIVE regular-file count (a /tmp-reaped copy — including
+    * part files deleted inside a surviving `event_type=X/` subdir —
+    * re-stages instead of silently reading a partial partition set). The partitioned
     * write is a FIXTURE for the pruned-scan claim the query makes, not the
     * behavior under measurement — staging it once (Bench's untimed warmup
     * calls this) leaves the timed region scan-only, so the recorded number

@@ -60,7 +60,13 @@ object StreamQueries {
     * dir. The directory case matters: a bare `Files.copy` of a dataset
     * directory creates an EMPTY dir (entries are not copied) and the file
     * stream would silently drain nothing. Shared by every table-replay
-    * staging site so the two cases cannot diverge per caller. */
+    * staging site so the two cases cannot diverge per caller.
+    *
+    * UNPARTITIONED layouts only, by design: a Hive-partitioned dataset
+    * (`k=v/` subdirs) carries its partition-column VALUES in the directory
+    * names, so a flat copy of the nested part files would silently DROP
+    * those columns — recursing is not a fix, it is a wrong answer. Such a
+    * source fails loudly below instead. */
   private[queries] def stageTableCopy(
       srcPath: String, tmpPrefix: String, base: String): String = {
     val dst = graft.util.TempDirs.create(tmpPrefix)
@@ -76,6 +82,11 @@ object StreamQueries {
           }.toList
         } finally s0.close()
       } else Seq(src)
+    require(dataFiles.nonEmpty,
+      s"$srcPath holds no top-level .parquet data files — a partitioned " +
+        "(k=v/ subdir) or nested layout cannot be flat-staged for replay " +
+        "without losing its partition columns; point the stream at an " +
+        "unpartitioned table copy instead")
     dataFiles.zipWithIndex.foreach { case (f, i) =>
       java.nio.file.Files.copy(f, dst.resolve(s"$base-$i.parquet"))
     }

@@ -40,9 +40,15 @@ object StagedDirs {
     val d = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isDirectory(d)) -1
     else {
+      // walk stats every entry, so a reaper deleting files WHILE we count
+      // surfaces as UncheckedIOException mid-stream — that is just another
+      // form of "this copy is being reaped": read it as invalid (-1), never
+      // throw (the contract above), and let the caller re-stage.
       val s = java.nio.file.Files.walk(d)
       try s.filter(java.nio.file.Files.isRegularFile(_)).count().toInt
-      finally s.close()
+      catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException => -1
+      } finally s.close()
     }
   }
 
