@@ -148,16 +148,19 @@ object Dedup {
     * min-merge could mask a probe-path regression behind the memo. */
   def invalidateDocCountCache(): Unit = docCountCache.clear()
 
-  /** Staleness token for [[memoizedCount]]'s key: an MD5 over each input
-    * file's (path, length, modification time), all read from the
-    * driver-cached file index — no filesystem round trip. Paths alone
-    * would miss a same-NAME in-place rewrite (a fixture regenerated under
-    * a constant filename); path+size would still miss a rewrite landing on
-    * an identical total size; a 32-bit hash could collide two file sets
-    * onto one stale count. Covers BOTH V1 (LogicalRelation/
-    * HadoopFsRelation) and DSv2 (FileTable) file scans — `df.inputFiles`
-    * lists paths for both, so the stat-bearing token must too. Non-file
-    * inputs list nothing and fall back to plan equality. */
+  /** Staleness token for [[memoizedCount]]'s key: an MD5 over (a) every
+    * path `df.inputFiles` reports — which covers V1 relations, DSv2 file
+    * scans, Hive tables, and custom file relations alike — and (b) one
+    * stat block per file index the plan exposes (per-file length + mtime
+    * from the driver-cached index for V1 HadoopFsRelation and DSv2
+    * FileTable; the index's total size where per-file stats are not
+    * exposed). Paths alone would miss a same-NAME in-place rewrite (a
+    * fixture regenerated under a constant filename); stats alone would
+    * narrow coverage to the two stat-bearing source shapes. Entries are
+    * digested LENGTH-PREFIXED, so no separator choice can make two
+    * different entry sets collide (paths may contain anything but NUL,
+    * including newlines). Non-file inputs contribute nothing and fall
+    * back to plan equality. */
   private def inputFilesToken(df: DataFrame): String = {
     import org.apache.spark.sql.execution.datasources.{
       FileIndex, HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
@@ -173,16 +176,23 @@ object Dedup {
         case _ => Seq.empty[FileIndex]
       }
     }.flatten
-    val entries: Seq[String] = indexes.flatMap {
+    val statEntries: Seq[String] = indexes.map {
       case p: PartitioningAwareFileIndex =>
-        p.allFiles().map(f =>
-          s"${f.getPath}\u0000${f.getLen}\u0000${f.getModificationTime}")
-      case other => // stat-less fallback: paths + the index's total size
-        other.inputFiles.toSeq :+ s"\u0000size:${other.sizeInBytes}"
-    }.sorted
-    val digest = java.security.MessageDigest.getInstance("MD5").digest(
-      entries.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    java.util.Base64.getEncoder.encodeToString(digest)
+        p.allFiles()
+          .map(f => s"${f.getPath} ${f.getLen} ${f.getModificationTime}")
+          .sorted.mkString("stats:", "|", "")
+      case other => // per-index block: the size stays BOUND to its paths
+        other.inputFiles.sorted.mkString("size-only:", "|",
+          s"|${other.sizeInBytes}")
+    }
+    val entries = (df.inputFiles.toSeq ++ statEntries).sorted
+    val md = java.security.MessageDigest.getInstance("MD5")
+    entries.foreach { e =>
+      val b = e.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      md.update(java.nio.ByteBuffer.allocate(4).putInt(b.length).array())
+      md.update(b)
+    }
+    java.util.Base64.getEncoder.encodeToString(md.digest())
   }
 
   private def memoizedCount(df: DataFrame): Long = {

@@ -39,17 +39,21 @@ object StagedDirs {
   private def fileCount(path: String): Int = {
     val d = java.nio.file.Paths.get(path)
     if (!java.nio.file.Files.isDirectory(d)) -1
-    else {
-      // walk stats every entry, so a reaper deleting files WHILE we count
-      // surfaces as UncheckedIOException mid-stream — that is just another
-      // form of "this copy is being reaped": read it as invalid (-1), never
-      // throw (the contract above), and let the caller re-stage.
-      val s = java.nio.file.Files.walk(d)
-      try s.filter(java.nio.file.Files.isRegularFile(_)).count().toInt
-      catch {
+    else
+      // walk stats every entry (and the root: the OPEN itself can throw if
+      // a reaper wins the race after the isDirectory check), so deletion
+      // WHILE we count surfaces as (Unchecked)IOException — that is just
+      // another form of "this copy is being reaped": read it as invalid
+      // (-1), never throw (the contract above), and let the caller
+      // re-stage. The walk call sits INSIDE the try for exactly that
+      // open-time race.
+      try {
+        val s = java.nio.file.Files.walk(d)
+        try s.filter(java.nio.file.Files.isRegularFile(_)).count().toInt
+        finally s.close()
+      } catch {
         case _: java.io.IOException | _: java.io.UncheckedIOException => -1
-      } finally s.close()
-    }
+      }
   }
 
   // Keys COLD-staged since the last [[drainRecentlyStaged]] call. Lets a
@@ -72,7 +76,15 @@ object StagedDirs {
       else {
         val dir = stage
         val n = fileCount(dir)
-        require(n > 0, s"staging for $key produced an empty dir: $dir")
+        // distinguish the two invalid cases: 0 is a staging bug (nothing
+        // was written), -1 is the environment (the dir vanished or was
+        // unreadable immediately after staging) — conflating them sends a
+        // maintainer chasing the wrong failure
+        if (n == 0) throw new IllegalStateException(
+          s"staging for $key produced an empty dir: $dir")
+        if (n < 0) throw new IllegalStateException(
+          s"staged dir for $key vanished or was unreadable immediately " +
+            s"after staging (reaper race or IO error): $dir")
         cache.put(key, Staged(dir, n))
         recentlyStaged.add(key)
         dir
