@@ -247,6 +247,8 @@ object StreamQueries {
     * partition-parallel with no driver-side state.
     */
   def stateInspect(s: SparkSession, dir: String): DataFrame = {
+    stateInspectTouches.incrementAndGet()
+    sweepStoppedSessions()
     val key = (s, dir)
     val hit = stateInspectCache.get(key)
     // REVALIDATE a hit against the exact regular-file count recorded at
@@ -266,31 +268,85 @@ object StreamQueries {
     }
   }
 
-  private final case class InspectEntry(
+  private[graft] final case class InspectEntry(
       df: DataFrame, ckpt: java.nio.file.Path, nFiles: Long)
 
   /** Memoized reader results: one drained checkpoint + lazy statestore
     * reader per (root session, input dir), with the checkpoint's
-    * drain-time file count for hit revalidation. */
-  private val stateInspectCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), InspectEntry]()
+    * drain-time file count for hit revalidation. Bounded LRU (64 entries,
+    * same treatment as Dedup.docCountCache) plus a stopped-session sweep
+    * on every [[stateInspect]] access — a host process that churns root
+    * sessions must not pin stopped sessions (and their reader DataFrames)
+    * for the JVM lifetime. Access via Collections.synchronizedMap;
+    * iteration holds the map's own monitor (the synchronizedMap
+    * contract). */
+  private[graft] val stateInspectCache: java.util.Map[(SparkSession, String), InspectEntry] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[(SparkSession, String), InspectEntry](
+          16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[(SparkSession, String), InspectEntry])
+          : Boolean = size() > 64
+      })
 
-  /** Regular files under `p` right now; -1 if `p` is gone (never a valid
-    * drain-time count, so a dead path always fails revalidation). */
+  /** Regular files under `p` right now; -1 if `p` is gone OR vanishes
+    * while we count (never a valid drain-time count, so both fail
+    * revalidation and force a fresh drain). The walk stats every entry —
+    * and the OPEN itself can throw if a /tmp reaper wins the race after
+    * the isDirectory check — so deletion mid-walk surfaces as
+    * (Unchecked)IOException: read it as "this checkpoint is being
+    * reaped" (-1), never throw (same contract as StagedDirs.fileCount);
+    * the caller then re-drains instead of crashing. */
   private def regularFileCount(p: java.nio.file.Path): Long =
     if (!java.nio.file.Files.isDirectory(p)) -1L
-    else {
-      val s0 = java.nio.file.Files.walk(p)
-      try s0.filter(java.nio.file.Files.isRegularFile(_)).count()
-      finally s0.close()
-    }
+    else
+      try {
+        val s0 = java.nio.file.Files.walk(p)
+        try s0.filter(java.nio.file.Files.isRegularFile(_)).count()
+        finally s0.close()
+      } catch {
+        case _: java.io.IOException | _: java.io.UncheckedIOException => -1L
+      }
 
   /** Memoized isolated sessions, one per root session (test-visible count
-    * asserts the memoization holds). */
-  private val inspectSessions =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+    * asserts the memoization holds). Bounded LRU: an evicted-but-live
+    * root session just pays one fresh `newSession()` on its next call —
+    * cheap — while the bound keeps a session-churning host from pinning
+    * old sessions forever; stopped roots are additionally swept eagerly
+    * by [[sweepStoppedSessions]]. */
+  private[graft] val inspectSessions: java.util.Map[SparkSession, SparkSession] =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[SparkSession, SparkSession](16, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[SparkSession, SparkSession]): Boolean =
+          size() > 64
+      })
   private[graft] val isolatedSessionCount =
     new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Total [[stateInspect]] calls — Bench diffs this around each timed
+    * query to learn whether the query depends on the reader memo, so its
+    * noise-guard re-run clears the memo only when the re-run query itself
+    * is state-inspect-gated (mirrors [[graft.operators.Dedup.docCountTouches]]). */
+  private[graft] val stateInspectTouches =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Drop cache entries whose root session's context is stopped — they
+    * can never serve another call (any materialization through them
+    * throws), so keeping them only pins memory. Runs on every
+    * [[stateInspect]] access; cost is one pass over ≤128 entries. */
+  private def sweepStoppedSessions(): Unit = {
+    stateInspectCache.synchronized {
+      val it = stateInspectCache.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getKey._1.sparkContext.isStopped) it.remove()
+    }
+    inspectSessions.synchronized {
+      val it = inspectSessions.entrySet().iterator()
+      while (it.hasNext)
+        if (it.next().getKey.sparkContext.isStopped) it.remove()
+    }
+  }
 
   private def inspectSession(s: SparkSession): SparkSession =
     inspectSessions.computeIfAbsent(s, { _ =>

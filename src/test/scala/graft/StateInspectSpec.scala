@@ -143,4 +143,51 @@ class StateInspectSpec extends SparkTestBase {
     assert(after.sameElements(want),
       "revalidation must yield complete state, never a truncated read")
   }
+
+  test("session-churn stays bounded: both memo maps are LRU-capped " +
+      "(round-13 fix — a host that churns root sessions must not pin " +
+      "them for the JVM lifetime)") {
+    import graft.queries.StreamQueries.{stateInspectCache, inspectSessions}
+    import scala.jdk.CollectionConverters._
+    // snapshot real state so this test leaves the memos exactly as found
+    // (other suites may share the JVM): LRU insertion below can evict the
+    // live entries, which would force a later caller to re-drain — not
+    // wrong, but avoidably slow and it would trip this suite's own
+    // one-isolated-session assertion on a re-run.
+    val savedInspect = stateInspectCache.synchronized {
+      stateInspectCache.entrySet().asScala
+        .map(e => e.getKey -> e.getValue).toList
+    }
+    val savedSessions = inspectSessions.synchronized {
+      inspectSessions.entrySet().asScala
+        .map(e => e.getKey -> e.getValue).toList
+    }
+    try {
+      // churn: 200 synthetic entries each — far past the 64-entry cap.
+      // Keys are real (but throwaway) session objects; the reader memo's
+      // entries carry a dead path so any accidental reuse fails
+      // revalidation instead of returning fake state.
+      val deadPath = java.nio.file.Paths.get("/nonexistent-graft-churn")
+      (1 to 200).foreach { i =>
+        stateInspectCache.put((spark, s"churn-dir-$i"),
+          graft.queries.StreamQueries.InspectEntry(null, deadPath, -2L))
+        inspectSessions.put(spark.newSession(), spark.newSession())
+      }
+      assert(stateInspectCache.size() <= 64,
+        s"reader memo grew to ${stateInspectCache.size()} — LRU cap lost")
+      assert(inspectSessions.size() <= 64,
+        s"session memo grew to ${inspectSessions.size()} — LRU cap lost")
+    } finally {
+      stateInspectCache.synchronized {
+        stateInspectCache.keySet().asScala
+          .filter(_._2.startsWith("churn-dir-")).toList
+          .foreach(stateInspectCache.remove)
+        savedInspect.foreach { case (k, v) => stateInspectCache.put(k, v) }
+      }
+      inspectSessions.synchronized {
+        inspectSessions.clear()
+        savedSessions.foreach { case (k, v) => inspectSessions.put(k, v) }
+      }
+    }
+  }
 }
