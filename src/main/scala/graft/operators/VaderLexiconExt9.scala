@@ -29,13 +29,10 @@ package graft.operators
   * other block or with boosters/negations; valences in [-4, 4]; lowercase
   * keys), enforced by VaderLexiconSpec.
   *
-  * Remaining known gap after this block: the published file's emoticon
-  * VARIANT tail ("(-:", "):", ";p", ":*", ">:)" …) — a round-12 probe of
-  * 119 emoticon/slang tokens found the high-traffic forms (":)", ":(",
-  * ":d", "<3", "xd", "lol", "rofl", …) already embedded and ~2 dozen rare
-  * variants missing; their crowd means cannot be reconstructed offline
-  * with useful precision, and a wrong valence is worse than OOV (which
-  * at least scores 0, matching no-hit). Sentiment-free fillers the probe
+  * The emoticon-variant tail this scaladoc flagged as the remaining gap
+  * in round 12 ("(-:", "):", ":*", ">:)" …) is transcribed in round 13's
+  * [[VaderLexiconExt10]] (symbol faces + leetspeak + rated acronym slang,
+  * with its own tier accounting). Sentiment-free fillers the round-12 probe
   * also flagged ("hmm", "idk", "um") are CORRECTLY absent — the published
   * lexicon only carries nonzero-mean tokens — and "nope" is excluded by
   * the negation-disjointness invariant, as published VADER treats it as a

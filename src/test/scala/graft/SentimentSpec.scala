@@ -118,16 +118,56 @@ class SentimentSpec extends SparkTestBase {
     val f = java.nio.file.Files.createTempFile("vader-cfg", ".txt")
     java.nio.file.Files.writeString(f, "zorp\t1.9\t0.5\t[2]\n")
     val prop = "graft.vader.lexicon"
+    val embeddedSize = graft.operators.VaderData.lexicon.size
     try {
       System.setProperty(prop, f.toString)
       val configured = Sentiment.resolveActive()
       assert(configured.lexicon == Map("zorp" -> 1.9))
+      // scores SHIFT to the file's valences: "zorp" is OOV embedded,
+      // positive under the file; "good" is the reverse
+      assert(configured.score("zorp") > 0.3)
+      assert(Sentiment.score("zorp") == 0.0)
+      assert(configured.score("good") == 0.0)
+      assert(Sentiment.score("good") > 0.3)
+      // the embedded tables are untouched while the property is set
+      assert(graft.operators.VaderData.lexicon.size == embeddedSize)
     } finally {
       System.clearProperty(prop)
       java.nio.file.Files.delete(f)
     }
     // unset -> the embedded-subset scorer itself
     assert(Sentiment.resolveActive() eq Sentiment)
+  }
+
+  test("round-13 symbol-emoticon tail reaches the scorer through the " +
+      "<=2-char punctuation-strip preservation path") {
+    // every token here strips to an alnum core of <= 2 chars, so the raw
+    // token survives tokenization and must hit its VaderLexiconExt10
+    // entry — sign assertions (structural: smile vs frown vs sneer), not
+    // exact means, so a +-0.3 transcription drift cannot flake the suite
+    val positive = Seq("(:", "(8", "(-:", "0:)", ":*", ":-*",
+      "*\\0/*", "\\m/", "x-d", "8d", "---'-;-{@")
+    val negative = Seq("):", ")-:", "):<", "D:<", ":@", ":-@", ">.<",
+      "=[", "%-)", "3:(", "0-|")
+    // devil-grins carry weak positive means (~0.5) — sign only
+    val weakPositive = Seq("3:)", "*)", ">:)")
+    positive.foreach(e =>
+      assert(Sentiment.score(s"it went $e") > 0.2,
+        s"'$e' must score positive"))
+    negative.foreach(e =>
+      assert(Sentiment.score(s"it went $e") < -0.2,
+        s"'$e' must score negative"))
+    weakPositive.foreach(e =>
+      assert(Sentiment.score(s"it went $e") > 0.0,
+        s"'$e' must score weakly positive"))
+    // leet + acronym slang (alnum tokens, no strip interaction)
+    assert(Sentiment.score("143 gr8 work") > 0.5)
+    assert(Sentiment.score("fu this is fubar") < -0.5)
+    // rule machinery composes over the new entries: caps emphasis and
+    // negation act on the WORD tokens around an emoticon as usual
+    assert(Sentiment.score("GREAT outcome (:") >
+      Sentiment.score("great outcome (:"))
+    assert(Sentiment.score("not gr8") < 0)
   }
 
   test("positive and negative sentences get the right sign") {

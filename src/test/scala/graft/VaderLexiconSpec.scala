@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Sentiment, VaderData, VaderLexiconExt, VaderLexiconExt2, VaderLexiconExt3, VaderLexiconExt4, VaderLexiconExt5, VaderLexiconExt6, VaderLexiconExt7, VaderLexiconExt8, VaderLexiconExt9}
+import graft.operators.{Sentiment, VaderData, VaderLexiconExt, VaderLexiconExt2, VaderLexiconExt3, VaderLexiconExt4, VaderLexiconExt5, VaderLexiconExt6, VaderLexiconExt7, VaderLexiconExt8, VaderLexiconExt9, VaderLexiconExt10}
 
 /** Structural invariants of the three-block embedded lexicon (core +
   * round-10 widenings). These are SEMANTIC guards, not style checks: a
@@ -22,7 +22,8 @@ class VaderLexiconSpec extends AnyFunSuite {
     "ext6" -> VaderLexiconExt6.entries.keySet,
     "ext7" -> VaderLexiconExt7.entries.keySet,
     "ext8" -> VaderLexiconExt8.entries.keySet,
-    "ext9" -> VaderLexiconExt9.entries.keySet)
+    "ext9" -> VaderLexiconExt9.entries.keySet,
+    "ext10" -> VaderLexiconExt10.entries.keySet)
 
   test("no pair of lexicon blocks overlaps (no silent shadowing)") {
     for {
