@@ -20,6 +20,12 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // gate pins (round 13, same as Verify): keep the oracle-replayed
+      // index parameters so bench timings stay anchor-comparable; the
+      // unconfigured derived path is timed by the scale probe instead
+      .config("graft.lsh.bitsPerBand", "6")
+      .config("graft.semdedup.centroids", "8")
+      .config("graft.ivf.centroids", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

@@ -98,26 +98,29 @@ object ScaleProbe {
     // the embedding/ANN family (added for the round-10 100x probe, which
     // caught the dedup family's broadcast OOM): IVF probe-limited search
     // and the 20-query brute-force/hard-negative baselines are linear in
-    // the corpus as-is; the three index-parameterized queries run under
-    // probeConf's scale knobs (see below). q_embed_neardup is deliberately
+    // the corpus as-is; the three index-parameterized queries derive their
+    // parameters from the corpus size since round 13 (no knobs — the probe
+    // times the unconfigured path). q_embed_neardup is deliberately
     // NOT probed — like q_ngram_jaccard it is the FENCED all-pairs exact
     // verifier, quadratic by design; q_semdedup / q_lsh_ann are its
     // measured scale paths.
     "q_ann_ivf", "q_lsh_ann", "q_semdedup",
     "q_cosine_topk", "q_hard_negatives", "q_knn_classify")
 
-  /** Scale-knob confs applied (at BOTH scales) to queries whose gate shape
-    * pins an index parameter that must grow with the corpus: LSH bits ~
-    * log2(N), IVF/semdedup centroids ~ sqrt(N). The gate defaults (6 bits,
-    * 8-10 centroids) are what the DuckDB oracle replays and stay selective
-    * only at the test SFs; probing them at 100x would time a configuration
-    * no one would run at that size (per-bucket pair volume is N^2/buckets).
-    * Same force-the-scale-path rationale as [[forceTwoPhase]].
+  /** Scale-knob confs applied (at BOTH scales) to queries whose probed
+    * plan needs a conf override. Round 13 EMPTIED the ANN/LSH entries that
+    * lived here (bitsPerBand=14, centroids=512): the index parameters now
+    * DERIVE from the corpus size by default (Scale.derivedIntKnob —
+    * ceil(log2 N) bits, ceil(sqrt N) centroids) whenever no session conf /
+    * system property pins them, and the probe deliberately runs the
+    * UNCONFIGURED path — the probe now measures exactly what an
+    * out-of-the-box production call would run at each scale, which is the
+    * configuration-drift failure mode the old forced knobs papered over.
+    * (The driver gate still pins the oracle-replayed constants via
+    * Verify/Bench builder conf.) Kept as a mechanism for future shapes
+    * that cannot self-derive.
     */
-  private val probeConf: Map[String, Seq[(String, String)]] = Map(
-    "q_lsh_ann" -> Seq("graft.lsh.bitsPerBand" -> "14"),
-    "q_semdedup" -> Seq("graft.semdedup.centroids" -> "512"),
-    "q_knn_classify" -> Seq("graft.ivf.centroids" -> "512"))
+  private val probeConf: Map[String, Seq[(String, String)]] = Map.empty
 
   /** The rank-stat family is probed with `graft.prefixsum.threshold=-1`
     * (two-phase FORCED at both scales). Under the adaptive default most of

@@ -47,6 +47,14 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // GATE PINS (round 13): the ANN/LSH index parameters the static
+      // DuckDB oracles bake into their SQL (8x6 LSH bits, 8 semdedup /
+      // 10 IVF centroids). Library defaults now derive from corpus size
+      // (Scale.derivedIntKnob); the gate must keep the published replay
+      // shapes. Builder-level so the per-query child sessions inherit.
+      .config("graft.lsh.bitsPerBand", "6")
+      .config("graft.semdedup.centroids", "8")
+      .config("graft.ivf.centroids", "10")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -213,7 +213,10 @@ object Dedup {
     }
   }
 
-  private def memoizedCount(df: DataFrame): Long = {
+  /** Shared with [[Scale.derivedIntKnob]] (round 13): index-parameter
+    * derivation rides the same memoized, staleness-guarded corpus count
+    * as the broadcast probe. */
+  private[graft] def memoizedCount(df: DataFrame): Long = {
     // STALENESS GUARD: two fresh reads of one parquet path canonicalize
     // EQUAL (verified empirically — InMemoryFileIndex does not partake in
     // plan equality), so a plan-only key would keep returning a count

@@ -35,14 +35,19 @@ object Ext12Queries {
     * drop vectors with a lower-id cluster-mate at cosine >= 0.45; returns the
     * kept (vec_id, centroid_id) assignment.
     *
-    * The gate pins 8 centroids (what the oracle replays); per-centroid
-    * bucket size — and so the pairwise verify — grows as N/k, so a real
-    * corpus scales k ~ sqrt(N). The `graft.semdedup.centroids` knob lets
-    * the 100x scale probe run that configuration on the same plan.
+    * The gate pins 8 centroids via conf (what the static oracle SQL
+    * replays — Verify/Bench/the test base set
+    * `graft.semdedup.centroids=8`); per-centroid bucket size — and so the
+    * pairwise verify — grows as N/k, so with NO conf anywhere the count
+    * now DERIVES as ceil(sqrt(N)) clamped
+    * ([[graft.operators.Scale.deriveCentroids]]) from the memoized corpus
+    * count: an unconfigured production call gets the sqrt-N operating
+    * point instead of a test-SF constant.
     */
   def semDedup(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    val k = graft.operators.Scale.intKnob(s, "graft.semdedup.centroids", 8)
+    val k = graft.operators.Scale.derivedIntKnob(
+      s, "graft.semdedup.centroids", emb, graft.operators.Scale.deriveCentroids)
     Similarity.semDedup(emb, emb.filter(col("vec_id") < k),
       "vec_id", "embedding", 0.45)
   }

@@ -28,10 +28,13 @@ object Ext28Queries {
     */
   def knnClassify(s: SparkSession, dir: String): DataFrame = {
     val emb = Tables.embeddings(s, dir)
-    // 10 centroids is the oracle-replayed gate shape; candidate volume is
-    // nprobe*N^2/centroids, so a real corpus scales centroids ~ sqrt(N) —
-    // the knob lets the 100x probe run that configuration on the same plan
-    val c = graft.operators.Scale.intKnob(s, "graft.ivf.centroids", 10)
+    // 10 centroids is the oracle-replayed gate shape, pinned via conf by
+    // Verify/Bench/the test base; candidate volume is nprobe*N^2/centroids,
+    // so with NO conf anywhere the count derives as ceil(sqrt(N)) clamped
+    // (Scale.deriveCentroids, memoized corpus count) — the sqrt-N operating
+    // point an unconfigured production call should get
+    val c = graft.operators.Scale.derivedIntKnob(
+      s, "graft.ivf.centroids", emb, graft.operators.Scale.deriveCentroids)
     val neigh = Similarity.ivfTopK(
       queries = emb,
       corpus = emb,

@@ -154,15 +154,19 @@ object Ext2Queries {
     * oracle recomputes the identical buckets in SQL — the full approximate
     * index is replayed, not just sampled.
     *
-    * The gate pins bitsPerBand=6 (what the oracle replays — selective at
-    * the test SFs); bits must grow ~log2(corpus) to stay selective, so the
-    * `graft.lsh.bitsPerBand` knob lets the 100x scale probe run the
-    * configuration a 200k-vector corpus needs (14 bits) on the same plan.
+    * The gate pins bitsPerBand=6 via conf (what the oracle replays —
+    * Verify/Bench/the test base set `graft.lsh.bitsPerBand=6`, which the
+    * static oracle SQL bakes in as range(48) = 8 bands x 6 bits). With NO
+    * conf anywhere the width now DERIVES from the corpus size —
+    * ceil(log2 N) clamped ([[Scale.deriveLshBits]]) — so an unconfigured
+    * production call gets the selectivity a real corpus needs (~14 bits at
+    * 200k vectors, ~24 at 100 TB) instead of a test-SF constant.
     */
   def lshAnn(s: SparkSession, dir: String): DataFrame =
     graft.operators.Similarity.lshNearDup(
         Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45,
-        bitsPerBand = Scale.intKnob(s, "graft.lsh.bitsPerBand", 6))
+        bitsPerBand = Scale.derivedIntKnob(s, "graft.lsh.bitsPerBand",
+          Tables.embeddings(s, dir), Scale.deriveLshBits))
       .select(col("id_1"), col("id_2"), round(col("cos"), 6).as("cos"))
 
   val lshAnnOracle: String = {

@@ -16,6 +16,12 @@ object SparkTestBase {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // gate pins (round 13, same as Verify/Bench): specs assert the
+      // oracle-replayed ANN/LSH shapes; DerivedKnobSpec opts back into
+      // the corpus-derived default with an empty-string conf override
+      .config("graft.lsh.bitsPerBand", "6")
+      .config("graft.semdedup.centroids", "8")
+      .config("graft.ivf.centroids", "10")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
