@@ -40,7 +40,7 @@ object Plans {
       "q_cube" -> "CUBE grouping sets: one Expand pass, partial HashAggregate before the single shuffle",
       "q_range_frame" -> "Time-RANGE frame: one Exchange + one WindowExec over a 4-column pruned scan",
       "q_source_v2" -> "DataSourceV2 landing-zone scan: BatchScan with partition-per-key planning",
-      "q_lsh_ann" -> "Hyperplane-LSH ANN: banded signature explode, bucket self-join, vectors rejoin post-dedup",
+      "q_lsh_ann" -> "Hyperplane-LSH ANN: banded signature explode, bucket self-join, vectors rejoin post-dedup. Dumped UNCONFIGURED (round 13): band width derives from the corpus count (ceil log2 N) — the production default; the driver gate pins 6 bits via conf to match the static oracle",
       "q_zorder" -> "Z-order clustering: codegen'd Morton key inside the scan's WholeStageCodegen span, RangePartitioning on zval (the layout write shape)",
       "q_binned_range_join" -> "Binned range join: interval-to-bin explode broadcast, equi-BroadcastHashJoin on the bin key + residual range predicate (no nested loop)",
       "q_char_entropy" -> "Char entropy: single codegen'd histogram pass per row, zero Exchange in the whole plan",
@@ -56,7 +56,7 @@ object Plans {
       "q_tpch_q18" -> "TPC-H Q18: semi-join on the HAVING aggregate — lineitem aggregated once, qualifying orderkeys joined back, customer dim broadcast",
       "q_tpch_q21" -> "TPC-H Q21: EXISTS/NOT-EXISTS topology — left-semi then left-anti on the suppkey<>suppkey correlated predicates, supplier/nation broadcast",
       "q_tpch_q6" -> "TPC-H Q6: every predicate in PushedFilters, 3-column ReadSchema, single partial+final aggregate — the pure-scan shape",
-      "q_semdedup" -> "SemDeDup: centroid assignment broadcast-joined once, cluster-bucketed pairwise cosine (no all-pairs), left-anti keep",
+      "q_semdedup" -> "SemDeDup: centroid assignment broadcast-joined once, cluster-bucketed pairwise cosine (no all-pairs), left-anti keep. Dumped UNCONFIGURED (round 13): centroid count derives as ceil(sqrt N) — the production default; the gate pins 8 via conf",
       "q_triangle_count" -> "Triangle count: degree-oriented two-path equi-join — out-degrees bounded O(sqrt(E)), no hub blowup",
       "q_winsorize" -> "Winsorized mean: one percentile buffer per group, 1-row-per-group bounds broadcast back onto the fact scan",
       "q_tpch_q7" -> "TPC-H Q7: six-table volume-shipping join — supplier + both nation dims broadcast, facts shuffle once each, exact DECIMAL revenue",
@@ -81,7 +81,7 @@ object Plans {
       "q_pmi_collocations" -> "PMI collocations: unigram model broadcast onto the bigram histogram (2 BroadcastHashJoins, zero SMJ); global top-20 via TakeOrderedAndProject heaps",
       "q_fk_discovery" -> "FK discovery: candidate key sets broadcast-left-semi into each fact scan; every fact scan column-pruned to exactly its key",
       "q_anomaly_resid" -> "Seasonal-residual anomalies: hour-of-day mu and per-type sd profiles broadcast back onto the fact — zero windows, zero SortMergeJoins",
-      "q_knn_classify" -> "kNN label audit: candidate generation rides the IVF index (centroid equi-join), label tables broadcast — no cartesian over the corpus",
+      "q_knn_classify" -> "kNN label audit: candidate generation rides the IVF index (centroid equi-join), label tables broadcast — no cartesian over the corpus. Dumped UNCONFIGURED (round 13): IVF centroids derive as ceil(sqrt N) — the production default; the gate pins 10 via conf",
       "q_retrieval_eval" -> "Retrieval eval (P@5/MRR/NDCG): both label joins broadcast; ranking windows see k rows per query, never the corpus",
       "q_churn_features" -> "Churn features: the 1-row observation span broadcasts (scalar nested-loop), holdout flags broadcast — zero SortMergeJoins",
       "q_jaro_winkler" -> "Jaro-Winkler fuzzy match: native codegen'd BinaryExpression inside the WholeStageCodegen span; scan pruned to (p_type, p_name)",
@@ -112,7 +112,22 @@ object Plans {
       "q_percentile_disc" -> "SQL-standard inverse-distribution quantiles: pruned 2-column scan, ONE shuffle into a partial/final percentile aggregate pair — no joins, no windows",
       "q_mann_whitney" -> "Mann-Whitney U: corpus collapses to the distinct-value histogram (partial-aggregated), rank prefix sums via the TWO-PHASE bucketed pass — the only global window runs over the ≤numParts per-bucket totals, never the data",
       "q_rfm" -> "RFM quintiles: three customer-cardinality ranks via the two-phase bucketed pass (no single-partition window anywhere), ntile(5) recomputed arithmetically from (rank, n)",
-      "q_perplexity_filter" -> "Perplexity gate: percent_rank = exclusive prefix count over the perplexity HISTOGRAM (two-phase bucketed), histogram equi-joined back onto the scored docs — the corpus never sees a global window")
+      "q_perplexity_filter" -> "Perplexity gate: percent_rank = exclusive prefix count over the perplexity HISTOGRAM (two-phase bucketed), histogram equi-joined back onto the scored docs — the corpus never sees a global window",
+      // round-13 additions: every remaining >1.5s-anchor batch query gets
+      // a pinned section (PlanSpec's budget table asserts the same shapes)
+      "q_bigram_lm" -> "Bigram LM quality filter: corpus collapses ONCE to (doc, w1, w2, cnt); both model tables re-aggregate from that and broadcast back (bigram-vocabulary-sized, Heaps'-law ≪ corpus) — the corpus-sized side shuffles exactly once; DECIMAL-staged log terms",
+      "q_dedup_clusters" -> "Connected-component dedup clusters: prefix-filtered pair graph (lossless Bayardo filter — same pair set as the fenced all-pairs verifier, corpus-scale cost), components via single-task union-find below the 5M-edge cutoff — the tail plan is one narrow shuffle, round-count-free",
+      "q_assoc_rules" -> "Association rules: basket matrix collapses to distinct (order, brand) FIRST, pair self-join keyed on the basket id — pair space is |items|^2, never |orders|^2; support thresholds as scalar broadcasts",
+      "q_lpa_communities" -> "Label propagation: each round is one join + two aggregates on the |items|^2-bounded edge list; the corpus builds edge weights once — rounds iterate over the EDGE graph, not the corpus",
+      "q_jaccard_prefix" -> "Prefix-filtered Jaccard pairs: rarity-ordered prefix postings probe the full postings (broadcast below the doc cutoff), in-row verify — same output contract as the fenced q_ngram_jaccard at corpus-scale cost",
+      "q_item_similarity" -> "Item-item cosine: pair join keyed on the CUSTOMER (the sparse nonzero coordinate) — cost is Σ_customers (items-per-customer)^2, never |items|^2 x |customers|; exact BIGINT dot products, top-3 window per brand",
+      "q_recursive_cte" -> "Recursive-CTE hierarchy walk: level-synchronous iteration, each level an equi-join materialized once — the tail plan is the final level's narrow shuffle, no driver-side loop",
+      "q_lift_curve" -> "Lift/capture deciles: ONE sort under the ntile window, cumulative windows share it, scalar totals broadcast (1-row nested loop) — deciles, not the corpus, feed every aggregate after the first pass",
+      "q_ngram_jaccard" -> "Exact n-gram Jaccard (the FENCED all-pairs verifier tier): postings self-join on the shingle key with per-doc size tables broadcast below graft.dedup.broadcastMaxDocs — quadratic by DESIGN, ScaleFenced at corpus scale; q_jaccard_prefix is the production path",
+      "q_khop_reach" -> "k-hop BFS reachability: 4 unrolled levels, each one shuffled frontier-vs-edges semi-join + distinct + anti-join vs discovered — join count bounded by the hop constant, never corpus-quadratic",
+      "q_tpch_q16" -> "TPC-H Q16: NOT-IN as broadcast anti-join, part dim broadcast — the two-phase COUNT(DISTINCT supplier) is the only corpus shuffle",
+      "q_approx_quantile" -> "Approximate quantiles: ONE shuffle into the partial/final percentile_approx sketch pair, exact p50 audit in the same pass — no windows, no joins",
+      "q_degree_dist" -> "Degree distribution + power-law fit: two-phase distinct-count histogram (exact integers); the log-log OLS slope runs over ~degree-count points — scalar joined back, corpus shuffles twice total")
 
     val md = new StringBuilder
     md.append("# PLANS — physical plans of the headline queries\n\n")
@@ -159,6 +174,12 @@ object Plans {
     md.append(graft.queries.StreamQueries.stateInspect(spark, sfDir)
       .queryExecution.analyzed.treeString)
     md.append("```\n")
+
+    md.append("\n## q_stream_tumbling / q_stream_session / q_stream_join / " +
+      "q_stream_dedup / q_stream_static / q_doc_pipeline — pin locations\n\n")
+    md.append(
+      """The bounded streaming drains' executed BATCH plan is just the memory-sink scan, so their load-bearing shapes are pinned as ANALYZED STREAMING plans instead: the tumbling count/sum aggregation shape is the q_state_inspect drain pin above (same single-source fold, state bounded by (window, event_type) cardinality); the stream-stream equi+range join and TransformWithState session shapes are the two sections above plus PlanSpec's analyzed-plan assertions; q_stream_dedup's dropDuplicatesWithinWatermark state and q_doc_pipeline's fingerprint-dedup ingest state are exercised by the streaming suite with batch-recompute parity oracles, and StateStoreToggleSpec proves the stateful shapes are state-store-provider-interchangeable (HDFS vs RocksDB). q_jdbc_roundtrip's partitioned-scan property (bounds via a 1-row aggregate, no per-partition re-query) is pinned by Ext8's spec; q_pipeline_e2e is the composed job whose stages are each pinned above.""")
+    md.append("\n")
 
     md.append("\n## q_simhash_neardup / q_simhash_fast — cost note\n\n")
     md.append(

@@ -948,4 +948,74 @@ class PlanSpec extends SparkTestBase {
       }
     }
   }
+
+  // ---- round-13 budget pins: every remaining >1.5 s-anchor BATCH query -
+
+  test("round-13 shape budgets: each remaining >1.5s-anchor batch query " +
+      "stays inside its reviewed plan-node budget (upper bounds: a " +
+      "regression ADDS exchanges/joins, an improvement removes them) and " +
+      "plans zero cartesian products") {
+    // Excluded from this table, with their pins elsewhere or by design:
+    // the streaming drains (q_stream_* / q_tws_sessions / q_state_inspect
+    // — analyzed-streaming-plan pins above + StateInspectSpec; their
+    // executed batch plan is just the memory-sink scan — q_doc_pipeline
+    // is in this class too: an ingest drain whose dedup state shape the
+    // streaming suite pins), q_pipeline_e2e
+    // (a composite drain job, each stage pinned via its operator),
+    // q_jdbc_roundtrip (Derby round trip; the partitioned-scan property
+    // is pinned by Ext8's own spec). BNLJ appearances below are reviewed:
+    // 1-row scalar broadcasts (thresholds/totals) or broadcast left-antis
+    // without an equi-key — never a corpus x corpus pairing (the zero-
+    // cartesian assertion holds for every query in the table).
+    final case class Budget(sh: Int, smj: Int, bhj: Int, bnlj: Int, win: Int)
+    val budgets = Seq(
+      "q_curation_funnel" -> Budget(6, 1, 0, 4, 0),
+      "q_cluster_canonical" -> Budget(1, 0, 1, 0, 1),
+      "q_containment" -> Budget(3, 0, 5, 0, 0),
+      "q_containment_prefix" -> Budget(1, 0, 3, 0, 0),
+      "q_kn_bigram" -> Budget(10, 0, 3, 1, 0),
+      "q_graph_jaccard" -> Budget(8, 2, 14, 5, 0),
+      "q_bloom_clean" -> Budget(2, 0, 2, 0, 0),
+      // simhash persists the fingerprint table: its shuffles live inside
+      // the cached subtree, the tail is one broadcast band-bucket verify
+      "q_simhash_fast" -> Budget(0, 0, 1, 0, 0),
+      "q_bigram_lm" -> Budget(7, 0, 2, 1, 0),
+      // the label-propagation tail (edges materialized per round; the
+      // union-find below the 5M-edge cutoff is a single narrow task)
+      "q_dedup_clusters" -> Budget(1, 0, 0, 0, 0),
+      "q_assoc_rules" -> Budget(7, 1, 5, 1, 0),
+      "q_lpa_communities" -> Budget(8, 3, 2, 0, 2),
+      "q_jaccard_prefix" -> Budget(1, 0, 3, 0, 0),
+      "q_item_similarity" -> Budget(6, 1, 6, 0, 1),
+      // BFS tail after per-level checkpoints
+      "q_recursive_cte" -> Budget(1, 0, 0, 0, 0),
+      "q_lift_curve" -> Budget(1, 0, 0, 1, 3),
+      "q_ngram_jaccard" -> Budget(2, 0, 3, 0, 0),
+      // 4 unrolled hop levels x (frontier join + anti-join + scalar
+      // count) — bounded by the hop constant, never corpus-quadratic
+      "q_khop_reach" -> Budget(28, 3, 4, 12, 0),
+      "q_tpch_q16" -> Budget(3, 0, 2, 0, 0),
+      "q_approx_quantile" -> Budget(1, 0, 0, 0, 0),
+      "q_degree_dist" -> Budget(4, 0, 1, 1, 0))
+    withStaticPlans { withTwoPhasePrefix {
+      budgets.foreach { case (name, b) =>
+        val plan = planOf(q(name))
+        val sh = plan.collect { case x: ShuffleExchangeExec => x }.size
+        val smj = plan.collect { case x: SortMergeJoinExec => x }.size
+        val bhj = plan.collect { case x: BroadcastHashJoinExec => x }.size
+        val bnlj = plan.collect { case x: BroadcastNestedLoopJoinExec => x }.size
+        val win = plan.collect { case x: WindowExec => x }.size
+        val cart = plan.collect {
+          case x: org.apache.spark.sql.execution.joins.CartesianProductExec => x
+        }.size
+        assert(cart == 0, s"$name plans a cartesian product")
+        assert(sh <= b.sh, s"$name shuffles grew: $sh > ${b.sh}")
+        assert(smj <= b.smj, s"$name sort-merge joins grew: $smj > ${b.smj}")
+        assert(bhj <= b.bhj + b.smj,
+          s"$name broadcast joins grew: $bhj > ${b.bhj + b.smj}")
+        assert(bnlj <= b.bnlj, s"$name nested-loop joins grew: $bnlj > ${b.bnlj}")
+        assert(win <= b.win, s"$name window passes grew: $win > ${b.win}")
+      }
+    }}
+  }
 }
