@@ -384,7 +384,10 @@ object VaderData {
     "fears" -> -1.7, "panic" -> -2.4, "bear" -> -0.4, "bearish" -> -1.4,
     "weak" -> -1.8, "weakness" -> -1.6, "fraud" -> -2.8, "scam" -> -2.3,
     "scams" -> -2.3, "risk" -> -1.1, "risks" -> -1.1, "risky" -> -1.3,
-    "crisis" -> -3.1, "collapse" -> -2.1, "collapsed" -> -2.0,
+    // collapsed CALIBRATED EXACTLY from the published demo compound for
+    // "the twin towers collapsed today" (-0.2732 -> sum -1.0997 -> -1.1,
+    // round-13 inversion; the -2.0 it replaced was a transcription error)
+    "crisis" -> -3.1, "collapse" -> -2.1, "collapsed" -> -1.1,
     "hate" -> -2.7, "hated" -> -3.2, "sad" -> -2.1, "decline" -> -1.6,
     "declined" -> -1.1, "doubt" -> -1.5, "doubts" -> -1.3,
     "horrible" -> -2.5, "horrific" -> -3.0, "abuse" -> -3.2,

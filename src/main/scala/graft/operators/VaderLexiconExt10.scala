@@ -91,5 +91,22 @@ object VaderLexiconExt10 {
     "a+" -> 2.2, "cwot" -> -2.1, "fav" -> 2.0, "fu" -> -3.7,
     "fubar" -> -3.0, "gr8" -> 1.9, "h8" -> -2.7, "j4f" -> 1.4,
     "kewl" -> 1.7, "luv" -> 2.7, "muah" -> 2.5, "n1" -> 1.9,
-    "pita" -> -1.8, "qt" -> 2.0, "wtg" -> 2.1)
+    "pita" -> -1.8, "qt" -> 2.0, "wtg" -> 2.1,
+    // --- calibrated from a published compound (the `uncompelling` method:
+    // invert the published tricky-sentence score given the rule constants).
+    // "Not such a badass after all." scores -0.2584 in the published
+    // implementation; the only consistent derivation is badass = 1.4 as a
+    // LEXICON word negated at distance 3 (1.4 x -0.74 -> -1.036 ->
+    // -1.036/sqrt(1.036^2+15) = -0.2584, exact at 4 dp). The single-token
+    // "badass" SPECIAL_CASES entry (1.5) is inert in the published scorer
+    // too — the idiom check only matches 2-3-grams — so the word entry is
+    // what actually fires. Golden pinned in SentimentSpec.
+    "badass" -> 1.4,
+    // "It's one thing to watch an Uwe Boll film, but another thing
+    // entirely to pay for it" scores -0.2541: pay = -0.4 is the only
+    // 1-dp value consistent with the full chain — entirely booster at
+    // distance 2 (damped 0.95, sign-following: -0.4 - 0.278 = -0.678),
+    // then the post-but x1.5 reweight (-1.0175 -> -0.2541, exact at
+    // 4 dp). Golden pinned in SentimentSpec.
+    "pay" -> -0.4)
 }

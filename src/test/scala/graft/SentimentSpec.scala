@@ -41,7 +41,37 @@ class SentimentSpec extends SparkTestBase {
       "Sentiment analysis has never been this good!" -> 0.5672,
       "Most automated sentiment analysis tools are shit." -> -0.5574,
       "With VADER, sentiment analysis is the shit!" -> 0.6476,
-      "Other sentiment analysis tools can be quite bad." -> -0.5849)
+      "Other sentiment analysis tools can be quite bad." -> -0.5849,
+      // round-13 widenings, each reproduced EXACTLY (4 dp) by the engine
+      // before being pinned — mutual corroboration of the recalled
+      // published value and the rule engine:
+      "The book was only kind of good." -> 0.3832, // kind-of bigram damping
+      "Warren Beatty has never been so entertaining." -> 0.5777, // never-so
+      "Without a doubt, an excellent idea." -> 0.7013, // without-doubt pass
+      "The movie was too good" -> 0.4404,
+      "It isn't a horrible book." -> 0.431, // n't-suffix negation
+      // solved the round-13 `badass` lexicon entry (see VaderLexiconExt10)
+      "Not such a badass after all." -> -0.2584,
+      // second round-13 batch, again engine-reproduced at 4 dp before
+      // pinning; the last two jointly exercise the but-clause reweight
+      // with caps ("BUT") and the n't-containment negation:
+      "VADER sentiment analysis is the shit." -> 0.6124,
+      "Sentiment analysis with VADER has never been this good." -> 0.5228,
+      "they fall in love with the product" -> 0.4588, // DOMAIN-tail note below
+      "I like to hate Michael Bay films, but I couldn't fault this one" -> 0.3153,
+      "I like to hate Michael Bay films, BUT I couldn't help but fault this one" -> -0.1531,
+      // solved the round-13 `pay` entry (see VaderLexiconExt10)
+      "It's one thing to watch an Uwe Boll film, but another thing entirely to pay for it" -> -0.2541,
+      // solved the round-13 `collapsed` correction (core block)
+      "the twin towers collapsed today" -> -0.2732)
+    // NOTE on "they fall in love with the product": the published NLTK
+    // output is 0.6369 (love only — "fall" is not in the published
+    // lexicon); this engine deliberately carries `fall` -1.2 in its
+    // crypto-domain tail (price-move vocabulary, documented at
+    // VaderData.coreLexicon), so the pinned value is the ENGINE's
+    // domain-lexicon score, not the stock-NLTK one — the one known class
+    // of deliberate divergence. Dropping the domain tail (or configuring
+    // the published file via graft.vader.lexicon) recovers 0.6369.
     goldens.foreach { case (text, expected) =>
       assert(round4(Sentiment.score(text)) == expected,
         s"'$text': got ${Sentiment.score(text)}, want $expected")
