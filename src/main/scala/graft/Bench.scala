@@ -149,8 +149,17 @@ object Bench {
         .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
           .map(_.group(1).toInt))
         .foldLeft(0)(math.max) + 1
+      // never clobber an existing record: the committed BENCHLOCAL is a
+      // quiet-host min-of-N measurement, and a later (possibly loaded-
+      // host, single-pass) run landing on the same round number would
+      // silently replace it — land reruns beside it instead
+      val base = f"BENCHLOCAL_r$n%02d"
+      val target =
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base.json")))
+          s"$base.json"
+        else s"${base}_rerun.json"
       try java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(f"BENCHLOCAL_r$n%02d.json"), line + "\n")
+        java.nio.file.Paths.get(target), line + "\n")
       catch { case e: Throwable =>
         System.err.println(s"[bench] BENCHLOCAL write failed: ${e.getMessage}")
       }

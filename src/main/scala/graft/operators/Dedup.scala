@@ -175,13 +175,32 @@ object Dedup {
     * FileIndex): its index-level sizeInBytes may be an estimate, so a
     * same-name same-estimated-size rewrite would collide — such plans
     * are not memoized at all rather than memoized with a weaker
-    * guarantee than this contract promises. */
+    * guarantee than this contract promises. A catalog-backed table
+    * (CatalogFileIndex — the Hive-metastore shape a production corpus
+    * actually has) is NOT such a case: its listing is materialized via
+    * `filterPartitions(Nil)` into a partitioning-aware index first, so
+    * catalog tables keep full per-file-stat memoization instead of
+    * falling to the probe-every-call path.
+    *
+    * Returning Some for plans with NO file index at all is sound only
+    * when the leaves carry their data or generate it deterministically
+    * (LocalRelation — data is part of the canonicalized plan — Range,
+    * OneRowRelation, in-memory caches of those). An EXTERNAL non-file
+    * leaf (a JDBCRelation, a custom DSv2 table) canonicalizes equal
+    * across server-side data changes, so plan equality would freeze the
+    * count — and round 13 widened this memo to index-parameter
+    * derivation, making a frozen count doubly wrong. Such plans return
+    * None (probe every call). */
   private def inputFilesToken(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{
+      LocalRelation, OneRowRelation, Range => LogicalRange}
     import org.apache.spark.sql.execution.datasources.{
-      FileIndex, HadoopFsRelation, LogicalRelation, PartitioningAwareFileIndex}
+      CatalogFileIndex, FileIndex, HadoopFsRelation, LogicalRelation,
+      PartitioningAwareFileIndex}
     import org.apache.spark.sql.execution.datasources.v2.{
       DataSourceV2Relation, FileTable}
-    val indexes: Seq[FileIndex] = df.queryExecution.analyzed.collect {
+    val analyzed = df.queryExecution.analyzed
+    val indexes: Seq[FileIndex] = analyzed.collect {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => Seq(fs.location)
         case _ => Seq.empty[FileIndex]
@@ -190,8 +209,21 @@ object Dedup {
         case ft: FileTable => Seq(ft.fileIndex)
         case _ => Seq.empty[FileIndex]
       }
-    }.flatten
-    if (!indexes.forall(_.isInstanceOf[PartitioningAwareFileIndex])) None
+    }.flatten.map {
+      // materialize a catalog table's listing (per-file stats included)
+      case c: CatalogFileIndex => c.filterPartitions(Nil)
+      case other => other
+    }
+    // every leaf must be file-backed or self-describing for plan
+    // equality (+ file token) to imply data equality
+    val leavesGuarded = analyzed.collectLeaves().forall {
+      case lr: LogicalRelation => lr.relation.isInstanceOf[HadoopFsRelation]
+      case r: DataSourceV2Relation => r.table.isInstanceOf[FileTable]
+      case _: LocalRelation | _: OneRowRelation | _: LogicalRange => true
+      case _ => false
+    }
+    if (!leavesGuarded ||
+        !indexes.forall(_.isInstanceOf[PartitioningAwareFileIndex])) None
     else {
       val statEntries: Seq[String] = indexes.map {
         case p: PartitioningAwareFileIndex =>

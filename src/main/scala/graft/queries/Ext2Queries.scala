@@ -159,15 +159,18 @@ object Ext2Queries {
     * static oracle SQL bakes in as range(48) = 8 bands x 6 bits). With NO
     * conf anywhere the width now DERIVES from the corpus size —
     * ceil(log2 N) clamped ([[Scale.deriveLshBits]]) — so an unconfigured
-    * production call gets the selectivity a real corpus needs (~14 bits at
-    * 200k vectors, ~24 at 100 TB) instead of a test-SF constant.
+    * production call gets the selectivity a real corpus needs (18 bits at
+    * 200k vectors per the formula, 24 at the clamp for 100 TB counts)
+    * instead of a test-SF constant.
     */
-  def lshAnn(s: SparkSession, dir: String): DataFrame =
+  def lshAnn(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
     graft.operators.Similarity.lshNearDup(
-        Tables.embeddings(s, dir), "vec_id", "embedding", threshold = 0.45,
+        emb, "vec_id", "embedding", threshold = 0.45,
         bitsPerBand = Scale.derivedIntKnob(s, "graft.lsh.bitsPerBand",
-          Tables.embeddings(s, dir), Scale.deriveLshBits))
+          emb, Scale.deriveLshBits))
       .select(col("id_1"), col("id_2"), round(col("cos"), 6).as("cos"))
+  }
 
   val lshAnnOracle: String = {
     val cosSql: (String, String) => String = (a, b) =>

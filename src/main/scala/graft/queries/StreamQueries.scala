@@ -236,11 +236,16 @@ object StreamQueries {
     * session is MEMOIZED per root session — repeated calls (bench x3, the
     * determinism spec, the two-scale probe) reuse one `newSession()`
     * instead of registering a fresh session per call — and the drained
-    * checkpoint + reader DataFrame are memoized per (root session, dir),
-    * so at most ONE temp checkpoint exists per input dir for the JVM
-    * lifetime (reclaimed at exit; the reader DataFrame stays lazy over it,
-    * so the dir must outlive the last materialization and eager deletion
-    * is not an option for the cached path).
+    * checkpoint + reader DataFrame are memoized per (root session, dir):
+    * repeated calls on a cached key reuse ONE temp checkpoint. The memo
+    * is a bounded LRU (round 13), so a host cycling through >64 keys
+    * evicts old entries; an evicted entry's checkpoint stays on disk
+    * until JVM exit (it is TempDirs-exit-registered from birth, and the
+    * evicted reader DataFrame may still be referenced, so eager deletion
+    * on eviction is not an option) and a re-accessed evicted key drains
+    * to a NEW checkpoint — i.e. disk grows one checkpoint per eviction
+    * miss, bounded by call count and reclaimed at exit, in exchange for
+    * the heap bound on sessions/readers.
     *
     * Scale posture: state is one row per (window, event_type) — bounded by
     * key cardinality, not event volume; the reader scans state files
@@ -417,12 +422,20 @@ object StreamQueries {
     * its state rows, and delete the checkpoint immediately — the
     * determinism spec uses this to prove independent drains agree without
     * leaving a dir behind. */
-  private[graft] def stateInspectFresh(
-      s: SparkSession, dir: String): Seq[org.apache.spark.sql.Row] = {
-    val (df, ckpt) = drainAndReadState(inspectSession(s), dir)
+  /** Shared tail of the fresh-drain seams: drain on the given session,
+    * collect the state rows, delete the checkpoint immediately (the rows
+    * are materialized, so eager deletion is safe here — unlike the
+    * memoized path). */
+  private def freshDrainCollect(
+      s2: SparkSession, dir: String): Seq[org.apache.spark.sql.Row] = {
+    val (df, ckpt) = drainAndReadState(s2, dir)
     try df.collect().toSeq
     finally org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
   }
+
+  private[graft] def stateInspectFresh(
+      s: SparkSession, dir: String): Seq[org.apache.spark.sql.Row] =
+    freshDrainCollect(inspectSession(s), dir)
 
   /** Test seam (round 13, VERDICT #6): a genuinely FRESH state-inspect
     * drain under an EXPLICIT state-store provider — collected state rows,
@@ -434,16 +447,15 @@ object StreamQueries {
     * rows out of either store — so flipping the conf at scale is a pure
     * performance decision, not a correctness risk. Reads back through
     * the SAME session so the statestore reader resolves the matching
-    * provider. */
+    * provider. Session posture matches [[inspectSession]] (8 narrow
+    * partitions) with only the provider swapped. */
   private[graft] def stateInspectFreshWithProvider(
       s: SparkSession, dir: String,
       providerClass: String): Seq[org.apache.spark.sql.Row] = {
     val s2 = s.newSession()
     s2.conf.set("spark.sql.shuffle.partitions", "8")
     s2.conf.set("spark.sql.streaming.stateStore.providerClass", providerClass)
-    val (df, ckpt) = drainAndReadState(s2, dir)
-    try df.collect().toSeq
-    finally org.apache.commons.io.FileUtils.deleteQuietly(ckpt.toFile)
+    freshDrainCollect(s2, dir)
   }
 
   val stateInspectOracle: String =

@@ -240,4 +240,38 @@ class DedupSpec extends SparkTestBase {
     assert(Dedup.docCountProbeRuns.get() == primed + 1,
       "post-invalidation gated call must pay a genuinely fresh probe job")
   }
+
+  test("probe memo coverage by source shape (round-13 leaf guard): " +
+      "catalog tables memoize, external non-file leaves probe every call") {
+    // CATALOG-backed table (CatalogFileIndex — the Hive-metastore shape a
+    // production corpus has): the round-13 fix materializes its listing
+    // via filterPartitions(Nil), so it keeps per-file-stat memoization
+    spark.sql("DROP TABLE IF EXISTS dedup_cat_probe")
+    corpus.write.mode("overwrite").saveAsTable("dedup_cat_probe")
+    val cat = spark.table("dedup_cat_probe")
+    val r0 = Dedup.docCountProbeRuns.get()
+    Dedup.minhashNearDup(cat, "doc_id", "text").count()
+    val r1 = Dedup.docCountProbeRuns.get()
+    assert(r1 == r0 + 1, "first catalog-table call probes once")
+    Dedup.minhashNearDup(cat, "doc_id", "text").count()
+    assert(Dedup.docCountProbeRuns.get() == r1,
+      "catalog-backed corpus must reuse the memoized count")
+    spark.sql("DROP TABLE dedup_cat_probe")
+    // EXTERNAL non-file leaf (custom DSv2 table that is not a FileTable):
+    // plan equality cannot see server-side data changes, so such inputs
+    // must pay the probe on every call instead of memoizing a count that
+    // could go stale invisibly
+    val zone = graft.util.TempDirs.create("dedup-kline-probe")
+    java.nio.file.Files.writeString(zone.resolve("BTCUSDT-1m.jsonl"),
+      "alpha beta gamma\ndelta epsilon zeta\nalpha beta gamma\n")
+    val kline = spark.read.format("graft-klines")
+      .option("path", zone.toString).load()
+      .selectExpr("xxhash64(value) AS doc_id", "value AS text")
+    val k0 = Dedup.docCountProbeRuns.get()
+    Dedup.minhashNearDup(kline, "doc_id", "text").count()
+    Dedup.minhashNearDup(kline, "doc_id", "text").count()
+    assert(Dedup.docCountProbeRuns.get() == k0 + 2,
+      "external non-file leaves must probe per call (no staleness guard " +
+        "is possible, so no memoization is allowed)")
+  }
 }

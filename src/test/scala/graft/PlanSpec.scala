@@ -1011,8 +1011,11 @@ class PlanSpec extends SparkTestBase {
         assert(cart == 0, s"$name plans a cartesian product")
         assert(sh <= b.sh, s"$name shuffles grew: $sh > ${b.sh}")
         assert(smj <= b.smj, s"$name sort-merge joins grew: $smj > ${b.smj}")
-        assert(bhj <= b.bhj + b.smj,
-          s"$name broadcast joins grew: $bhj > ${b.bhj + b.smj}")
+        // joint bound: an SMJ improving into a BHJ passes, but the TOTAL
+        // equi-join count cannot grow (a bhj-only slack of b.smj would
+        // let a plan add broadcast joins without converting anything)
+        assert(bhj + smj <= b.bhj + b.smj,
+          s"$name equi-join count grew: bhj=$bhj + smj=$smj > ${b.bhj + b.smj}")
         assert(bnlj <= b.bnlj, s"$name nested-loop joins grew: $bnlj > ${b.bnlj}")
         assert(win <= b.win, s"$name window passes grew: $win > ${b.win}")
       }
