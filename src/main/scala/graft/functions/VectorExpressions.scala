@@ -26,6 +26,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
 
   override def prettyName: String = "cosine_similarity"
 
+  /** NULL on zero-norm inputs (round-13 fix), not just on null children:
+    * the HOF reference divides through Spark's non-ANSI `Divide`, whose
+    * divide-by-zero yields NULL — the raw-Java `0.0/0.0` here yielded
+    * NaN instead, and Spark sorts/compares NaN GREATER than every
+    * double, so one all-zero (dead/padded) embedding in a corpus became
+    * the #1 neighbor of every query and a near-dup of everything. NULL
+    * restores the reference semantics: filtered by every `cos >=
+    * threshold`, ranked last (then dropped) by the top-k operators. */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
@@ -42,7 +52,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
       nb += yb * yb
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    if (na == 0.0 || nb == 0.0) null
+    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -64,7 +75,11 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  $na += $xa * $xa;
          |  $nb += $yb * $yb;
          |}
-         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |if ($na == 0.0 || $nb == 0.0) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |}
        """.stripMargin
     })
 

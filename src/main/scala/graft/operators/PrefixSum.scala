@@ -108,8 +108,48 @@ object PrefixSum {
       parts: Int): Option[DataFrame] = {
     if (parts <= 1) return None
     val (n, bounds) = countAndBounds(df, ord, parts)
-    if (n <= threshold(df)) None
-    else Some(df.withColumn("_pid", bucketId(bounds, ord)))
+    // n == 0: an empty input always degenerates cleanly on the small path,
+    // even under the forced (-1) threshold
+    if (n == 0 || n <= threshold(df)) None
+    else if (bounds.isEmpty)
+      // round-13 guard: percentile probe found NO numeric order values
+      // (the whole order column casts to NULL) — every row would land in
+      // bucket 0 and the "two-phase" plan would silently run the full
+      // above-threshold input through ONE single-task window, the exact
+      // hazard this class exists to prevent. Fail loudly instead.
+      throw new IllegalArgumentException(
+        s"PrefixSum: $n rows exceed the two-phase threshold but the order " +
+          "column has no numeric values to bucket on (casts to NULL " +
+          "everywhere) — bucketing would degenerate to one single-task " +
+          "window; fix the order column")
+    else {
+      val tagged = df.withColumn("_pid", bucketId(bounds, ord))
+      // the two-phase plan evaluates this sub-plan in SEPARATE branches
+      // (bucket-local window, per-bucket totals); a non-deterministic
+      // lineage could offset rows against totals computed from a
+      // DIFFERENT evaluation — silently wrong global sums. Pin one
+      // evaluation with a lazy localCheckpoint when the plan carries any
+      // non-deterministic expression (round-13 guard; deterministic
+      // plans — every gated query — skip the checkpoint cost).
+      val planDeterministic = tagged.queryExecution.analyzed.find(p =>
+        p.expressions.exists(e => !e.deterministic)).isEmpty
+      Some(if (planDeterministic) tagged else tagged.localCheckpoint(false))
+    }
+  }
+
+  /** Round-13 guard shared by every entry point, checked on BOTH size
+    * paths: the two-phase plan synthesizes internal working columns and
+    * drops them at the end, so a caller column with a colliding name
+    * would be silently overwritten and REMOVED — and only above the size
+    * threshold, i.e. a data-dependent schema change. A loud, uniform
+    * failure beats that. */
+  private def requireNoInternalClash(
+      df: DataFrame, internal: Seq[String]): Unit = {
+    val clash = internal.filter(df.columns.contains)
+    require(clash.isEmpty,
+      s"PrefixSum: input already carries internal working column(s) " +
+        s"${clash.mkString(", ")} — rename them (the two-phase plan " +
+        "would overwrite and then drop them)")
   }
 
   /** Append `<c>_excl` exclusive-prefix-sum columns for each of `sumCols`,
@@ -118,10 +158,15 @@ object PrefixSum {
     */
   def exclusive(df: DataFrame, orderCol: String, sumCols: Seq[String],
       numParts: Int = 0): DataFrame = {
+    require(sumCols.nonEmpty,
+      "PrefixSum.exclusive: sumCols must be non-empty (the small path " +
+        "would silently no-op while the two-phase path would throw)")
+    requireNoInternalClash(df,
+      "_pid" +: sumCols.flatMap(c => Seq(s"_local_$c", s"_off_$c")))
     val parts =
       if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ord = col(orderCol).cast("double")
+    val ord = expr(s"try_cast(`$orderCol` AS DOUBLE)") // NULL, never ANSI-throw: the guard below owns the failure
     val withPid = probeAndBucket(df, ord, parts).getOrElse {
       // SMALL: probe says the whole input fits one task comfortably
       val w = Window.orderBy(col(orderCol))
@@ -173,10 +218,13 @@ object PrefixSum {
   def rankedPrefix(df: DataFrame, valueCol: String, descOrder: Boolean,
       tieCols: Seq[String], sumCols: Seq[String] = Nil,
       rnName: String = "rn", numParts: Int = 0): DataFrame = {
+    requireNoInternalClash(df,
+      Seq("_pid", "_local_rn", "_off_rn") ++
+        sumCols.flatMap(c => Seq(s"_local_$c", s"_off_$c")))
     val parts =
       if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ord = col(valueCol).cast("double")
+    val ord = expr(s"try_cast(`$valueCol` AS DOUBLE)") // NULL, never ANSI-throw
     val ordCols = (if (descOrder) col(valueCol).desc else col(valueCol).asc) +:
       tieCols.map(col(_).asc)
     val withPid = probeAndBucket(df, ord, parts).getOrElse {
@@ -226,10 +274,11 @@ object PrefixSum {
     */
   def minBeforeDesc(df: DataFrame, orderCol: String, minCol: String,
       numParts: Int = 0): DataFrame = {
+    requireNoInternalClash(df, Seq("_pid", "_local_min", "_off_min"))
     val parts =
       if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
-    val ord = col(orderCol).cast("double")
+    val ord = expr(s"try_cast(`$orderCol` AS DOUBLE)") // NULL, never ANSI-throw: the guard below owns the failure
     val withPid = probeAndBucket(df, ord, parts).getOrElse {
       val w = Window.orderBy(col(orderCol).desc)
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -33,7 +33,11 @@ object Similarity {
     * ([[graft.functions.CosineSimilarity]]) — bit-identical arithmetic to the
     * HOF formulation `dot(a,b) / (norm(a) * norm(b))`, ~50x faster at
     * millions of pairs (tight primitive loop inside whole-stage codegen vs
-    * interpreted lambda dispatch).
+    * interpreted lambda dispatch). Zero-norm (dead/padded) vectors score
+    * NULL (round 13) — the same divide-by-zero convention as Spark's
+    * non-ANSI `Divide` in the HOF form AND DuckDB's `/` in the oracle
+    * replay (both NULL), where the raw-Java NaN it previously produced
+    * sorted GREATER than every real score and poisoned rankings.
     */
   def cosine(a: Column, b: Column): Column =
     graft.functions.VectorFunctions.cosine_sim(a, b)
@@ -56,6 +60,10 @@ object Similarity {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
+      // NULL cos (zero-norm/dead vectors) are non-neighbors, not rank
+      // filler: without this filter a query with < k scoreable candidates
+      // would emit (query, dead_vector, NULL) rows (round-13 fix)
+      .filter(col("cos").isNotNull)
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -101,6 +109,7 @@ object Similarity {
       .join(bucketed, Seq("centroid_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
+      .filter(col("cos").isNotNull) // zero-norm vectors are non-neighbors
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     scored
@@ -148,6 +157,7 @@ object Similarity {
     q.join(c, col("query_id") =!= col("neighbor_id") &&
         col("query_label") =!= col("neighbor_label"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
+      .filter(col("cos").isNotNull) // zero-norm vectors are non-neighbors
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("query_label"), col("neighbor_id"),
@@ -211,8 +221,15 @@ object Similarity {
       .filter(col(vecCol).isNotNull)
       .select(size(col(vecCol)).as("d")).take(1)
     if (dimRow.isEmpty) {
+      // schema must MATCH the non-empty branch (which carries the
+      // caller's id type): a hard-coded BIGINT id here would make the
+      // empty-input result un-unionable with a non-empty one whenever
+      // ids are strings/ints (round-13 fix)
+      val idT = vectors.schema(idCol).dataType
       return vectors.sparkSession.emptyDataFrame
-        .select(lit(0L).as("id_1"), lit(0L).as("id_2"), lit(0.0).as("cos"))
+        .select(lit(null).cast(idT).as("id_1"),
+          lit(null).cast(idT).as("id_2"),
+          lit(null).cast("double").as("cos"))
         .limit(0)
     }
     val dim = dimRow(0).getInt(0)

@@ -102,8 +102,16 @@ object StagedDirs {
 
   /** Forget the memo for `keys` so the next [[getOrStage]] re-stages them
     * (staged dirs stay on disk; [[graft.util.TempDirs]]' exit-time
-    * registration owns cleanup).
+    * registration owns cleanup). Takes the per-key staging monitor
+    * (round-13 fix): a bare `cache.remove` racing an in-flight
+    * [[getOrStage]] on the same key would be overwritten by that call's
+    * trailing `cache.put` — the invalidation silently lost, and Bench's
+    * noise-guard re-run would then time a warm memo hit instead of the
+    * staging it meant to re-pay.
     */
   def invalidate(keys: Seq[String]): Unit =
-    keys.foreach(cache.remove)
+    keys.foreach { k =>
+      val lock = locks.computeIfAbsent(k, _ => new Object)
+      lock.synchronized { cache.remove(k) }
+    }
 }

@@ -214,4 +214,44 @@ class PrefixSumSpec extends SparkTestBase {
     assert(small.select("value", "cnt_excl").as[(Double, Long)].collect().toMap
       == big.select("value", "cnt_excl").as[(Double, Long)].collect().toMap)
   }
+
+  test("round-13 guards: degenerate order column fails loudly above the " +
+      "threshold; internal-name clashes and empty sumCols fail on BOTH " +
+      "size paths") {
+    import spark.implicits._
+    // all-NULL-casting order column + forced two-phase: the probe finds
+    // no numeric values to bucket on — must throw, not silently run one
+    // single-task window over the whole input
+    val strOrd = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v")
+    withThreshold("-1") {
+      val e = intercept[IllegalArgumentException] {
+        PrefixSum.exclusive(strOrd, "k", Seq("v")).collect()
+      }
+      assert(e.getMessage.contains("no numeric values"))
+    }
+    // below the threshold the small path is unaffected (ordering by a
+    // string column is fine for a single window)
+    withThreshold("1000000000") {
+      assert(PrefixSum.exclusive(strOrd, "k", Seq("v")).count() == 3L)
+    }
+    // internal working-column clash: uniform loud failure on BOTH paths
+    // (silently overwriting + dropping the caller's _pid only above the
+    // size threshold would be a data-dependent schema change)
+    val clash = Seq((1.0, 1L, 7)).toDF("o", "v", "_pid")
+    for (t <- bothPaths) withThreshold(t) {
+      val e = intercept[IllegalArgumentException] {
+        PrefixSum.exclusive(clash, "o", Seq("v"))
+      }
+      assert(e.getMessage.contains("_pid"))
+    }
+    // empty sumCols: uniform contract (the small path used to silently
+    // no-op while the two-phase path threw NoSuchElementException)
+    val ok = Seq((1.0, 1L)).toDF("o", "v")
+    for (t <- bothPaths) withThreshold(t) {
+      val e = intercept[IllegalArgumentException] {
+        PrefixSum.exclusive(ok, "o", Nil)
+      }
+      assert(e.getMessage.contains("sumCols"))
+    }
+  }
 }

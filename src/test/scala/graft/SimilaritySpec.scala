@@ -121,4 +121,50 @@ class SimilaritySpec extends SparkTestBase {
     assert(c.toSet.size > 100) // spread, not collapsed
     assert(Similarity.planeCoef(3, 7) == Similarity.planeCoef(3, 7))
   }
+
+  test("round-13: zero-norm vectors score NULL cosine and never enter " +
+      "rankings or near-dup pairs (NaN would win every ordering)") {
+    import spark.implicits._
+    val withDead = vecs.unionByName(
+      Seq((9L, Array(0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding"))
+    // the expression itself: NULL, not NaN, on a zero-norm side — both
+    // the codegen and interpreted paths
+    val z = withDead.filter($"vec_id" === 9)
+      .select(Similarity.cosine(col("embedding"), col("embedding")))
+      .collect().head
+    assert(z.isNullAt(0), s"zero-norm cosine must be NULL, got $z")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val zi = withDead.filter($"vec_id" === 9)
+        .select(Similarity.cosine(col("embedding"), col("embedding")))
+        .collect().head
+      assert(zi.isNullAt(0), "interpreted path must also yield NULL")
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    // rankings: the dead vector is never anyone's neighbor, no NULL-cos
+    // rows pad out a short candidate list (k > |scoreable corpus|)
+    val topk = Similarity.bruteForceTopK(
+      withDead, withDead, "vec_id", "embedding", k = 10)
+    assert(topk.filter($"neighbor_id" === 9L).isEmpty,
+      "dead vector must not appear as a neighbor")
+    assert(topk.filter($"cos".isNull).isEmpty, "no NULL-cos rank filler")
+    // near-dup: NULL fails the >= threshold, so no pair involves it
+    val nd = Similarity.cosineNearDup(withDead, "vec_id", "embedding", 0.1)
+    assert(nd.filter($"id_1" === 9L || $"id_2" === 9L).isEmpty)
+  }
+
+  test("round-13: lshNearDup's empty-input result carries the CALLER's id " +
+      "type (a hard-coded BIGINT broke unions for string ids)") {
+    import spark.implicits._
+    val emptyStr = Seq.empty[(String, Array[Float])].toDF("doc", "embedding")
+    val out = graft.operators.Similarity.lshNearDup(
+      emptyStr, "doc", "embedding", threshold = 0.5)
+    assert(out.isEmpty)
+    assert(out.schema("id_1").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(out.schema("id_2").dataType ==
+      org.apache.spark.sql.types.StringType)
+    // and unions cleanly with a non-empty-shaped frame of the same ids
+    val nonEmptyShape = Seq(("a", "b", 0.9)).toDF("id_1", "id_2", "cos")
+    assert(nonEmptyShape.unionByName(out).count() == 1L)
+  }
 }
