@@ -200,7 +200,12 @@ object Dedup {
     import org.apache.spark.sql.execution.datasources.v2.{
       DataSourceV2Relation, FileTable}
     val analyzed = df.queryExecution.analyzed
-    val indexes: Seq[FileIndex] = analyzed.collect {
+    // subquery plans (scalar/EXISTS/IN) are NOT reached by collect/
+    // collectLeaves on the outer plan — a filter like `region IN (SELECT
+    // ... FROM jdbc_tbl)` would otherwise pass the leaf guard while its
+    // external subquery changes server-side under an equal canonical plan
+    val allPlans = analyzed +: analyzed.subqueriesAll
+    val indexes: Seq[FileIndex] = allPlans.flatMap(_.collect {
       case lr: LogicalRelation => lr.relation match {
         case fs: HadoopFsRelation => Seq(fs.location)
         case _ => Seq.empty[FileIndex]
@@ -209,17 +214,22 @@ object Dedup {
         case ft: FileTable => Seq(ft.fileIndex)
         case _ => Seq.empty[FileIndex]
       }
-    }.flatten.map {
+    }).flatten.map {
       // materialize a catalog table's listing (per-file stats included)
       case c: CatalogFileIndex => c.filterPartitions(Nil)
       case other => other
     }
     // every leaf must be file-backed or self-describing for plan
     // equality (+ file token) to imply data equality
-    val leavesGuarded = analyzed.collectLeaves().forall {
+    val leavesGuarded = allPlans.flatMap(_.collectLeaves()).forall {
       case lr: LogicalRelation => lr.relation.isInstanceOf[HadoopFsRelation]
       case r: DataSourceV2Relation => r.table.isInstanceOf[FileTable]
-      case _: LocalRelation | _: OneRowRelation | _: LogicalRange => true
+      // a LocalRelation's data IS its canonicalized plan (sound), but the
+      // memo key then RETAINS that data in a JVM-global map — bound the
+      // retention to small fixtures; big in-memory corpora re-probe
+      // (their count is cheap relative to having built them in memory)
+      case l: LocalRelation => l.data.length <= 10000
+      case _: OneRowRelation | _: LogicalRange => true
       case _ => false
     }
     if (!leavesGuarded ||
@@ -396,7 +406,9 @@ object Dedup {
     * become candidates. Shuffles on the bucket key.
     */
   def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
-    val k = bands // rows per band computed from sig length at runtime
+    // rows per band = size(sig) div bands, computed at runtime; callers
+    // must keep size(sig) a positive multiple of bands (minhashNearDup
+    // enforces it statically)
     val banded = sigs.select(col("id"),
       posexplode(expr(s"transform(sequence(0, $bands - 1), " +
         s"b -> hash(slice(sig, b * (size(sig) div $bands) + 1, size(sig) div $bands)))")))
@@ -425,6 +437,13 @@ object Dedup {
   def minhashNearDup(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.5, k: Int = 128, bands: Int = 64,
       broadcastDocTables: Boolean = true): DataFrame = {
+    // round-13 guard: bands > k would make every band hash an EMPTY
+    // signature slice to one constant bucket — all docs collide in all
+    // bands and the candidate join silently degrades to all-pairs O(n^2);
+    // a k not divisible by bands would silently ignore the signature tail
+    require(bands > 0 && k >= bands && k % bands == 0,
+      s"minhashNearDup: k ($k) must be a positive multiple of bands " +
+        s"($bands) — each band hashes k/bands signature rows")
     val bcastDocs = shouldBroadcastDocTables(df, broadcastDocTables)
     // postings feed signatures + exact-verify sets; signatures feed banding
     // + both estimate joins — persist both so the expensive tokenize/hash/
@@ -490,6 +509,19 @@ object Dedup {
   def clusterLabels(pairs: DataFrame, nodes: DataFrame, maxIter: Int = 20,
       smallGraphEdges: Long = 5000000L): DataFrame = {
     val idCol = nodes.columns.head
+    // round-13 guard: node ids must be integral end to end. The
+    // union-find path decodes (Long, Long) — loud — but the distributed
+    // path's singleton rejoin casts ids to long, which for string ids is
+    // NULL: every singleton silently collapsed to one (null, null) row
+    // set. Make the contract uniform and size-independent instead.
+    (Seq(nodes.schema(idCol)) ++
+        Seq(pairs.schema("id_1"), pairs.schema("id_2"))).foreach { f =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType),
+        s"Dedup.clusterLabels: id column '${f.name}' must be integral " +
+          s"(got ${f.dataType.simpleString}) — map string ids to longs " +
+          "(e.g. xxhash64) before clustering")
+    }
     val edges = pairs.select(col("id_1").as("src"), col("id_2").as("dst"))
       .unionByName(pairs.select(col("id_2").as("src"), col("id_1").as("dst")))
       .localCheckpoint()
@@ -560,6 +592,9 @@ object Dedup {
         parent.keysIterator.map(n => (n, find(n))).toSeq.iterator
       }
       .toDF("node", "label")
+      // two consumers below (singleton anti-join + final union): pin ONE
+      // evaluation or the single-task union-find pass runs twice
+      .localCheckpoint(false)
     val active = labeled.select("node")
     val singletons = nodes.select(col(idCol).cast("long").as("node"))
       .join(active, Seq("node"), "left_anti")

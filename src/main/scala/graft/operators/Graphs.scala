@@ -140,13 +140,18 @@ object Graphs {
       .unionAll(e.select(col("v").as("z"), col("u").as("n")))
     val deg = adj.groupBy("z").agg(count(lit(1)).as("d"))
       .filter(col("d") <= maxCenterDegree)
-    // wedge a—z—b with a < b; the center carries its degree weight
-    val degZ = deg.select(col("z").as("dz"), col("d"))
-    val wedges = adj.as("l")
-      .join(adj.as("r"), col("l.z") === col("r.z") && col("l.n") < col("r.n"))
-      .join(degZ, col("l.z") === col("dz"))
+    // wedge a—z—b with a < b; the center carries its degree weight.
+    // round-13 fix: the cap must bind BEFORE the self-join — with CBO off
+    // Catalyst keeps the written inner-join order, so capping after it
+    // would still materialize every O(deg²) hub wedge and only then drop
+    // them. Joining the (filtered) degree table into the adjacency first
+    // makes a capped hub contribute zero wedge rows.
+    val cappedAdj = adj.join(deg, "z")
+    val wedges = cappedAdj.as("l")
+      .join(cappedAdj.as("r"),
+        col("l.z") === col("r.z") && col("l.n") < col("r.n"))
       .select(col("l.n").as("wu"), col("r.n").as("wv"),
-        (lit(1.0) / log(col("d").cast("double"))).as("w"))
+        (lit(1.0) / log(col("l.d").cast("double"))).as("w"))
     wedges
       .groupBy(col("wu").as("u"), col("wv").as("v"))
       .agg(count(lit(1)).as("common"), round(sum(col("w")), 6).as("aa_score"))

@@ -154,7 +154,13 @@ object TextAnalysis {
     * chunk array is sliced lazily per window rather than re-tokenized.
     * A document shorter than `size` yields exactly one (possibly short)
     * chunk; the trailing partial chunk is kept (standard for training data —
-    * the tail is real text).
+    * the tail is real text). Window starts stop at the FIRST window that
+    * reaches end-of-document (round-13 fix): the last start is
+    * ceil((n - size) / stride) * stride, not every multiple of stride
+    * below n — the old bound emitted tail chunks fully CONTAINED in the
+    * previous window whenever stride < n <= size (or more generally when
+    * the previous window already covered the tail), silently duplicating
+    * training text.
     */
   def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
       size: Int = 64, stride: Int = 32): DataFrame =
@@ -162,9 +168,14 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .select(col("doc_id"), col("toks"),
         org.apache.spark.sql.functions.size(col("toks")).as("n"))
+      // last window start: 0 for n <= size, else ceil((n-size)/stride)
+      // * stride — positive operands, so integer DIV is exact floor
+      .withColumn("_last_st", expr(
+        s"CASE WHEN n <= $size THEN 0 " +
+          s"ELSE (((n - $size - 1) DIV $stride) + 1) * $stride END"))
       .select(col("doc_id"),
         explode(transform(
-          sequence(lit(0), col("n") - 1, lit(stride)),
+          sequence(lit(0), col("_last_st"), lit(stride)),
           (st, i) => struct(
             i.as("chunk_idx"),
             st.cast("long").as("start_tok"),
@@ -199,9 +210,20 @@ object TextAnalysis {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
       .orderBy(col("n_tokens").desc, col("doc_id"))
+    // round-13 fix: pmod(string_id, n) implicitly casts the id to double —
+    // NULL for non-numeric ids — so every doc would land in shard = null
+    // and the window sort would serialize the whole corpus into ONE task,
+    // the exact failure the shard key exists to avoid. Numeric ids keep
+    // the plain modulo (pins the oracle-gated layout); anything else is
+    // hashed to a shard instead of silently collapsing.
+    val shardOf = docs.schema(idCol).dataType match {
+      case _: org.apache.spark.sql.types.NumericType =>
+        pmod(col("doc_id"), lit(shards)).cast("int")
+      case _ => pmod(xxhash64(col("doc_id")), lit(shards.toLong)).cast("int")
+    }
     docs
       .select(col(idCol).as("doc_id"), tokenCount(col(textCol)).as("n_tokens"))
-      .withColumn("shard", pmod(col("doc_id"), lit(shards)).cast("int"))
+      .withColumn("shard", shardOf)
       .withColumn("cum", sum(col("n_tokens")).over(w))
       .withColumn("bin", floor((col("cum") - col("n_tokens")) / budget).cast("int"))
       .groupBy(col("shard"), col("bin"))

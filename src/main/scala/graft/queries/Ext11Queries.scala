@@ -49,7 +49,13 @@ object Ext11Queries {
       |  SELECT doc_id, string_split(text, ' ') AS toks,
       |         len(string_split(text, ' ')) AS n FROM documents
       |), st AS (
-      |  SELECT doc_id, toks, n, unnest(range(0, n, 32)) AS start FROM t
+      |  -- starts stop at the first window reaching EOF (matches
+      |  -- chunkTokens' round-13 contained-tail fix): last start is
+      |  -- ceil((n-64)/32)*32, range() excludes its stop bound
+      |  SELECT doc_id, toks, n, unnest(range(0,
+      |    CASE WHEN n <= 64 THEN 1
+      |         ELSE (((n - 64 - 1) // 32) + 1) * 32 + 1 END, 32)) AS start
+      |  FROM t
       |)
       |SELECT doc_id, CAST(start // 32 AS INT) AS chunk_idx,
       |  start AS start_tok, least(64, n - start) AS n_tok,

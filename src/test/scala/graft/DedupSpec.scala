@@ -61,6 +61,32 @@ class DedupSpec extends SparkTestBase {
     assert(lsh == exact)
   }
 
+  test("minhashNearDup rejects band counts that would degrade LSH to all-pairs") {
+    // bands > k: every band would hash an EMPTY signature slice to one
+    // constant bucket — all docs collide in all bands, O(n^2) candidates
+    val e1 = intercept[IllegalArgumentException] {
+      Dedup.minhashNearDup(corpus, "doc_id", "text", k = 32, bands = 64)
+    }
+    assert(e1.getMessage.contains("multiple of bands"))
+    // k not divisible by bands: the signature tail is silently ignored
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDup(corpus, "doc_id", "text", k = 100, bands = 64)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashNearDup(corpus, "doc_id", "text", k = 128, bands = 0)
+    }
+  }
+
+  test("clusterLabels rejects non-integral id columns instead of nulling " +
+      "singletons on the distributed path") {
+    val pairs = Seq(("a", "b")).toDF("id_1", "id_2")
+    val nodes = Seq("a", "b", "c").toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.clusterLabels(pairs, nodes)
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
   test("simhash: exact dup has distance 0; perturbed docs are close; unrelated far") {
     val fp = Dedup.simhash(corpus, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

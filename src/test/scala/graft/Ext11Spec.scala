@@ -77,22 +77,29 @@ class Ext11Spec extends SparkTestBase {
 
   // --- chunking ---------------------------------------------------------------
 
-  test("chunking: windows tile with stride overlap and cover every token") {
+  test("chunking: windows tile with stride overlap, cover every token, " +
+      "and stop at the first window reaching end-of-document") {
     val docs = Seq(
-      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 toks -> 4 chunks
+      (1L, (1 to 100).map(i => s"t$i").mkString(" ")), // 100 toks -> 3 chunks
       (2L, "only three tokens"),                       // 3 toks  -> 1 chunk
-      (3L, (1 to 64).map(i => s"u$i").mkString(" "))   // exactly one window + tail
+      (3L, (1 to 64).map(i => s"u$i").mkString(" ")),  // n == size -> 1 chunk
+      (4L, (1 to 130).map(i => s"v$i").mkString(" "))  // tail chunk of 34
     ).toDF("id", "text")
     val out = TextAnalysis.chunkTokens(docs, "id", "text", size = 64, stride = 32)
       .orderBy("doc_id", "chunk_idx").collect()
     val d1 = out.filter(_.getLong(0) == 1L)
-    assert(d1.map(_.getInt(1)).toSeq == Seq(0, 1, 2, 3))
-    assert(d1.map(_.getLong(2)).toSeq == Seq(0L, 32L, 64L, 96L))
-    assert(d1.map(_.getLong(3)).toSeq == Seq(64L, 64L, 36L, 4L))
+    // round-13 contained-tail fix: the old bound also emitted (96, 4),
+    // a strict subset of the chunk starting at 64 — duplicated text
+    assert(d1.map(_.getInt(1)).toSeq == Seq(0, 1, 2))
+    assert(d1.map(_.getLong(2)).toSeq == Seq(0L, 32L, 64L))
+    assert(d1.map(_.getLong(3)).toSeq == Seq(64L, 64L, 36L))
     val d2 = out.filter(_.getLong(0) == 2L)
     assert(d2.length == 1 && d2(0).getLong(3) == 3L)
     val d3 = out.filter(_.getLong(0) == 3L)
-    assert(d3.map(_.getLong(3)).toSeq == Seq(64L, 32L))
+    assert(d3.map(_.getLong(3)).toSeq == Seq(64L))
+    val d4 = out.filter(_.getLong(0) == 4L)
+    assert(d4.map(_.getLong(2)).toSeq == Seq(0L, 32L, 64L, 96L))
+    assert(d4.map(_.getLong(3)).toSeq == Seq(64L, 64L, 64L, 34L))
   }
 
   test("chunking is shuffle-free (no Exchange in the physical plan)") {
@@ -172,6 +179,20 @@ class Ext11Spec extends SparkTestBase {
           s"bin fill ${b.getLong(3)} out of band")
       }
     }
+  }
+
+  test("packing shards string ids by hash instead of collapsing to one " +
+      "null shard") {
+    // pre-fix: pmod(string_id, 32) implicitly cast the id to double (NULL),
+    // every doc landed in shard = null and the window sort ran in ONE task
+    val docs = (1 to 200)
+      .map(i => (s"doc-$i", (1 to (i % 40 + 1)).map(t => s"w$t").mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.packSequences(docs, "doc_id", "text",
+      budget = 64, shards = 8).collect()
+    assert(out.forall(!_.isNullAt(0)), "null shard leaked through")
+    assert(out.map(_.getInt(0)).distinct.length > 1, "all docs in one shard")
+    assert(out.map(_.getLong(2)).sum == 200L) // every doc packed exactly once
   }
 
   test("bloom-clean equals the broadcast-semi-join decontaminate complement") {
