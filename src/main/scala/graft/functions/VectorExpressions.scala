@@ -302,25 +302,40 @@ case class HyperplaneChunks(child: Expression, planeRows: Seq[Seq[Long]],
 }
 
 object VectorFunctions {
+  // The expressions below read elements with type-specific getters
+  // (getFloat/getLong), which REINTERPRET mistyped array buffers rather
+  // than erroring — an array<double> embedding fed to getFloat yields
+  // silently meaningless scores. Each wrapper therefore pins its operand
+  // type with an explicit cast (round-13 fix): a correctly-typed input's
+  // identity cast is erased by Catalyst's SimplifyCasts (plans unchanged),
+  // a numerically compatible one is converted, and an incompatible one
+  // fails analysis loudly.
+  private def asFloatArray(c: Column): Column = c.cast("array<float>")
+  private def asLongArray(c: Column): Column = c.cast("array<bigint>")
+
   /** Codegen'd cosine similarity over two array<float> columns. */
   def cosine_sim(a: Column, b: Column): Column =
-    GraftColumnBridge.column(CosineSimilarity(GraftColumnBridge.expression(a),
-      GraftColumnBridge.expression(b)))
+    GraftColumnBridge.column(CosineSimilarity(
+      GraftColumnBridge.expression(asFloatArray(a)),
+      GraftColumnBridge.expression(asFloatArray(b))))
 
   /** Codegen'd squared L2 distance over two array<float> columns. */
   def sq_l2_distance(a: Column, b: Column): Column =
-    GraftColumnBridge.column(SquaredL2Distance(GraftColumnBridge.expression(a),
-      GraftColumnBridge.expression(b)))
+    GraftColumnBridge.column(SquaredL2Distance(
+      GraftColumnBridge.expression(asFloatArray(a)),
+      GraftColumnBridge.expression(asFloatArray(b))))
 
   /** Codegen'd L1 (Manhattan) distance over two array<float> columns. */
   def l1_distance(a: Column, b: Column): Column =
-    GraftColumnBridge.column(L1Distance(GraftColumnBridge.expression(a),
-      GraftColumnBridge.expression(b)))
+    GraftColumnBridge.column(L1Distance(
+      GraftColumnBridge.expression(asFloatArray(a)),
+      GraftColumnBridge.expression(asFloatArray(b))))
 
   /** Codegen'd positional match fraction over two array<long> columns. */
   def match_fraction(a: Column, b: Column): Column =
-    GraftColumnBridge.column(LongArrayMatchFraction(GraftColumnBridge.expression(a),
-      GraftColumnBridge.expression(b)))
+    GraftColumnBridge.column(LongArrayMatchFraction(
+      GraftColumnBridge.expression(asLongArray(a)),
+      GraftColumnBridge.expression(asLongArray(b))))
 
   /** Codegen'd banded hyperplane signature over an array<long> column. */
   def hyperplane_chunks(v: Column, planes: Seq[Seq[Long]], bitsPerBand: Int): Column =

@@ -22,14 +22,31 @@ object Anonymize {
     * (stringified otherwise), so every released row is identical to at
     * least k-1 others on the quasi columns — the classic k-anonymity
     * contract (Sweeney 2002). Non-quasi columns pass through unchanged.
+    *
+    * The suppressed rows form their own quasi-identifier class (all "*"),
+    * so the contract must hold for THAT class too: when fewer than k rows
+    * get suppressed in total, releasing them would make the "*" group
+    * itself k-violating (a lone "*" row is unique — trivially linkable).
+    * Such rows are DROPPED instead (round-13 fix; standard suppression
+    * semantics). The pool size arrives as a broadcast one-row aggregate,
+    * not a global window — no single-partition stage at any scale.
     */
   def kAnonymize(df: DataFrame, quasiCols: Seq[String], k: Int): DataFrame = {
+    Seq("_qn", "_nstar").foreach { n =>
+      require(!df.columns.contains(n),
+        s"kAnonymize: input may not contain reserved working column '$n'")
+    }
     val w = Window.partitionBy(quasiCols.map(col): _*)
     val withN = df.withColumn("_qn", count(lit(1)).over(w))
-    val suppressed = quasiCols.foldLeft(withN) { (d, c) =>
+    val starPool = withN.filter(col("_qn") < k)
+      .agg(count(lit(1)).as("_nstar"))
+    val guarded = withN
+      .crossJoin(broadcast(starPool)) // 1-row scalar: broadcast NL, no shuffle
+      .filter(col("_qn") >= k || col("_nstar") >= k)
+    val suppressed = quasiCols.foldLeft(guarded) { (d, c) =>
       d.withColumn(c,
         when(col("_qn") < k, lit("*")).otherwise(col(c).cast("string")))
     }
-    suppressed.drop("_qn")
+    suppressed.drop("_qn", "_nstar")
   }
 }

@@ -65,7 +65,13 @@ object Joins {
     // could draw different bounds, splitting keys across inconsistent _pid
     // maps. Materializing once makes _pid a fact, not a plan artifact (the
     // same trick dedupClusters uses for its iteration frontier).
+    // round-13 fix: NULL natural keys never get ids minted. The anti-join
+    // below is null-UNSAFE (NULL = NULL is not true), so an incoming NULL
+    // key would survive it on EVERY run and append a fresh (maxId+1, NULL)
+    // dim row each time — one duplicate per run, breaking idempotence —
+    // while resolveDim's inner join drops NULL-key facts regardless.
     val ranged = incoming.select(col(naturalCol)).distinct()
+      .filter(col(naturalCol).isNotNull)
       .join(dim.select(col(naturalCol)), Seq(naturalCol), "left_anti")
       .repartitionByRange(nBuckets, col(naturalCol))
       .withColumn("_pid", spark_partition_id())
@@ -158,20 +164,34 @@ object Joins {
       forward: Boolean,
       prefix: String): DataFrame = {
     val leftCols = left.columns
+    // the union rewrite owns these bookkeeping names: a same-named user
+    // column would be silently overwritten by withColumn and re-emitted
+    // corrupted in the pass-through output (round-13 guard)
+    Seq("_t", "_side", "_tb", "_rv", "_carried").foreach { n =>
+      require(!leftCols.contains(n) && !right.columns.contains(n),
+        s"asOfJoin: input may not contain reserved working column '$n'")
+    }
     val rvStructType = org.apache.spark.sql.types.StructType(
       rightVals.map(v => org.apache.spark.sql.types.StructField(
         v, right.schema(v).dataType, nullable = true)))
     val l = left
       .withColumn("_t", col(leftTime))
       .withColumn("_side", lit(if (forward) 0 else 1))
-      .withColumn("_tb", lit(null).cast("long"))
+      // round-13 fix: the null sentinel adopts the tiebreak's own type —
+      // the old cast("long") nulled STRING tiebreaks on the right side,
+      // turning same-time resolution into a partition-layout coin flip
+      .withColumn("_tb", lit(null).cast(right.schema(tiebreak).dataType))
       .withColumn("_rv", lit(null).cast(rvStructType))
       .select((keys ++ Seq("_t", "_side", "_tb", "_rv")).map(col) ++
         leftCols.filterNot(keys.contains).map(col): _*)
     val r = right
+      // a NULL-time right row can never be a valid as-of match, but ASC =
+      // NULLS FIRST would sort it before every real row and carry its
+      // values onto every left row with no true predecessor (round-13 fix)
+      .filter(col(rightTime).isNotNull)
       .withColumn("_t", col(rightTime))
       .withColumn("_side", lit(if (forward) 1 else 0))
-      .withColumn("_tb", col(tiebreak).cast("long"))
+      .withColumn("_tb", col(tiebreak))
       .withColumn("_rv", struct(rightVals.map(col): _*))
       .select((keys ++ Seq("_t", "_side", "_tb", "_rv")).map(col): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
@@ -184,8 +204,13 @@ object Joins {
     unioned
       .withColumn("_carried", last(col("_rv"), ignoreNulls = true).over(w))
       .filter(col("_side") === (if (forward) 0 else 1))
+      // a NULL-time LEFT row has no as-of position: backward mode already
+      // yields NULL (NULLS FIRST = nothing precedes it), but forward mode
+      // (DESC = NULLS LAST) would hand it the carry of the WHOLE partition
+      // — a phantom match to the earliest right row (round-13 fix)
       .select((keys ++ leftCols.filterNot(keys.contains)).map(col) ++
-        rightVals.map(v => col(s"_carried.$v").as(prefix + v)): _*)
+        rightVals.map(v => when(col("_t").isNotNull, col(s"_carried.$v"))
+          .as(prefix + v)): _*)
   }
 
   /** Forward AS-OF join: every left row gets the EARLIEST right row with
@@ -209,6 +234,8 @@ object Joins {
     * `row_number` pattern used throughout the engine (e.g. similarity top-k).
     */
   def topKPerGroup(df: DataFrame, groupCols: Seq[String], orderCols: Seq[String], k: Int): DataFrame = {
+    require(!df.columns.contains("_rn"),
+      "topKPerGroup: input may not contain reserved working column '_rn'")
     val w = Window.partitionBy(groupCols.map(col): _*)
       .orderBy(orderCols.map(c => col(c).desc): _*)
     df.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k).drop("_rn")

@@ -43,7 +43,11 @@ object Multimodal {
       col(idCol).cast("long").as("media_id"),
       element_at(array(lit("image"), lit("audio"), lit("video")),
         (pmod(col(idCol), lit(3)) + 1).cast("int")).as("kind"),
-      col(textCol).cast("binary").as("payload"))
+      // coalesce: a NULL text row must become an EMPTY payload, not a NULL
+      // one — downstream decodeFeatures encodes n_bytes as a non-nullable
+      // Long, and a NULL payload would kill the whole stage with
+      // "Null value appeared in non-nullable field" (round-13 fix)
+      coalesce(col(textCol), lit("")).cast("binary").as("payload"))
       .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
       .withColumn("fingerprint", md5(col("payload")))
 

@@ -177,8 +177,12 @@ object Similarity {
     vectors
       .select(col(labelCol).as("label"), posexplode(col(vecCol)))
       .groupBy(col("label"), (col("pos") + 1).as("dim"))
+      // count(col), not count(*): avg skips NULL elements, so n_members
+      // must report the mean's actual support — count(*) would count
+      // NULL-element rows a weighting consumer (IVF seeding, drift
+      // monitors) then uses as a wrong denominator (round-13 fix)
       .agg(avg(col("col").cast("double")).as("centroid_val"),
-        count(lit(1)).as("n_members"))
+        count(col("col")).as("n_members"))
 
   // --- random-hyperplane LSH (the bucketed ANN scale path) -------------------
 
@@ -216,10 +220,17 @@ object Similarity {
       threshold: Double, bands: Int = 8, bitsPerBand: Int = 6): DataFrame = {
     require(bitsPerBand <= 62, "band chunk packs into a long")
     // dimension probe tolerates empty input / null vectors (mirror
-    // cosineNearDup's empty-in-empty-out behavior instead of throwing)
+    // cosineNearDup's empty-in-empty-out behavior instead of throwing).
+    // round-13 fix: MAX(size), not take(1) — an arbitrary first-scanned
+    // short/empty vector built short (or 0-dim) planes, every dot product
+    // signed identically, and all vectors collapsed into ONE bucket: the
+    // O(n^2) candidate join this index exists to avoid. Shorter vectors
+    // against max-dim planes are zero-padded (HyperplaneChunks dots over
+    // the common prefix), which is the natural embedding-space reading.
     val dimRow = vectors
       .filter(col(vecCol).isNotNull)
-      .select(size(col(vecCol)).as("d")).take(1)
+      .agg(max(size(col(vecCol))).as("d"))
+      .take(1).filter(r => !r.isNullAt(0) && r.getInt(0) > 0)
     if (dimRow.isEmpty) {
       // schema must MATCH the non-empty branch (which carries the
       // caller's id type): a hard-coded BIGINT id here would make the

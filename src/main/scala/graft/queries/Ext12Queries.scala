@@ -83,15 +83,20 @@ object Ext12Queries {
       .select(col("c_custkey"), col("c_nationkey"), col("c_mktsegment"))
 
   val kAnonymityOracle: String =
-    """SELECT c_custkey,
-      |  CASE WHEN _qn < 5 THEN '*' ELSE CAST(c_nationkey AS VARCHAR) END
-      |    AS c_nationkey,
-      |  CASE WHEN _qn < 5 THEN '*' ELSE c_mktsegment END AS c_mktsegment
-      |FROM (
+    """WITH q AS MATERIALIZED (
       |  SELECT c_custkey, c_nationkey, c_mktsegment,
       |    COUNT(*) OVER (PARTITION BY c_nationkey, c_mktsegment) AS _qn
       |  FROM customer
-      |)""".stripMargin
+      |), s AS (
+      |  -- the released '*' rows are themselves a quasi-identifier class:
+      |  -- if fewer than k rows are suppressed in total, drop them
+      |  SELECT COUNT(*) AS _nstar FROM q WHERE _qn < 5
+      |)
+      |SELECT c_custkey,
+      |  CASE WHEN _qn < 5 THEN '*' ELSE CAST(c_nationkey AS VARCHAR) END
+      |    AS c_nationkey,
+      |  CASE WHEN _qn < 5 THEN '*' ELSE c_mktsegment END AS c_mktsegment
+      |FROM q, s WHERE _qn >= 5 OR _nstar >= 5""".stripMargin
 
   // --- curriculum ordering ----------------------------------------------------
 

@@ -376,7 +376,7 @@ object LlmQueries {
   val classCentroidsOracle: String =
     """SELECT label, CAST(pos AS INT) AS dim,
       |  ROUND(AVG(CAST(v AS DOUBLE)), 6) AS centroid_val,
-      |  COUNT(*) AS n_members
+      |  COUNT(v) AS n_members -- the mean's support, not the row count
       |FROM (
       |  SELECT label, unnest(embedding) AS v,
       |         generate_subscripts(embedding, 1) AS pos

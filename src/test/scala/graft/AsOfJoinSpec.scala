@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.Joins
+import org.apache.spark.sql.functions.col
 
 /** Pins the as-of join semantics: inclusive <= at equal timestamps, latest
   * right row wins, null before any right row, per-key isolation.
@@ -94,5 +95,67 @@ class AsOfJoinSpec extends SparkTestBase {
       .select("next_v", "next_rid").head()
     assert(fwd.isNullAt(0) && fwd.getLong(1) == 2L,
       s"forward tore the row: $fwd")
+  }
+
+  test("round-13: NULL timestamps never match — right NULL-time rows are " +
+      "unmatchable, left NULL-time rows get no phantom carry") {
+    // a NULL-time right row sorts FIRST under ASC (NULLS FIRST): pre-fix
+    // it was carried onto every left row with no real predecessor
+    val rNull = Seq(
+      (Some("u1"), Option.empty[Long], Some(66.0), Some(9L)),
+      (Some("u1"), Some(200L), Some(20.0), Some(2L))
+    ).toDF("k", "t", "v", "rid")
+    val lEarly = Seq(("u1", 100L, "early")).toDF("k", "t", "name")
+    val back = Joins.asOfJoin(lEarly, rNull, Seq("k"), "t", "t",
+      Seq("v", "rid"), "rid").select("asof_v", "asof_rid").head()
+    assert(back.isNullAt(0) && back.isNullAt(1),
+      s"NULL-time right row leaked into the carry: $back")
+    // forward mode (DESC = NULLS LAST): a NULL-time LEFT row pre-fix
+    // picked up the earliest right row as a phantom next_* match
+    val lNull = Seq((Some("u1"), Option.empty[Long], Some("ghost")))
+      .toDF("k", "t", "name")
+    val rReal = Seq(("u1", 100L, 10.0, 1L)).toDF("k", "t", "v", "rid")
+    val fwd = Joins.asOfJoinForward(lNull, rReal, Seq("k"), "t", "t",
+      Seq("v", "rid"), "rid").select("next_v", "next_rid").head()
+    assert(fwd.isNullAt(0) && fwd.isNullAt(1),
+      s"NULL-time left row got a phantom forward match: $fwd")
+  }
+
+  test("round-13: string tiebreaks resolve same-time rows deterministically " +
+      "(the old cast-to-long nulled them into a layout coin flip)") {
+    val r2 = Seq(
+      ("u1", 100L, 1.0, "url-a"), ("u1", 100L, 2.0, "url-b")
+    ).toDF("k", "t", "v", "rid").repartition(4)
+    val l2 = Seq(("u1", 150L, "x")).toDF("k", "t", "name")
+    val out = Joins.asOfJoin(l2, r2, Seq("k"), "t", "t", Seq("v", "rid"), "rid")
+      .select("asof_v", "asof_rid").head()
+    // backward: highest tiebreak wins at equal times
+    assert(out.getDouble(0) == 2.0 && out.getString(1) == "url-b", s"$out")
+  }
+
+  test("round-13: reserved working columns are rejected, not clobbered") {
+    val lBad = Seq(("u1", 100L, 5.0)).toDF("k", "t", "_t")
+    val e = intercept[IllegalArgumentException] {
+      Joins.asOfJoin(lBad, right, Seq("k"), "t", "t", Seq("v"), "rid")
+    }
+    assert(e.getMessage.contains("reserved working column"))
+    val dfBad = Seq(("g", 1.0, 1)).toDF("g", "v", "_rn")
+    val e2 = intercept[IllegalArgumentException] {
+      Joins.topKPerGroup(dfBad, Seq("g"), Seq("v"), 1)
+    }
+    assert(e2.getMessage.contains("reserved working column"))
+  }
+
+  test("round-13: getOrCreate never mints ids for NULL natural keys " +
+      "(idempotence: re-running on the same input must not grow the dim)") {
+    val dim = Seq((1L, "btc"), (2L, "eth")).toDF("id", "nk")
+    val incoming = Seq(Some("btc"), Some("sol"), Option.empty[String])
+      .toDF("nk")
+    val once = Joins.getOrCreate(dim, incoming, "id", "nk")
+    assert(once.filter(col("nk").isNull).count() == 0,
+      "NULL key was minted an id")
+    assert(once.count() == 3) // btc, eth, sol
+    val twice = Joins.getOrCreate(once, incoming, "id", "nk")
+    assert(twice.count() == 3, "re-run grew the dimension (NULL re-insert)")
   }
 }

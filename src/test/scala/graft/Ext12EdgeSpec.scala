@@ -28,14 +28,24 @@ class Ext12EdgeSpec extends SparkTestBase {
     assert(out.getAs[Long]("n_triangles") == 0)
   }
 
-  test("kAnonymize: k=1 suppresses nothing; huge k suppresses everything") {
+  test("kAnonymize: k=1 suppresses nothing; an under-k suppressed pool is " +
+      "dropped; a >=k pool is released as '*'") {
     val df = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("q", "id")
     val none = Anonymize.kAnonymize(df, Seq("q"), 1)
       .filter(col("q") === "*").count()
     assert(none == 0)
-    val all = Anonymize.kAnonymize(df, Seq("q"), 100)
-      .filter(col("q") =!= "*").count()
-    assert(all == 0)
+    // k > table size: every row would be suppressed, but 3 '*' rows can't
+    // satisfy k=100 either — suppression alone cannot anonymize this table,
+    // so the rows are dropped, not released as a k-violating '*' class
+    assert(Anonymize.kAnonymize(df, Seq("q"), 100).count() == 0)
+    // k=2: singleton 'b' suppressed; the pool has 1 < 2 rows -> dropped
+    val k2 = Anonymize.kAnonymize(df, Seq("q"), 2).collect()
+    assert(k2.length == 2 && k2.forall(_.getString(0) == "a"))
+    // two singletons at k=2: the '*' pool itself reaches k -> released
+    val df2 = Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4)).toDF("q", "id")
+    val stars = Anonymize.kAnonymize(df2, Seq("q"), 2)
+      .filter(col("q") === "*").count()
+    assert(stars == 2)
   }
 
   test("madOutliers: constant column gives mad=0 and zero outliers " +

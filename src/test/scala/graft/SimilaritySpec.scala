@@ -115,6 +115,62 @@ class SimilaritySpec extends SparkTestBase {
     assert(out((1, 1)) == (7.0, 1L) && out((1, 2)) == (9.0, 1L))
   }
 
+  test("round-13: array<double> embeddings are converted, not reinterpreted " +
+      "(getFloat on a double buffer gave silently meaningless cosines)") {
+    val f = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(2.0f, 4.0f)),
+      (3L, Array(-1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val d = Seq((1L, Array(1.0, 2.0)), (2L, Array(2.0, 4.0)),
+      (3L, Array(-1.0, 1.0))).toDF("vec_id", "embedding")
+    def top(df: org.apache.spark.sql.DataFrame) =
+      Similarity.bruteForceTopK(df, df, "vec_id", "embedding", 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    val tf = top(f)
+    val td = top(d)
+    assert(tf.keySet == td.keySet)
+    tf.foreach { case (k, v) => assert(math.abs(v - td(k)) < 1e-6,
+      s"$k: float=$v double=${td(k)}") }
+    assert(math.abs(tf((1L, 2L)) - 1.0) < 1e-9) // parallel vectors
+  }
+
+  test("round-13: lshNearDup's plane dimension comes from MAX vector size, " +
+      "not an arbitrary first row (a short first vector collapsed all " +
+      "buckets into one: O(n^2) candidates)") {
+    // empty-vector row FIRST in the data: the old take(1) probe could
+    // sample it and build 0-dim planes (every chunk identical)
+    val vecs = Seq((0L, Array.empty[Float])) ++
+      (1L to 40L).map(i => (i, Array(i.toFloat, (i % 7).toFloat,
+        (i % 3).toFloat, 1.0f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.lshNearDup(df, "vec_id", "embedding",
+      threshold = 0.999, bands = 4, bitsPerBand = 6)
+    // with 4-dim planes the 24 sign bits spread the 40 vectors over many
+    // buckets; 0-dim planes put all 41 in ONE bucket per band. Assert the
+    // signature actually discriminates: far-apart vectors share no bucket.
+    val sig = df.filter(col("vec_id").isin(1L, 40L))
+    out.collect() // must run clean
+    val cands = Similarity.lshNearDup(df, "vec_id", "embedding",
+      threshold = -1.0, bands = 4, bitsPerBand = 6).count()
+    val allPairs = 41L * 40L / 2L
+    assert(cands < allPairs,
+      s"bucketing degenerated to all-pairs: $cands of $allPairs")
+  }
+
+  test("round-13: labelCentroids n_members reports the mean's support " +
+      "when vectors carry NULL elements or ragged lengths") {
+    val vecs = Seq(
+      (1L, Array[java.lang.Float](1.0f, null), 0),
+      (2L, Array[java.lang.Float](3.0f, 5.0f), 0),
+      (3L, Array[java.lang.Float](5.0f), 0) // ragged: no dim-2 element
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.labelCentroids(vecs, "embedding", "label")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        (r.getDouble(2), r.getLong(3))).toMap
+    assert(out((0, 1)) == (3.0, 3L)) // (1+3+5)/3, support 3
+    assert(out((0, 2)) == (5.0, 1L),
+      s"n_members must be the non-null support, got ${out((0, 2))}")
+  }
+
   test("plane coefficients are deterministic and bounded") {
     val c = for (j <- 0 until 16; d <- 0 until 64) yield Similarity.planeCoef(j, d)
     assert(c.forall(v => v >= -1000 && v <= 1000))

@@ -70,6 +70,17 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(kinds(3L) == "image" && kinds(1L) == "audio" && kinds(2L) == "video")
   }
 
+  test("round-13: a NULL text row packs to an EMPTY payload and survives " +
+      "decode (a NULL payload killed the stage on non-nullable n_bytes)") {
+    val docs = Seq((1L, Some("hello")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val decoded = Multimodal.decodeFeatures(
+      Multimodal.packPayload(docs, "doc_id", "text")).collect()
+    assert(decoded.length == 2)
+    val nullRow = decoded.find(_.media_id == 2L).get
+    assert(nullRow.n_bytes == 0L && nullRow.mean_luma == 0.0)
+  }
+
   test("multimodal frame sampling: every 4th fixed-size frame of video payloads") {
     val docs = Seq((2L, "x" * 300)).toDF("doc_id", "text") // id%3+1=3 -> video
     val media = Multimodal.packPayload(docs, "doc_id", "text")
