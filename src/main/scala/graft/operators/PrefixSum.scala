@@ -138,6 +138,26 @@ object PrefixSum {
   }
 
   /** Round-13 guard shared by every entry point, checked on BOTH size
+    * paths: the two-phase plan buckets rows by `try_cast(orderCol AS
+    * DOUBLE)` while its windows order by the RAW column — the two orders
+    * only agree for types whose double image is order-isomorphic. A STRING
+    * column of numeric text ("9" < "10" lexically, 9.0 < 10.0 as doubles)
+    * would therefore return DIFFERENT prefix sums once the row count
+    * crosses the two-phase threshold: a silent, data-size-dependent result
+    * flip. Reject non-numeric order columns loudly and uniformly on both
+    * paths instead (timestamps cast to epoch seconds, also monotone). */
+  private def requireOrderIsomorphicUnderDouble(
+      df: DataFrame, orderCol: String): Unit = {
+    import org.apache.spark.sql.types.{NumericType, TimestampType}
+    val dt = df.schema(orderCol).dataType
+    require(dt.isInstanceOf[NumericType] || dt == TimestampType,
+      s"PrefixSum: order column '$orderCol' is ${dt.simpleString}; the " +
+        "two-phase plan buckets on its DOUBLE image, which matches the " +
+        "column's own ordering only for numeric/timestamp types — map the " +
+        "column to a numeric order key first")
+  }
+
+  /** Round-13 guard shared by every entry point, checked on BOTH size
     * paths: the two-phase plan synthesizes internal working columns and
     * drops them at the end, so a caller column with a colliding name
     * would be silently overwritten and REMOVED — and only above the size
@@ -163,6 +183,7 @@ object PrefixSum {
         "would silently no-op while the two-phase path would throw)")
     requireNoInternalClash(df,
       "_pid" +: sumCols.flatMap(c => Seq(s"_local_$c", s"_off_$c")))
+    requireOrderIsomorphicUnderDouble(df, orderCol)
     val parts =
       if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -221,6 +242,7 @@ object PrefixSum {
     requireNoInternalClash(df,
       Seq("_pid", "_local_rn", "_off_rn") ++
         sumCols.flatMap(c => Seq(s"_local_$c", s"_off_$c")))
+    requireOrderIsomorphicUnderDouble(df, valueCol)
     val parts =
       if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions
@@ -275,6 +297,7 @@ object PrefixSum {
   def minBeforeDesc(df: DataFrame, orderCol: String, minCol: String,
       numParts: Int = 0): DataFrame = {
     requireNoInternalClash(df, Seq("_pid", "_local_min", "_off_min"))
+    requireOrderIsomorphicUnderDouble(df, orderCol)
     val parts =
       if (numParts > 0) numParts
       else df.sparkSession.sessionState.conf.numShufflePartitions

@@ -87,12 +87,17 @@ object WireQueries {
        |  CAST(json_extract(value, '$$.sentiment_score') AS DOUBLE) AS sentiment_score
        |FROM raw""".stripMargin
 
-  /** RFC-822 pubDate parsing (E11, producer_news.py:61) across tz offsets. */
+  /** RFC-822 pubDate parsing (E11, producer_news.py:61) across tz offsets,
+    * named zones and unpadded days (round-13 widening: the strict
+    * offset-only pattern nulled the GMT/unpadded forms real feeds emit). */
   val rfc822Fixtures: Seq[String] = Seq(
     "Mon, 01 Jan 2024 12:30:45 +0000",
     "Sun, 31 Dec 2023 23:59:59 -0500",
     "Tue, 02 Jan 2024 08:15:00 +0700",
-    "Mon, 15 Jul 2024 00:00:01 +0000")
+    "Mon, 15 Jul 2024 00:00:01 +0000",
+    "Thu, 01 Jan 2024 00:00:00 GMT", // WordPress-default named zone
+    "Wed, 2 Oct 2002 08:00:00 +0000", // RFC-822 1*2DIGIT day
+    "Thu, 01 Jan 2024 00:00:00 EST")
 
   def rfc822Parse(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -104,7 +109,10 @@ object WireQueries {
   val rfc822Oracle: String =
     s"""WITH raw(pub_date) AS (VALUES ${rfc822Fixtures.map("('" + _ + "')").mkString(", ")})
        |SELECT pub_date,
-       |  epoch_us(strptime(pub_date, '%a, %d %b %Y %H:%M:%S %z')) // 1000000 AS pub_sec
+       |  epoch_us(coalesce(
+       |    try_strptime(pub_date, '%a, %d %b %Y %H:%M:%S %z'),
+       |    try_strptime(pub_date, '%a, %d %b %Y %H:%M:%S %Z'))) // 1000000
+       |    AS pub_sec
        |FROM raw""".stripMargin
 
   /** Explicit string→decimal casting (E8/§1.2: Binance sends prices as

@@ -65,11 +65,24 @@ object KafkaJson {
   /** RFC-822 pubDate parsing as done by the reference (producer_news.py:61,
     * E11). Spark >= 3's parser cannot PARSE day-of-week text ('EEE'), so the
     * redundant "Mon, " prefix is stripped before to_timestamp.
+    *
+    * Round-13 widening: real feeds emit BOTH numeric offsets and named
+    * zones, and RFC-822 allows 1*2DIGIT days. 'd' (not 'dd') accepts
+    * unpadded days; the numeric-offset pattern ('Z') and the zone-name
+    * pattern ('zzz' — GMT/UT/EST etc.) are tried in turn, since one
+    * pattern cannot parse both shapes. The old single strict pattern
+    * nulled "Thu, 01 Jan 2024 00:00:00 GMT" — a WordPress-default form —
+    * silently dropping the article from every time-bucketed query.
     */
-  val Rfc822: String = "dd MMM yyyy HH:mm:ss Z"
+  val Rfc822: String = "d MMM yyyy HH:mm:ss Z"
+  val Rfc822NamedZone: String = "d MMM yyyy HH:mm:ss zzz"
 
-  def parseRfc822(c: Column): Column =
-    try_to_timestamp(regexp_replace(c, "^[A-Za-z]{3}, ", ""), lit(Rfc822))
+  def parseRfc822(c: Column): Column = {
+    val stripped = regexp_replace(c, "^[A-Za-z]{3}, ", "")
+    coalesce(
+      try_to_timestamp(stripped, lit(Rfc822)),
+      try_to_timestamp(stripped, lit(Rfc822NamedZone)))
+  }
 
   /** Parse `crypto-news` messages (reference producer_news.py:76-85).
     * `created_date` arrives as a stringified tz-aware datetime

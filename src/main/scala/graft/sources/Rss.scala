@@ -33,20 +33,45 @@ object Rss {
   def parseItems(raw: DataFrame, xmlCol: String = "xml"): DataFrame =
     raw
       .withColumn("m", from_xml(col(xmlCol), itemSchema))
-      .withColumn("creator",
-        nullif(regexp_extract(col(xmlCol),
-          "<dc:creator[^>]*>(.*?)</dc:creator>", 1), lit("")))
+      // round-13 hardening of the creator fallback, matching what from_xml
+      // gives the category path: (?s) so multi-line creators match at all,
+      // CDATA unwrapped, the XML entities a text node can carry decoded
+      // (feedparser hands the reference DECODED text — without this the
+      // same author appears as both "Smith & Co" and "Smith &amp; Co"),
+      // then trimmed; whitespace-only creators stay NULL
+      .withColumn("_creator_raw",
+        regexp_extract(col(xmlCol),
+          "(?s)<dc:creator[^>]*>(.*?)</dc:creator>", 1))
+      .withColumn("_creator_txt", trim(regexp_replace(
+        col("_creator_raw"), "(?s)^\\s*<!\\[CDATA\\[(.*?)\\]\\]>\\s*$", "$1")))
+      .withColumn("creator", nullif(
+        Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+            "&apos;" -> "'", "&#39;" -> "'", "&amp;" -> "&")
+          .foldLeft(col("_creator_txt")) { case (c, (e, ch)) =>
+            regexp_replace(c, e, java.util.regex.Matcher.quoteReplacement(ch))
+          }, lit("")))
       .select(
         col("m.title").as("title"),
         col("m.link").as("url"),
         KafkaJson.parseRfc822(col("m.pubDate")).as("created_date"),
         coalesce(col("m.category"), col("creator")).as("tag"))
 
-  /** Full crawl-side transform (S2+P6+P7): parse, whitelist, dedup by URL. */
+  /** Full crawl-side transform (S2+P6+P7): parse, whitelist, dedup by URL.
+    * The per-URL winner is DETERMINISTIC (round-13 fix): dropDuplicates
+    * keeps an arbitrary row, so a url appearing twice with different
+    * title/pubDate/tag (category in one sweep, dc:creator fallback in
+    * another) flipped values between runs. min_by over the full remaining
+    * tuple pins one winner regardless of partition layout — the functional
+    * analogue of the reference's first-seen-wins set.
+    */
   def crawlFlow(raw: DataFrame, xmlCol: String = "xml"): DataFrame =
     parseItems(raw, xmlCol)
       .filter(col("url").isNotNull && KafkaJson.validNewsUrl(col("url")))
-      .dropDuplicates("url")
+      .groupBy(col("url"))
+      .agg(min_by(struct(col("title"), col("created_date"), col("tag")),
+        struct(col("created_date"), col("title"), col("tag"))).as("_w"))
+      .select(col("_w.title").as("title"), col("url"),
+        col("_w.created_date").as("created_date"), col("_w.tag").as("tag"))
 
   /** Article enrichment (S3+F1): attach scraped content and engine-side
     * sentiment. `contentLookup` stands in for the distributed fetch (a

@@ -143,12 +143,17 @@ class KlineScan(path: String, limit: Int, required: StructType,
     (partition: InputPartition) => {
       val p = partition.asInstanceOf[KlinePartition]
       new PartitionReader[InternalRow] {
-        private val lines: Iterator[String] = {
+        // STREAM the file (round-13 fix): readAllLines materialized the
+        // whole per-key landing file on the executor heap before take(lim)
+        // — OOM-bound by the largest file at scale; Files.lines reads
+        // lazily, stops after `lim` lines, and is closed in close()
+        private val stream: java.util.stream.Stream[String] = {
           val f = new java.io.File(p.file)
-          if (!f.isFile) Iterator.empty
-          else java.nio.file.Files.readAllLines(f.toPath)
-            .asScala.iterator.take(lim)
+          if (!f.isFile) java.util.stream.Stream.empty[String]()
+          else java.nio.file.Files.lines(f.toPath)
         }
+        private val lines: Iterator[String] =
+          stream.iterator().asScala.take(lim)
         private var current: InternalRow = _
         override def next(): Boolean =
           if (!lines.hasNext) false
@@ -162,7 +167,7 @@ class KlineScan(path: String, limit: Int, required: StructType,
             true
           }
         override def get(): InternalRow = current
-        override def close(): Unit = ()
+        override def close(): Unit = stream.close()
       }
     }
   }

@@ -14,8 +14,10 @@ import org.apache.spark.sql.DataFrame
   * and `maxFilesPerTrigger=1` forces one batch per file — so batch 2
   * publishes the data watermark and batch 3 runs with the sentinel
   * watermark, past every horizon the data could have set. Sentinel rows
-  * carry an out-of-domain key (negative user_id) so query logic can exclude
-  * them from results while they still advance the clock.
+  * carry an out-of-domain key — one RESERVED value per caller (e.g.
+  * [[SessionTimers.SentinelKey]] = Long.MinValue), never a broad "any
+  * negative id" convention that would swallow signed-hash keys — so query
+  * logic can exclude them from results while they still advance the clock.
   *
   * This is exactly how a production landing zone behaves (late files keep
   * arriving and push the watermark); the sentinels just make the tail flush

@@ -32,10 +32,17 @@ object SessionTimers {
   case class SessionRow(user_id: Long, session_start_us: Long,
       session_last_us: Long, n: Long)
 
+  /** The watermark-advance sentinel key. ONE reserved value at the far edge
+    * of the domain (round-13 fix) — the old `key < 0` check silently
+    * swallowed every negative-keyed event, which breaks datasets whose user
+    * ids are signed hashes. */
+  private[streaming] val SentinelKey: Long = Long.MinValue
+
   /** Gap-based sessionizer: closes a session inline when a later row in the
     * same batch breaches the gap, otherwise parks it in state behind an
-    * event-time timer at `last + gap`. Keys < 0 are watermark-advance
-    * sentinels and never produce state or output.
+    * event-time timer at `last + gap`. The single key [[SentinelKey]]
+    * (Long.MinValue) is a watermark-advance sentinel and never produces
+    * state or output; every other key — negative ones included — is data.
     */
   class SessionProcessor(gapUs: Long)
       extends StatefulProcessor[Long, (Long, Long), SessionRow] {
@@ -49,12 +56,25 @@ object SessionTimers {
           Encoders.scalaLong),
         TTLConfig.NONE)
 
-    private def timerFor(lastUs: Long): Long = lastUs / 1000L + gapUs / 1000L + 1L
+    // ceiling to the next whole millisecond: floor(last/1000)+floor(gap/1000)
+    // could land the timer up to ~2ms BEFORE the true micro expiry last+gap,
+    // closing a session a continuing just-inside-the-gap event should have
+    // extended (round-13 fix)
+    private def timerFor(lastUs: Long): Long = (lastUs + gapUs) / 1000L + 1L
 
     override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
         timerValues: TimerValues): Iterator[SessionRow] = {
-      if (key < 0L) return Iterator.empty // sentinel: only advances watermark
-      val ts = rows.map(_._2).toArray
+      if (key == SentinelKey) return Iterator.empty // only advances watermark
+      // Late-data posture (round-13 fix): the watermark column is projected
+      // away before groupByKey, so Spark does NOT drop late rows for us.
+      // Without this filter an event arriving hours late was silently
+      // absorbed into whatever session happened to be open (the n += 1
+      // duplicate branch) without even extending session_start. Enforce the
+      // 0s-delay watermark contract here: rows at/after the watermark are
+      // on time, older rows are dropped — the same rows Spark's own
+      // session_window operator drops.
+      val wmUs = timerValues.getCurrentWatermarkInMs() * 1000L
+      val ts = rows.map(_._2).filter(_ >= wmUs).toArray
       java.util.Arrays.sort(ts)
       if (ts.isEmpty) return Iterator.empty
       val closed = List.newBuilder[SessionRow]
@@ -72,7 +92,14 @@ object SessionTimers {
           closed += SessionRow(key, st, la, n)
           st = t; la = t; n = 1L
         } else if (t > la) { la = t; n += 1L }
-        else n += 1L // duplicate timestamp
+        else if (t >= st) n += 1L // duplicate / intra-session out-of-order
+        else if (st - t < gapUs) { st = t; n += 1L } // backward merge, as
+        // session_window does for a within-gap event before session start
+        else closed += SessionRow(key, t, t, 1L) // on-time but a full gap
+        // BEFORE the open session: emitted eagerly as its own session —
+        // ValueState holds one open session, and under the 0s watermark a
+        // future joiner for it (an event in [watermark, t+gap)) is already
+        // out-of-order data the reference pipeline drops
       }
       open.update((st, la, n))
       getHandle.registerTimer(timerFor(la))
@@ -138,8 +165,8 @@ object SessionTimers {
       val sentA = maxUs + gapUs + 3600000000L
       val sentB = sentA + 3600000000L
       LandingZone.stage(rows,
-        Seq(Seq((-1L, sentA)).toDF("user_id", "ts_us"),
-          Seq((-1L, sentB)).toDF("user_id", "ts_us")))
+        Seq(Seq((SentinelKey, sentA)).toDF("user_id", "ts_us"),
+          Seq((SentinelKey, sentB)).toDF("user_id", "ts_us")))
     }
     // staged landing zones are replay-only — memoize (revalidated) per
     // caller key so repeated drains of the same source skip the three

@@ -130,4 +130,15 @@ class Ext37Spec extends SparkTestBase {
       .as[(Long, Long, Long, Long)].collect().toSet
     assert(got == Set((9L, 0L, 0L, 1L), (9L, gap, gap, 1L)))
   }
+
+  test("round-13: negative user ids are DATA, not sentinels (the old key<0 " +
+      "check silently swallowed every signed-hash key's sessions)") {
+    val gap = 1000000L
+    val m = 100000L
+    val rows = Seq((-5L, 0L), (-5L, m), (7L, 2 * m)).toDF("user_id", "ts_us")
+    val got = SessionTimers.drain(spark, rows, gap)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set((-5L, 0L, m, 2L), (7L, 2 * m, 2 * m, 1L)),
+      s"negative-keyed session lost: $got")
+  }
 }

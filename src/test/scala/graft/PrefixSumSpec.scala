@@ -219,20 +219,28 @@ class PrefixSumSpec extends SparkTestBase {
       "threshold; internal-name clashes and empty sumCols fail on BOTH " +
       "size paths") {
     import spark.implicits._
-    // all-NULL-casting order column + forced two-phase: the probe finds
-    // no numeric values to bucket on — must throw, not silently run one
-    // single-task window over the whole input
+    // non-numeric order column: rejected at entry on BOTH paths. The old
+    // contract let strings through the small path and bucketed the
+    // two-phase path on their DOUBLE image — a STRING column of numeric
+    // text ("9" < "10" lexically, 9.0 < 10.0 cast) would FLIP results when
+    // the row count crossed the threshold. Uniform loud rejection instead.
     val strOrd = Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "v")
+    for (t <- bothPaths) withThreshold(t) {
+      val e = intercept[IllegalArgumentException] {
+        PrefixSum.exclusive(strOrd, "k", Seq("v"))
+      }
+      assert(e.getMessage.contains("DOUBLE image"))
+    }
+    // all-NULL numeric order column + forced two-phase: passes the type
+    // guard but the probe finds no values to bucket on — must throw, not
+    // silently run one single-task window over the whole input
+    val nullOrd = Seq(1L, 2L, 3L).toDF("v")
+      .withColumn("k", lit(null).cast("double"))
     withThreshold("-1") {
       val e = intercept[IllegalArgumentException] {
-        PrefixSum.exclusive(strOrd, "k", Seq("v")).collect()
+        PrefixSum.exclusive(nullOrd, "k", Seq("v")).collect()
       }
       assert(e.getMessage.contains("no numeric values"))
-    }
-    // below the threshold the small path is unaffected (ordering by a
-    // string column is fine for a single window)
-    withThreshold("1000000000") {
-      assert(PrefixSum.exclusive(strOrd, "k", Seq("v")).count() == 3L)
     }
     // internal working-column clash: uniform loud failure on BOTH paths
     // (silently overwriting + dropping the caller's _pid only above the

@@ -18,6 +18,61 @@ class RssIngestSpec extends SparkTestBase {
       .getAs[String]("tag") == "Markets")
   }
 
+  test("round-13: creator fallback handles multi-line + CDATA + entity-" +
+      "escaped authors (parity with from_xml's decoded category text)") {
+    val items = Seq(
+      // multi-line creator: pre-fix the non-DOTALL regex returned ""
+      "<item><title>A</title><link>https://www.coindesk.com/markets-a</link>" +
+        "<pubDate>Mon, 01 Jan 2024 00:00:00 +0000</pubDate>" +
+        "<dc:creator>John\nSmith</dc:creator></item>",
+      // CDATA-wrapped creator: pre-fix the tag kept the CDATA wrapper
+      "<item><title>B</title><link>https://www.coindesk.com/markets-b</link>" +
+        "<pubDate>Mon, 01 Jan 2024 00:00:00 +0000</pubDate>" +
+        "<dc:creator><![CDATA[Jane]]></dc:creator></item>",
+      // entity-escaped creator: pre-fix stayed escaped while the category
+      // path decodes, splitting one author into two tag values
+      "<item><title>C</title><link>https://www.coindesk.com/markets-c</link>" +
+        "<pubDate>Mon, 01 Jan 2024 00:00:00 +0000</pubDate>" +
+        "<dc:creator>Smith &amp; Co</dc:creator></item>")
+    val tags = Rss.crawlFlow(items.toDF("xml")).collect()
+      .map(r => r.getAs[String]("url") -> r.getAs[String]("tag")).toMap
+    assert(tags("https://www.coindesk.com/markets-a") == "John\nSmith")
+    assert(tags("https://www.coindesk.com/markets-b") == "Jane")
+    assert(tags("https://www.coindesk.com/markets-c") == "Smith & Co")
+  }
+
+  test("round-13: same-url items with DIFFERENT fields resolve to one " +
+      "deterministic winner regardless of partition layout") {
+    val u = "https://www.coindesk.com/markets-dup"
+    val items = Seq(
+      s"<item><title>Zed take</title><link>$u</link>" +
+        "<pubDate>Tue, 02 Jan 2024 00:00:00 +0000</pubDate>" +
+        "<category>Late</category></item>",
+      s"<item><title>Alpha take</title><link>$u</link>" +
+        "<pubDate>Mon, 01 Jan 2024 00:00:00 +0000</pubDate>" +
+        "<category>Early</category></item>")
+    val a = Rss.crawlFlow(items.toDF("xml")).collect()
+    val b = Rss.crawlFlow(items.reverse.toDF("xml").repartition(7)).collect()
+    assert(a.length == 1 && b.length == 1)
+    assert(a.head == b.head, s"layout-dependent winner: ${a.head} vs ${b.head}")
+    assert(a.head.getAs[String]("title") == "Alpha take") // earliest pubDate
+  }
+
+  test("round-13: RFC-822 named zones and unpadded days parse instead of " +
+      "nulling (GMT is the WordPress feed default)") {
+    val got = Seq(
+      "Thu, 01 Jan 2024 00:00:00 GMT",
+      "Wed, 2 Oct 2002 08:00:00 +0000",
+      "Thu, 01 Jan 2024 00:00:00 EST",
+      "not a date").toDF("d")
+      .select(unix_timestamp(graft.sources.KafkaJson.parseRfc822(col("d"))))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    assert(got(0).contains(1704067200L))
+    assert(got(1).contains(1033545600L))
+    assert(got(2).contains(1704085200L)) // EST = UTC-5
+    assert(got(3).isEmpty)
+  }
+
   test("enrich attaches content + engine-side sentiment, empty content -> 0.0") {
     val arts = Rss.crawlFlow(RssQueries.itemFixtures.toDF("xml"))
     val contents = Seq(
