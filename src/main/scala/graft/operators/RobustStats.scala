@@ -20,6 +20,13 @@ import org.apache.spark.sql.functions._
   */
 object RobustStats {
 
+  /** Backtick-quote a column name spliced into `expr()` SQL (round-13 fix:
+    * names with spaces/hyphens threw ParseException and dotted names
+    * silently resolved as struct access, unlike the col()-based group
+    * handling right next to them). */
+  private def quoted(name: String): String =
+    "`" + name.replace("`", "``") + "`"
+
   /** Winsorized mean per group: clip `valueCol` to the group's [pLo, pHi]
     * exact percentiles, then average. Returns one row per group:
     * (groupCol, n, avg_raw, avg_winsorized), averages rounded to 6 dp.
@@ -27,12 +34,16 @@ object RobustStats {
   def winsorizedMean(df: DataFrame, groupCol: String, valueCol: String,
       pLo: Double, pHi: Double): DataFrame = {
     val bounds = df.groupBy(groupCol)
-      .agg(expr(s"percentile($valueCol, array(${pLo}D, ${pHi}D))").as("ps"))
+      .agg(expr(s"percentile(${quoted(valueCol)}, array(${pLo}D, ${pHi}D))")
+        .as("ps"))
       .select(col(groupCol),
         element_at(col("ps"), 1).as("_lo"), element_at(col("ps"), 2).as("_hi"))
     df.join(broadcast(bounds), Seq(groupCol))
-      .withColumn("_clipped",
-        least(greatest(col(valueCol), col("_lo")), col("_hi")))
+      // NULL values must STAY null (round-13 fix): greatest/least skip
+      // nulls, so a null row silently clipped to _lo and polluted
+      // avg_winsorized with a fabricated value while avg_raw ignored it
+      .withColumn("_clipped", when(col(valueCol).isNull, lit(null))
+        .otherwise(least(greatest(col(valueCol), col("_lo")), col("_hi"))))
       .groupBy(groupCol)
       .agg(count(lit(1)).as("n"),
         round(avg(valueCol), 6).as("avg_raw"),
@@ -48,7 +59,7 @@ object RobustStats {
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
       cutoff: Double): DataFrame = {
     val med = df.groupBy(groupCol)
-      .agg(expr(s"percentile($valueCol, 0.5D)").as("_med"))
+      .agg(expr(s"percentile(${quoted(valueCol)}, 0.5D)").as("_med"))
     val withDev = df.join(broadcast(med), Seq(groupCol))
       .withColumn("_dev", abs(col(valueCol) - col("_med")))
     val mad = withDev.groupBy(groupCol)

@@ -18,8 +18,18 @@ object Scale {
     * real corpus would use (centroids ~ sqrt(N), bits ~ log2(N)) without
     * touching the oracle-gated default path.
     */
-  def intKnob(s: SparkSession, key: String, default: Int): Int =
-    s.conf.get(key, sys.props.getOrElse(key, default.toString)).toInt
+  def intKnob(s: SparkSession, key: String, default: Int): Int = {
+    val raw = s.conf.get(key, sys.props.getOrElse(key, default.toString))
+    try raw.trim.toInt
+    catch {
+      // name the offending key/value (round-13: a bare
+      // NumberFormatException gave no clue WHICH of several knobs was
+      // malformed — the same gap derivedIntKnob/confLong already close)
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be an int; got '$raw'")
+    }
+  }
 
   /** Integer scale knob whose DEFAULT derives from the corpus size
     * instead of being a constant: session conf wins, then the JVM system

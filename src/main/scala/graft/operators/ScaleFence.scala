@@ -94,10 +94,11 @@ object ScaleFence {
     if (maxPairs >= 0L) {
       val nLeft = boundedCount(left, incSaturating(maxPairs))
       // nLeft == 0 → zero pairs, nothing to fence. Otherwise the right side
-      // may have at most maxPairs / nLeft rows. If the left probe itself was
-      // truncated (nLeft > maxPairs is impossible here, but nLeft may equal
-      // the Int.MaxValue probe ceiling), the derived budget is conservative —
-      // correct, since the true product can only be larger.
+      // may have at most maxPairs / nLeft rows. A left probe that maxes the
+      // Int.MaxValue limit() ceiling under a larger cutoff is reported AS
+      // the cutoff by boundedCount (round-13 fix), so a >2^31-row left side
+      // drives rightBudget to 0 and the fence fails closed — the truncated
+      // raw count would instead have INFLATED the right budget.
       if (nLeft > 0L) {
         val rightBudget = maxPairs / nLeft
         val nRight = boundedCount(right, incSaturating(rightBudget))
@@ -135,7 +136,16 @@ object ScaleFence {
       case Some(exact) => exact.min(BigInt(Long.MaxValue)).toLong
       case None =>
         val probeLimit = cutoff.min(Int.MaxValue.toLong).toInt
-        df.limit(probeLimit).count()
+        val n = df.limit(probeLimit).count()
+        // limit() cannot see past Int.MaxValue rows. When the cutoff is
+        // larger, a maxed-out probe means "at least this many, possibly
+        // far more" — report the CUTOFF so the fence fails closed
+        // (round-13 fix: the truncated count was fed into guardPair's
+        // rightBudget division, UNDERESTIMATING a >2^31-row side and
+        // inflating the other side's budget — the fence could wave an
+        // over-cap pair product through, the opposite of conservative).
+        if (n == probeLimit.toLong && cutoff > probeLimit.toLong) cutoff
+        else n
     }
   }
 

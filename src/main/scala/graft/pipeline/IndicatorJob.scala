@@ -40,8 +40,15 @@ object IndicatorJob {
     // mix, and the reference's computation is effectively double anyway);
     // the declared DECIMAL(18,8) precision is applied to the OUTPUT.
     val long = Indicators.allLong(
-      klines.select(col("symbol_id"), col("interval_id"), col("close_time"),
-        col("close_price").cast("double").as("close_price")), spec)
+      klines
+        // a NULL close_time indicator row could never satisfy the sink
+        // anti-join's NOT NULL key contract (Joins.antiJoinNew) — it would
+        // be RE-APPENDED on every run, breaking the idempotence promise
+        // below (round-13 fix); a timestamp-less kline carries no
+        // ordering position for the window indicators anyway
+        .filter(col("close_time").isNotNull)
+        .select(col("symbol_id"), col("interval_id"), col("close_time"),
+          col("close_price").cast("double").as("close_price")), spec)
     Joins.dimJoin(long, typeDim, Seq("type_name"))
       .select(
         col("symbol_id"), col("interval_id"), col("type_id"),
@@ -69,10 +76,11 @@ object IndicatorJob {
     // Single write action; count via accumulator-free observe would need a
     // listener — a persisted count is fine here (fresh is small post-anti-join).
     val toWrite = fresh.persist()
-    val nRows = toWrite.count()
-    if (nRows > 0)
-      toWrite.write.mode(SaveMode.Append).parquet(indicatorFactPath)
-    toWrite.unpersist()
-    nRows
+    try {
+      val nRows = toWrite.count()
+      if (nRows > 0)
+        toWrite.write.mode(SaveMode.Append).parquet(indicatorFactPath)
+      nRows
+    } finally toWrite.unpersist() // a failed append must not leak the cache
   }
 }

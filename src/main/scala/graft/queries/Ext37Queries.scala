@@ -188,21 +188,24 @@ object Ext37Queries {
     // click's 1-hour purchase window
     val staged = LandingZone.stage(ev,
       Seq(sentinel(maxUs + 7200000000L), sentinel(maxUs + 10800000000L)))
-    val joined = outerJoinStream(s, staged)
+    // Round-13 isolation fix: the narrow-drain partition override runs on
+    // an isolated child session so a concurrently planned query on the
+    // caller's session can't inherit 8 shuffle partitions; the per-drain
+    // memory view is dropped once the result resolves
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val joined = outerJoinStream(ss, staged)
     val name = "stream_outer_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    // 4 state stores per shuffle partition (see q_stream_join) — drain narrow
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = joined
-        .select(col("click_id"), col("click_us"),
-          col("purchase_id"), col("purchase_us"))
-        .writeStream.outputMode("append").format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      graft.streaming.Drain.awaitOrFail(q, "stream_outer_join")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val q = joined
+      .select(col("click_id"), col("click_us"),
+        col("purchase_id"), col("purchase_us"))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    graft.streaming.Drain.awaitOrFail(q, "stream_outer_join")
     // drop the sentinel clicks' own (null-padded) rows
-    s.table(name).filter(col("click_id") >= 0)
+    val result = ss.table(name).filter(col("click_id") >= 0)
+    ss.catalog.dropTempView(name)
+    result
   }
 
   val streamOuterJoinOracle: String =

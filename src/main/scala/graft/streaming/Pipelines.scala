@@ -43,8 +43,17 @@ object Pipelines {
   def priceFlow(raw: DataFrame, watermark: String = "10 minutes"): DataFrame =
     KafkaJson.parsePrices(raw)
       .filter(col("symbol").isNotNull && col("open_time").isNotNull)
-      .withWatermark("open_time", watermark)
+      // INGEST-time watermark, same posture as newsFlow (round-13 fix):
+      // klines BACKFILL — adding a symbol replays its history (the
+      // limit=1000 sweep in Ingest), and an event-time watermark on
+      // open_time silently DROPPED every row older than the stream's
+      // horizon before it reached the sink; the IdempotentWriter backstop
+      // never even saw them. Ingest time is monotone, so nothing is ever
+      // late, while the dedup state still expires after the horizon.
+      .withColumn("_ingest_t", current_timestamp())
+      .withWatermark("_ingest_t", watermark)
       .dropDuplicatesWithinWatermark("symbol", "interval", "open_time")
+      .drop("_ingest_t")
 
   /** Decode + guard + dedup for the news stream: URL whitelist
     * (producer_news.py:29-36) then URL dedup (sent_urls set + consumer

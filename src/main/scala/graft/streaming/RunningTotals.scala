@@ -46,39 +46,43 @@ object RunningTotals {
   }
 
   /** Drain `eventsStream`-shaped input (user_id, value) through the
-    * processor with RocksDB state (transformWithState requires it); the
-    * previous provider conf is restored after the drain so sibling streaming
-    * queries keep their configured store.
+    * processor with RocksDB state (transformWithState requires it).
+    *
+    * Round-13 isolation fix: the provider/partition overrides run on an
+    * ISOLATED child session — the old set-then-restore on the caller's
+    * session poisoned anything planned concurrently on it for the
+    * multi-second drain (a sibling batch query inherited 8 shuffle
+    * partitions; a sibling streaming query could bake the RocksDB
+    * provider into a fresh checkpoint). `newSession()` shares the
+    * SparkContext but isolates SQLConf + the temp-view catalog, and the
+    * input plan is re-bound onto it. The per-drain memory-sink view is
+    * dropped once the result is resolved (the analyzed plan keeps the
+    * sink relation alive), so repeated drains no longer pin one view +
+    * its rows per call for the session lifetime.
     */
   def drain(s: SparkSession, events: DataFrame): DataFrame = {
-    import s.implicits._
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(providerKey)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set(providerKey,
+    val ss = s.newSession()
+    import ss.implicits._
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // 1 RocksDB store per shuffle partition: narrow the bounded drain so
     // store spin-up, not data, stops dominating
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val typed = events.selectExpr("user_id", "value").as[(Long, Double)]
-      val out = typed.groupByKey(_._1)
-        .transformWithState(new TotalsProcessor, TimeMode.None(), OutputMode.Append())
-      val name = "tws_totals_" + java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      graft.streaming.Drain.awaitOrFail(q, "tws_totals")
-      s.table(name)
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prev match {
-        case Some(p) => s.conf.set(providerKey, p)
-        case None => s.conf.unset(providerKey)
-      }
-    }
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val typed = org.apache.spark.sql.GraftColumnBridge
+      .ofRows(ss, events.queryExecution.logical)
+      .selectExpr("user_id", "value").as[(Long, Double)]
+    val out = typed.groupByKey(_._1)
+      .transformWithState(new TotalsProcessor, TimeMode.None(), OutputMode.Append())
+    val name = "tws_totals_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    graft.streaming.Drain.awaitOrFail(q, "tws_totals")
+    val result = ss.table(name)
+    ss.catalog.dropTempView(name)
+    result
   }
 }

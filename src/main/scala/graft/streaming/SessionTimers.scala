@@ -175,33 +175,31 @@ object SessionTimers {
       if (cacheKey == null) stage()
       else StagedDirs.getOrStage(s"tws-sessions|$cacheKey|$gapUs")(stage())
 
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = s.conf.getOption(providerKey)
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set(providerKey,
+    // Round-13 isolation fix: the provider/partition overrides run on an
+    // ISOLATED child session instead of set-then-restore on the caller's —
+    // which poisoned anything planned concurrently on it for the drain's
+    // duration. The per-drain memory-sink view is dropped once the result
+    // is resolved (the analyzed plan keeps the sink relation alive), so
+    // repeated drains no longer pin one view + its rows per call.
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // 1 RocksDB store per shuffle partition PER BATCH (3 batches here):
     // narrow the drain so store spin-up, not data, stops dominating (the
     // production stream sizes partitions to key cardinality instead)
-    s.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
-      val out = sessionStream(s, staged, gapUs)
-      val name = "tws_sessions_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      val q = out.toDF().writeStream
-        .outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      graft.streaming.Drain.awaitOrFail(q, "tws_sessions")
-      s.table(name)
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevParts)
-      prev match {
-        case Some(p) => s.conf.set(providerKey, p)
-        case None => s.conf.unset(providerKey)
-      }
-    }
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val out = sessionStream(ss, staged, gapUs)
+    val name = "tws_sessions_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.toDF().writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    graft.streaming.Drain.awaitOrFail(q, "tws_sessions")
+    val result = ss.table(name)
+    ss.catalog.dropTempView(name)
+    result
   }
 }

@@ -93,6 +93,19 @@ object StatefulIndicators {
     */
   def fromDataFrame(df: DataFrame, n: Int = 14, tiebreakCol: Option[String] = None): DataFrame = {
     import df.sparkSession.implicits._
+    // round-13 guard: the tiebreak feeds the non-nullable KlinePoint.seq
+    // long — cast() on a string/UUID column yields NULL and the encoder
+    // kills the job ("Null value appeared in non-nullable field"), or a
+    // partially-numeric column nulls SOME rows and silently destroys the
+    // deterministic tie order the parameter exists to provide
+    tiebreakCol.foreach { c =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"StatefulIndicators: tiebreak column '$c' must be integral (got " +
+          s"${dt.simpleString}) — map string ids to longs (e.g. xxhash64) " +
+          "first")
+    }
     val seqCol = tiebreakCol.map(c => col(c).cast("long")).getOrElse(lit(0L))
     val typed = df.select(
       col("symbol_id").cast("int"),

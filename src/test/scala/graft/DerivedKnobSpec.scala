@@ -57,6 +57,20 @@ class DerivedKnobSpec extends SparkTestBase {
     } finally s2.conf.unset(key)
   }
 
+  test("round-13: intKnob names the offending key/value on a malformed " +
+      "setting and trims whitespace (parity with derivedIntKnob/confLong)") {
+    val s2 = spark.newSession()
+    val key = "graft.test.intKnob"
+    s2.conf.set(key, " 8 ")
+    try assert(Scale.intKnob(s2, key, 1) == 8)
+    finally s2.conf.unset(key)
+    s2.conf.set(key, "1_000")
+    try {
+      val e = intercept[IllegalArgumentException](Scale.intKnob(s2, key, 1))
+      assert(e.getMessage.contains(key) && e.getMessage.contains("1_000"))
+    } finally s2.conf.unset(key)
+  }
+
   test("gate pins hold on the shared session AND are inherited by child " +
       "sessions (Verify's per-query isolation relies on this); the " +
       "opted-out path derives scale-appropriate values from the corpus") {

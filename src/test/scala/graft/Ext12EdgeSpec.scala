@@ -66,6 +66,24 @@ class Ext12EdgeSpec extends SparkTestBase {
     assert(out.getAs[Long]("n_outliers") == 1L) // dev 94 > 3*0
   }
 
+  test("round-13: winsorizedMean keeps NULL values out of the clipped " +
+      "average (greatest/least silently turned them into the lower bound)") {
+    val df = Seq(("g", Some(1.0)), ("g", Some(3.0)), ("g", None))
+      .toDF("grp", "v")
+    val r = RobustStats.winsorizedMean(df, "grp", "v", 0.1, 0.9).collect()(0)
+    // avg_raw skips the null: (1+3)/2 = 2. Pre-fix, _clipped fabricated a
+    // third value at the lower percentile bound and avg_winsorized
+    // diverged from the same two real rows.
+    assert(r.getAs[Double]("avg_raw") == 2.0)
+    // the invariant: the null row must not move the winsorized mean away
+    // from the null-free computation over the same two real values
+    val clean = RobustStats.winsorizedMean(
+      df.filter(col("v").isNotNull), "grp", "v", 0.1, 0.9).collect()(0)
+    assert(r.getAs[Double]("avg_winsorized") ==
+      clean.getAs[Double]("avg_winsorized"),
+      "null row changed the winsorized mean")
+  }
+
   test("winsorizedMean: single-row group clips to itself (avg unchanged)") {
     val df = Seq(("g", 42.0)).toDF("grp", "v")
     val out = RobustStats.winsorizedMean(df, "grp", "v", 0.05, 0.95).collect()(0)

@@ -38,6 +38,25 @@ class IndicatorJobSpec extends SparkTestBase {
     assert(spark.read.parquet(indPath).count() == first)
   }
 
+  test("round-13: NULL close_time klines never break idempotence (the " +
+      "null-unsafe anti-join would re-append their rows on every run)") {
+    val dir = graft.util.TempDirs.create("graft-ind3").toString
+    val klinePath = s"$dir/kline_fact"
+    val indPath = s"$dir/indicator_fact"
+    klineFixture
+      .unionByName(Seq((1, 1, null: java.sql.Timestamp, 999.0))
+        .toDF("symbol_id", "interval_id", "close_time", "close_price"))
+      .write.parquet(klinePath)
+    val first = IndicatorJob.run(spark, klinePath, indPath, typeDim)
+    assert(first > 0)
+    val second = IndicatorJob.run(spark, klinePath, indPath, typeDim)
+    assert(second == 0,
+      "NULL-timestamp rows re-appended: idempotence contract broken")
+    assert(spark.read.parquet(indPath)
+      .filter(col("timestamp").isNull).count() == 0,
+      "NULL-timestamp indicator rows reached the sink")
+  }
+
   test("late rows: only the new keys are appended on re-run") {
     val dir = graft.util.TempDirs.create("graft-ind2").toString
     val klinePath = s"$dir/kline_fact"

@@ -36,6 +36,30 @@ class StreamingSpec extends SparkTestBase {
     assert(rows.filter($"symbol".isNull).count() == 0)
   }
 
+  test("round-13: a backfilled kline with an arbitrarily old open_time " +
+      "still lands (the event-time watermark dropped history replays)") {
+    // the dedup watermark rides on ingest time, not open_time — adding a
+    // symbol replays its history, whose open_times sit far behind the
+    // stream's horizon; under the old open_time watermark these rows were
+    // silently dropped before the sink (and its anti-join backstop) ever
+    // saw them
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[String]
+    val flow = Pipelines.priceFlow(mem.toDF())
+    val sink = tmp("graft-backfill") + "/klines"
+    val q = Pipelines.start(flow, sink, tmp("graft-backfill-ckpt"),
+      Pipelines.klineKeys, availableNow = false, cadence = "1 second")
+    try {
+      mem.addData(WireQueries.priceFixtures: _*) // 2024 data sets the clock
+      q.processAllAvailable()
+      mem.addData("""{"symbol":"SOLUSDT","interval":"1h","open_time":1577836800000,"open":"1.0","high":"1.1","low":"0.9","close":"1.05","volume":"10.0","close_time":1577840399999,"fetched_at":"2024-01-02T00:00:00"}""")
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.read.parquet(sink)
+    assert(out.filter($"symbol" === "SOLUSDT").count() == 1,
+      "backfilled 2020 kline was dropped as late data")
+  }
+
   test("IdempotentWriter: replayed micro-batch appends nothing (T1 effectively-once)") {
     val sink = tmp("graft-replay") + "/out"
     val batch = Seq((1, "a"), (2, "b")).toDF("id", "v")
@@ -193,6 +217,35 @@ class StreamingSpec extends SparkTestBase {
       // user 3's window is still open — must not be padded yet
       assert(!padded.contains(3L))
     } finally q.stop()
+  }
+
+  test("round-13: a non-integral tiebreak column is rejected up front " +
+      "(cast-to-long nulled UUIDs into a non-nullable encoder crash)") {
+    val df = Seq((1, 1, 1000L, 10.0, "uuid-a"))
+      .toDF("symbol_id", "interval_id", "close_time", "close_price", "eid")
+    val e = intercept[IllegalArgumentException] {
+      graft.streaming.StatefulIndicators.fromDataFrame(
+        df, tiebreakCol = Some("eid"))
+    }
+    assert(e.getMessage.contains("must be integral"))
+  }
+
+  test("round-13: drains run isolated — repeated drains register no temp " +
+      "views on the caller session and leave its conf untouched") {
+    implicit val sqlCtx = spark.sqlContext
+    val beforeParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val beforeViews = spark.catalog.listTables().count()
+    def stream() = {
+      val mem = MemoryStream[(Long, Double)]
+      mem.addData((1L, 2.5), (1L, 3.5), (2L, 1.0))
+      mem.toDF().toDF("user_id", "value")
+    }
+    val a = graft.streaming.RunningTotals.drain(spark, stream())
+    val b = graft.streaming.RunningTotals.drain(spark, stream())
+    assert(a.count() == 2 && b.count() == 2)
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == beforeParts)
+    assert(spark.catalog.listTables().count() == beforeViews,
+      "drain leaked memory-sink temp views into the caller session")
   }
 
   test("stateful indicators keep state across micro-batches") {
