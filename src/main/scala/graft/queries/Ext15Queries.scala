@@ -422,13 +422,8 @@ object Ext15Queries {
        |  PARTITION BY query_id ORDER BY rrf DESC, neighbor_id) <= 5""".stripMargin
   }
 
-  private def cosSql(a: String, b: String): String =
-    s"""(list_sum(list_transform(range(1, len($a) + 1),
-       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-       |  / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
-       |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
-       |   * sqrt(list_sum(list_transform(range(1, len($b) + 1),
-       |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))""".stripMargin
+  private[queries] def cosSql(a: String, b: String): String =
+    OracleSql.cosSql(a, b)
 
   // --- language modelling ------------------------------------------------------
 

@@ -349,7 +349,10 @@ object Ext20Queries {
         |  SELECT user_id,
         |    ts_us - lag(ts_us) OVER (PARTITION BY user_id
         |      ORDER BY ts_us, event_id) AS gap_us,
-        |    ts_us div 3600000000 AS hr
+        |    -- FLOOR division, not `div` (truncate-toward-zero): a pre-1970
+        |    -- (negative) timestamp must land in the same hour bucket as the
+        |    -- oracle's `//`, which floors (round-13 parity fix)
+        |    (ts_us - pmod(ts_us, 3600000000)) div 3600000000 AS hr
         |  FROM events_bot
         |), ph AS (
         |  SELECT user_id, hr, CAST(COUNT(*) AS BIGINT) AS n_in_hr
@@ -370,7 +373,12 @@ object Ext20Queries {
         |  -- (integers and half-integers) — no rounding, no engine-dependent
         |  -- percentile interpolation, no decimal-boundary flips
         |  SELECT user_id, n_gaps, burstiness,
-        |    CASE WHEN n_gaps % 2 = 1
+        |    CASE
+        |      -- a single-event user has NO gaps: element_at(a, 0) THROWS in
+        |      -- Spark ("array indices start at 1") while the oracle's a[0]
+        |      -- is NULL — return the NULL median explicitly (round-13 fix)
+        |      WHEN n_gaps = 0 THEN CAST(NULL AS DOUBLE)
+        |      WHEN n_gaps % 2 = 1
         |      THEN CAST(element_at(a, CAST((n_gaps + 1) div 2 AS INT)) AS DOUBLE)
         |      ELSE CAST(element_at(a, CAST(n_gaps div 2 AS INT))
         |          + element_at(a, CAST(n_gaps div 2 + 1 AS INT)) AS DOUBLE) / 2
@@ -406,7 +414,11 @@ object Ext20Queries {
       |  FROM g GROUP BY user_id
       |), stats AS (
       |  SELECT user_id, n_gaps, burstiness,
-      |    CASE WHEN n_gaps % 2 = 1
+      |    CASE
+      |      -- explicit NULL median for gap-less users (a[0] happens to be
+      |      -- NULL in DuckDB; the Spark side makes the branch explicit)
+      |      WHEN n_gaps = 0 THEN CAST(NULL AS DOUBLE)
+      |      WHEN n_gaps % 2 = 1
       |      THEN CAST(a[CAST((n_gaps + 1) // 2 AS INT)] AS DOUBLE)
       |      ELSE CAST(a[CAST(n_gaps // 2 AS INT)]
       |          + a[CAST(n_gaps // 2 + 1 AS INT)] AS DOUBLE) / 2
@@ -455,9 +467,13 @@ object Ext20Queries {
 
   val powerIterationOracle: String =
     """WITH t AS (
-      |  SELECT vec_id, CAST(r.i AS INT) - 1 AS i,
-      |    CAST(embedding[CAST(r.i AS INT)] AS DOUBLE) AS x
-      |  FROM embeddings CROSS JOIN range(1, 65) r(i)
+      |  -- dimension derived from the data (round-13: the hardcoded
+      |  -- range(1, 65) silently pinned 64 dims while the Spark side's
+      |  -- posexplode adapts to whatever width the fixture carries)
+      |  SELECT vec_id,
+      |    CAST(generate_subscripts(embedding, 1) AS INT) - 1 AS i,
+      |    CAST(unnest(embedding) AS DOUBLE) AS x
+      |  FROM embeddings
       |), mu AS (
       |  SELECT i, SUM(x) / COUNT(*) AS mu FROM t GROUP BY i
       |), pairs AS (

@@ -606,18 +606,16 @@ object Ext9Queries {
       .join(qv, Seq("query_id"))
       .join(cv, Seq("neighbor_id"))
       .withColumn("cos", graft.operators.Similarity.cosine(col("qv"), col("cv")))
+      // zero-norm (dead) vectors score NULL cosine and are non-neighbors —
+      // the same round-13 filter bruteForceTopK/ivfTopK carry; without it
+      // a query with < 5 finite candidates would emit NULL-cos filler rows
+      .filter(col("cos").isNotNull)
       .withColumn("rn", row_number().over(fineW))
       .filter(col("rn") <= 5)
       .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"))
   }
 
-  private val cosSql: (String, String) => String = (a, b) =>
-    s"""list_sum(list_transform(range(1, len($a) + 1),
-       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-       |  / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
-       |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
-       |   * sqrt(list_sum(list_transform(range(1, len($b) + 1),
-       |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+  private def cosSql(a: String, b: String): String = OracleSql.cosSql(a, b)
 
   val annRerankOracle: String =
     s"""WITH cent AS (
@@ -648,6 +646,7 @@ object Ext9Queries {
        |FROM coarse c
        |JOIN embeddings q ON q.vec_id = c.query_id
        |JOIN embeddings e ON e.vec_id = c.neighbor_id
+       |WHERE ${cosSql("q.embedding", "e.embedding")} IS NOT NULL
        |QUALIFY row_number() OVER (
        |  PARTITION BY c.query_id
        |  ORDER BY ${cosSql("q.embedding", "e.embedding")} DESC, c.neighbor_id) <= 5""".stripMargin

@@ -85,12 +85,23 @@ object LlmQueries {
     Tables.documents(s, dir).select(
       col("doc_id"), TextAnalysis.fingerprint(col("text")).as("fp"))
 
+  /** Replays [[graft.functions.PolyHash]] byte for byte. Round-13 fix: the
+    * old form folded Unicode CODE POINTS (`ascii(substr(...))`) while the
+    * native expression folds raw UTF-8 BYTES — identical on the ASCII
+    * fixture but divergent on any non-ASCII document ('é' is one 233 step
+    * vs two steps 195, 169). `to_hex(encode(text))` exposes the UTF-8
+    * bytes to SQL; the empty-text guard mirrors PolyHash's seed-0 return
+    * (DuckDB's list_reduce ERRORS on an empty list instead).
+    */
   val fingerprintOracle: String =
     """SELECT doc_id,
-      |  list_reduce(
-      |    list_transform(range(1, length(text) + 1),
-      |                   i -> CAST(ascii(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
-      |    (acc, x) -> (acc * 31 + x) % 1000000007) AS fp
+      |  CASE WHEN octet_length(encode(text)) = 0 THEN 0 ELSE
+      |    list_reduce(
+      |      list_transform(range(1, octet_length(encode(text)) + 1),
+      |        i -> CAST('0x' || substr(to_hex(encode(text)),
+      |                                 CAST(2 * i - 1 AS INT), 2) AS BIGINT)),
+      |      (acc, x) -> (acc * 31 + x) % 1000000007)
+      |  END AS fp
       |FROM documents""".stripMargin
 
   // --- dedup ladder ----------------------------------------------------------
@@ -303,13 +314,7 @@ object LlmQueries {
 
   // --- embedding similarity --------------------------------------------------
 
-  private val cosSql: (String, String) => String = (a, b) =>
-    s"""list_sum(list_transform(range(1, len($a) + 1),
-       |      i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
-       |  / (sqrt(list_sum(list_transform(range(1, len($a) + 1),
-       |      i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
-       |   * sqrt(list_sum(list_transform(range(1, len($b) + 1),
-       |      i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))))""".stripMargin
+  private def cosSql(a: String, b: String): String = OracleSql.cosSql(a, b)
 
   def embedNearDup(s: SparkSession, dir: String): DataFrame =
     Similarity.cosineNearDup(Tables.embeddings(s, dir), "vec_id", "embedding", 0.45)
@@ -336,6 +341,8 @@ object LlmQueries {
        |  WHERE q.vec_id < 20
        |)
        |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos FROM scored
+       |WHERE cos IS NOT NULL -- zero-norm candidates are non-neighbors,
+       |                      -- mirroring bruteForceTopK's round-13 filter
        |QUALIFY row_number() OVER (
        |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 5""".stripMargin
 
@@ -362,6 +369,7 @@ object LlmQueries {
        |SELECT query_id, query_label, neighbor_id, neighbor_label,
        |  ROUND(cos, 6) AS cos
        |FROM scored
+       |WHERE cos IS NOT NULL -- mirrors hardNegatives' dead-vector filter
        |QUALIFY row_number() OVER (
        |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin
 
@@ -420,6 +428,7 @@ object LlmQueries {
        |  WHERE a.neighbor_id <> p.query_id
        |)
        |SELECT query_id, neighbor_id, ROUND(cos, 6) AS cos FROM scored
+       |WHERE cos IS NOT NULL -- mirrors ivfTopK's dead-vector filter
        |QUALIFY row_number() OVER (
        |  PARTITION BY query_id ORDER BY cos DESC, neighbor_id) <= 3""".stripMargin
 

@@ -40,6 +40,26 @@ class Ext20Spec extends SparkTestBase {
       == Set((5, 7)))
   }
 
+  test("round-13: bot detection survives a single-event user (element_at " +
+      "index 0 threw; median is NULL, flag decided by peak rate alone)") {
+    import spark.implicits._
+    val dir = graft.util.TempDirs.create("graft-bot-edge").toString
+    Seq(
+      (1L, 100L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"), "click"),
+      (2L, 100L, java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), "click"),
+      (3L, 200L, java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), "click")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+      .write.parquet(s"$dir/events.parquet")
+    val out = Ext20Queries.botDetection(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val lonely = out(200L)
+    assert(lonely.getAs[Long]("n_gaps") == 0L)
+    assert(lonely.isNullAt(lonely.fieldIndex("med_gap_us")),
+      "gap-less user must have NULL median")
+    assert(lonely.getAs[Int]("bot_flag") == 0)
+    assert(out(100L).getAs[Long]("n_gaps") == 1L)
+  }
+
   test("khop: seeds at hop 0, hops within 0..3, frontier monotone") {
     val rows = Ext20Queries.khopReach(spark, sf).collect()
     assert(rows.nonEmpty)

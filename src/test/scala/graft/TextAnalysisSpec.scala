@@ -53,6 +53,18 @@ class TextAnalysisSpec extends SparkTestBase {
     assert(fp(0) == 3105L)
   }
 
+  test("round-13: fingerprint folds UTF-8 BYTES (not code points) and " +
+      "returns the seed 0 on empty text — pinned to the DuckDB replay") {
+    // hand-verified against the rewritten oracle SQL in DuckDB:
+    // 'hello' -> 99162322, 'é' -> 195*31+169 = 6214 (two UTF-8 bytes,
+    // NOT one 233 code-point step), '' -> 0 (list_reduce would error)
+    val got = Seq((1L, "hello"), (2L, "é"), (3L, ""))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.fingerprint(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 99162322L, 2L -> 6214L, 3L -> 0L), s"$got")
+  }
+
   test("multimodal: pack -> decode roundtrip is deterministic and typed") {
     val docs = Seq((1L, "hello world"), (2L, "abc"), (3L, "video payload bytes here"))
       .toDF("doc_id", "text")
