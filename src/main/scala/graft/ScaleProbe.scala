@@ -185,10 +185,17 @@ object ScaleProbe {
     // Warmup: JIT + page cache, untimed (same methodology as Bench).
     time("q_tpch_q1", srcDir)
 
-    val nameFilter = args.drop(3)
+    // comma-separated lists inside one arg split too, same contract as
+    // Verify: "a,b" as a single substring can never match a query name —
+    // it silently selects NOTHING and the probe reports an empty table
+    val nameFilter = args.drop(3).flatMap(_.split(',')).map(_.trim)
+      .filter(_.nonEmpty)
     val selected =
       if (nameFilter.isEmpty) probeQueries
       else probeQueries.filter(n => nameFilter.exists(n.contains))
+    require(nameFilter.isEmpty || selected.nonEmpty,
+      s"ScaleProbe: name filter ${nameFilter.mkString(",")} matched no " +
+        "probe query — nothing would be measured")
     val rows = selected.map { name =>
       val base = time(name, srcDir)
       val scaled = time(name, outDir)
