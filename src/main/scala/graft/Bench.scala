@@ -55,7 +55,9 @@ object Bench {
           graft.queries.StreamQueries.stateInspectTouches.get() > i0)
         t
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        // e.toString, not getMessage: an NPE's message is null, which
+        // logged an undiagnosable "failed: null" (round-13 fix)
+        System.err.println(s"[bench] $name failed: $e")
         -1.0
       } finally {
         // The dedup family persists intermediates; left cached across
@@ -73,19 +75,29 @@ object Bench {
     // only touches events; touch every corpus table too, otherwise whichever
     // query happens to run first per table pays its cold file reads while
     // the rest run warm — unfair to the alphabetically-early queries.
-    try {
-      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-      Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
-        "region", "documents", "embeddings").foreach { t =>
-        spark.read.parquet(s"$sfDir/$t.parquet")
-          .write.format("noop").mode("overwrite").save()
+    // each step guarded SEPARATELY (round-13 fix: one try around the whole
+    // block meant the first failure silently skipped every later step — a
+    // single missing table left the fixture staging cold and the first
+    // timed query on that path paid it inside its timed region, with no
+    // log line saying the warmup was cut short)
+    def warm(step: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup step '$step' failed: $e")
       }
-      // q_partitioned_scan's partitioned copy and q_binary_source's blob
-      // landing zone are fixtures — stage them here so the timed queries
-      // measure the scans, not the staging writes
-      graft.queries.Ext6Queries.ensureStaged(spark, sfDir)
-      graft.queries.Ext14Queries.binarySource(spark, sfDir).limit(1).collect()
-    } catch { case _: Throwable => () }
+    warm("flagship")(
+      SparkEntry.entry(spark).write.format("noop").mode("overwrite").save())
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "documents", "embeddings").foreach { t =>
+      warm(s"table $t")(spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.format("noop").mode("overwrite").save())
+    }
+    // q_partitioned_scan's partitioned copy and q_binary_source's blob
+    // landing zone are fixtures — stage them here so the timed queries
+    // measure the scans, not the staging writes
+    warm("partitioned-scan fixture")(
+      graft.queries.Ext6Queries.ensureStaged(spark, sfDir))
+    warm("binary-source landing zone")(
+      graft.queries.Ext14Queries.binarySource(spark, sfDir).limit(1).collect())
 
     // Optional dev-only filter (the driver passes no args): any arg keeps
     // only queries whose name contains it — single-query perf iteration.
@@ -154,10 +166,13 @@ object Bench {
       // host, single-pass) run landing on the same round number would
       // silently replace it — land reruns beside it instead
       val base = f"BENCHLOCAL_r$n%02d"
-      val target =
-        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$base.json")))
-          s"$base.json"
-        else s"${base}_rerun.json"
+      // round-13 fix: one fixed alternate name meant a THIRD run in the
+      // same round truncate-overwrote the previous rerun record — walk
+      // _rerun, _rerun2, _rerun3, ... to the first free name instead
+      val target = (Iterator(s"$base.json", s"${base}_rerun.json") ++
+        Iterator.from(2).map(i => s"${base}_rerun$i.json"))
+        .find(p => !java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+        .get
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(target), line + "\n")
       catch { case e: Throwable =>

@@ -337,9 +337,13 @@ object SparkEntry {
     "q_interval_coverage" -> (Ext30Queries.intervalCoverage _)
   )
 
-  /** DuckDB's built-in ASOF LEFT JOIN — the shared oracle for both the
-    * union-rewrite (q_asof_join) and the native-exec (q_asof_native)
-    * formulations.
+  /** The shared oracle for both the union-rewrite (q_asof_join) and the
+    * native-exec (q_asof_native) formulations. LATERAL with an explicit
+    * (ts_us DESC, event_id DESC) tiebreak — the same shape the forward
+    * oracle always had — instead of DuckDB's built-in ASOF JOIN, which
+    * picks an ARBITRARY row among same-(key, ts) ties (round-13 fix): the
+    * engine pins ties to the greatest event_id, so the built-in form could
+    * flake the gate on any fixture with duplicate per-user timestamps.
     */
   private val asofOracle: String =
     """WITH e AS (
@@ -347,9 +351,12 @@ object SparkEntry {
       |), l AS (SELECT * FROM e WHERE event_type = 'click'),
       |   r AS (SELECT * FROM e WHERE event_type = 'purchase')
       |SELECT l.user_id, l.event_id, l.ts_us,
-      |  r.value AS asof_value, r.event_id AS asof_event_id
-      |FROM l ASOF LEFT JOIN r
-      |  ON l.user_id = r.user_id AND r.ts_us <= l.ts_us""".stripMargin
+      |  prv.value AS asof_value, prv.event_id AS asof_event_id
+      |FROM l LEFT JOIN LATERAL (
+      |  SELECT r.value, r.event_id FROM r
+      |  WHERE r.user_id = l.user_id AND r.ts_us <= l.ts_us
+      |  ORDER BY r.ts_us DESC, r.event_id DESC LIMIT 1
+      |) prv ON TRUE""".stripMargin
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

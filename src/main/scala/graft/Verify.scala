@@ -37,6 +37,12 @@ object Verify {
     // driver passes two) restrict the dump to matching query names.
     // Comma-separated lists inside one arg split too — "a,b" as a single
     // substring can never match a query name, only mask everything silently.
+    if (args.length < 2) {
+      // a usage line, not a bare MatchError (round-13 fix)
+      System.err.println(
+        "usage: graft.Verify <sfDir> <outDir> [nameSubstring...]")
+      sys.exit(2)
+    }
     val Array(sfDir, outDir) = args.take(2)
     val nameFilter = args.drop(2).flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty)
     val defaultCpus = math.min(Runtime.getRuntime.availableProcessors, 16)
@@ -96,7 +102,9 @@ object Verify {
           try fn(session, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
-            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+            // e.toString, not getMessage: an NPE's message is null, which
+            // logged an undiagnosable "failed: null" (round-13 fix)
+            System.err.println(s"[verify] $name failed: $e")
           }
         }
       }

@@ -118,29 +118,12 @@ object Schemas {
   ))
 }
 
-// Typed counterparts for the Dataset[T] API surface.
-final case class Kline(
-    symbol: String,
-    interval: String,
-    open_time: java.sql.Timestamp,
-    open_price: BigDecimal,
-    high_price: BigDecimal,
-    low_price: BigDecimal,
-    close_price: BigDecimal,
-    volume: BigDecimal,
-    close_time: java.sql.Timestamp)
-
-final case class NewsArticle(
-    title: String,
-    url: String,
-    created_date: java.sql.Timestamp,
-    tag: Option[String],
-    content: String,
-    sentiment_score: Double)
-
-final case class Indicator(
-    symbol_id: Int,
-    interval_id: Int,
-    type_id: Int,
-    value: Double,
-    timestamp: java.sql.Timestamp)
+// Round-13 note: the former Kline/NewsArticle/Indicator "typed Dataset
+// counterparts" were deleted — referenced nowhere in main or test code,
+// and already drifted from the StructTypes above (Kline omitted kline_id
+// and keyed by strings where klineFact uses surrogate ints; Indicator
+// declared a non-nullable Double against indicatorFact's nullable
+// DECIMAL). Unused and unasserted, the drift could only grow; the typed
+// surfaces the engine actually ships (KlinePoint, SessionRow, TotalsRow,
+// DecodedFeatures) live next to their operators where their specs pin
+// them.

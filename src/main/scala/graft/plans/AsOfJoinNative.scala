@@ -73,21 +73,32 @@ object PushFiltersThroughAsOf
   import org.apache.spark.sql.catalyst.plans.logical.Filter
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
-    case f @ Filter(cond, j: AsOfJoinPlan)
-        if j.leftKeys.forall(_.isInstanceOf[Attribute]) =>
+    case f @ Filter(cond, j: AsOfJoinPlan) =>
       val conjuncts = splitConjunctivePredicates(cond)
       val (leftPush, keep) = conjuncts.partition(c =>
         c.deterministic && c.references.subsetOf(j.left.outputSet))
       if (leftPush.isEmpty) f
       else {
-        val keySet = AttributeSet(j.leftKeys.map(_.asInstanceOf[Attribute]))
-        val keyMap = j.leftKeys.zip(j.rightKeys).collect {
-          case (l: Attribute, r) => l.exprId -> r
-        }.toMap
-        val mirrored = leftPush
-          .filter(_.references.subsetOf(keySet))
-          .map(_.transform { case a: Attribute if keyMap.contains(a.exprId) =>
-            keyMap(a.exprId) })
+        // only the KEY-MIRRORING tier needs attribute-shaped keys; the
+        // plain left-child push is legal for any key shape (round-13 fix:
+        // the attribute guard used to sit on the whole match arm, keeping
+        // even non-key left filters above the join for computed keys —
+        // both sides then scanned fully)
+        val mirrored =
+          if (!j.leftKeys.forall(_.isInstanceOf[Attribute])) Nil
+          else {
+            val keySet =
+              AttributeSet(j.leftKeys.map(_.asInstanceOf[Attribute]))
+            val keyMap = j.leftKeys.zip(j.rightKeys).collect {
+              case (l: Attribute, r) => l.exprId -> r
+            }.toMap
+            leftPush
+              .filter(_.references.subsetOf(keySet))
+              .map(_.transform {
+                case a: Attribute if keyMap.contains(a.exprId) =>
+                  keyMap(a.exprId)
+              })
+          }
         val newLeft = Filter(leftPush.reduce(And), j.left)
         val newRight =
           if (mirrored.isEmpty) j.right else Filter(mirrored.reduce(And), j.right)
@@ -197,6 +208,12 @@ case class AsOfJoinExec(
             matchKey = null; matchCarry = null
             return resultProj(joined(l, nullCarry))
           }
+          // a NULL-timed left row has no as-of position: null-extend
+          // without scanning (round-13 fix — getLong read the NULL as 0,
+          // an epoch-0 position that could steal a match under ANSI
+          // three-valued semantics where NULL <= t is never true)
+          if (lTimeProj(l).isNullAt(0))
+            return resultProj(joined(l, nullCarry))
           val lTime = lTimeProj(l).getLong(0)
           if (matchKey != null && keyOrd.compare(matchKey, lKey) != 0) {
             matchKey = null; matchCarry = null
@@ -205,6 +222,11 @@ case class AsOfJoinExec(
           while (scanning) {
             val cmp = keyOrd.compare(rKey, lKey)
             if (cmp < 0) advanceRight()
+            // a NULL-timed right row can never be a valid as-of match —
+            // skip it (round-13 fix: getLong read it as epoch 0 and it
+            // was carried for every left row with no true predecessor);
+            // NULLS FIRST ordering puts these at each key group's head
+            else if (cmp == 0 && rTimeProj(rRow).isNullAt(0)) advanceRight()
             else if (cmp == 0 && rTimeProj(rRow).getLong(0) <= lTime) {
               matchCarry = carryProj(rRow).copy()
               matchKey = rKey

@@ -266,7 +266,12 @@ object Ext5Queries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     graft.streaming.Drain.awaitOrFail(q, "stream drain")
-    s.table(name)
+    // resolve THEN drop the per-call memory view (round-13 fix: each call
+    // pinned one UUID-named view + its rows in the session catalog for
+    // JVM life; the analyzed plan keeps the sink relation alive)
+    val result = s.table(name)
+    s.catalog.dropTempView(name)
+    result
   }
 
   val streamSessionOracle: String =

@@ -288,7 +288,12 @@ object ExtQueries {
       .trigger(Trigger.AvailableNow())
       .start()
     graft.streaming.Drain.awaitOrFail(q, "stream drain")
-    s.table(name)
+    // resolve THEN drop the per-call memory view (round-13 fix: each call
+    // pinned one UUID-named view + its rows in the session catalog for
+    // JVM life; the analyzed plan keeps the sink relation alive)
+    val result = s.table(name)
+    s.catalog.dropTempView(name)
+    result
   }
 
   val streamDedupOracle: String =

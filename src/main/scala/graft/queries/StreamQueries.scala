@@ -115,9 +115,14 @@ object StreamQueries {
       .start()
     // bounded wait: a wedged drain must not stall the whole verify run
     graft.streaming.Drain.awaitOrFail(q, "stream drain")
-    s.table(name).select(
+    // resolve THEN drop the per-call memory view (round-13 fix: each call
+    // pinned one UUID-named view + its rows in the session catalog for
+    // JVM life; the analyzed plan keeps the sink relation alive)
+    val result = s.table(name).select(
       unix_micros(col("window.start")).as("win_start_us"),
       col("event_type"), col("n"), col("sum_value"))
+    s.catalog.dropTempView(name)
+    result
   }
 
   val streamTumblingOracle: String =
@@ -261,14 +266,17 @@ object StreamQueries {
     // remove the checkpoint (or a subset of its state files) mid-JVM, and
     // a blindly-reused partial checkpoint would return TRUNCATED state
     // rows silently. A dead/shrunken/grown tree forces a fresh drain.
-    if (hit != null && regularFileCount(hit.ckpt) == hit.nFiles) hit.df
+    if (hit != null &&
+        graft.streaming.StagedDirs.fileCount(hit.ckpt.toString) == hit.nFiles)
+      hit.df
     else {
       // drain OUTSIDE the map lock — it runs a full (bounded) streaming
       // job; a duplicate drain under a race is cheaper than blocking every
       // other key in the bin for up to the drain timeout (same rationale
       // as Dedup.memoizedCount)
       val (df, ckpt) = drainAndReadState(inspectSession(s), dir)
-      stateInspectCache.put(key, InspectEntry(df, ckpt, regularFileCount(ckpt)))
+      stateInspectCache.put(key, InspectEntry(df, ckpt,
+        graft.streaming.StagedDirs.fileCount(ckpt.toString).toLong))
       df
     }
   }
@@ -294,24 +302,9 @@ object StreamQueries {
           : Boolean = size() > 64
       })
 
-  /** Regular files under `p` right now; -1 if `p` is gone OR vanishes
-    * while we count (never a valid drain-time count, so both fail
-    * revalidation and force a fresh drain). The walk stats every entry —
-    * and the OPEN itself can throw if a /tmp reaper wins the race after
-    * the isDirectory check — so deletion mid-walk surfaces as
-    * (Unchecked)IOException: read it as "this checkpoint is being
-    * reaped" (-1), never throw (same contract as StagedDirs.fileCount);
-    * the caller then re-drains instead of crashing. */
-  private def regularFileCount(p: java.nio.file.Path): Long =
-    if (!java.nio.file.Files.isDirectory(p)) -1L
-    else
-      try {
-        val s0 = java.nio.file.Files.walk(p)
-        try s0.filter(java.nio.file.Files.isRegularFile(_)).count()
-        finally s0.close()
-      } catch {
-        case _: java.io.IOException | _: java.io.UncheckedIOException => -1L
-      }
+  // checkpoint revalidation counts files via StagedDirs.fileCount — ONE
+  // reaper-race-hardened walk for both revalidation sites (round-13
+  // consolidation; this file used to carry a duplicate copy)
 
   /** Memoized isolated sessions, one per root session (test-visible count
     * asserts the memoization holds). Bounded LRU: an evicted-but-live

@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions.col
 
 import graft.operators.Joins
 import graft.plans.{AsOfJoinExec, AsOfJoinNative}
@@ -83,6 +84,45 @@ class AsOfNativeSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> Option(r.get(1))).toMap
     assert(out(10L) == Some(1.0)) // non-null key matches normally
     assert(out(11L) == None, "NULL key matched a NULL-keyed right row")
+  }
+
+  test("round-13: NULL timestamps never match — getLong read them as " +
+      "epoch 0 (a NULL-timed right row could steal the as-of carry)") {
+    val left = Seq((1L, 10L, Some(100L)), (1L, 11L, Option.empty[Long]))
+      .toDF("k", "lid", "t")
+    val right = Seq(
+      (1L, Option.empty[Long], 9L, 66.0), // unmatchable: no time position
+      (1L, Some(50L), 2L, 7.0)
+    ).toDF("k", "t", "rid", "v")
+    val out = AsOfJoinNative.join(left, right, Seq("k"), "t", "t",
+        Seq("v", "rid"), "rid")
+      .select("lid", "asof_v", "asof_rid").collect()
+      .map(r => r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    // left@100 matches right@50, NOT the NULL-timed row
+    assert(out(10L) == ((Some(7.0), Some(2L))), s"${out(10L)}")
+    // a NULL-timed left row has no as-of position at all
+    assert(out(11L) == ((None, None)),
+      s"NULL-timed left row got a phantom match: ${out(11L)}")
+  }
+
+  test("round-13: a non-key LEFT filter lands below the as-of join in the " +
+      "optimized plan (the push no longer requires the key-shape guard)") {
+    val left = (1 to 100).map(i => (i.toLong % 3, i.toLong, (i % 7).toLong))
+      .toDF("k", "lid", "t")
+    val right = (1 to 50).map(i => (i.toLong % 3, i.toLong, i.toLong * 2, 1.0))
+      .toDF("k", "rid", "t", "v")
+    val joined = AsOfJoinNative.join(left, right, Seq("k"), "t", "t",
+        Seq("v"), "rid")
+      .filter(col("lid") < 10) // deterministic, references only the left side
+    val optimized = joined.queryExecution.optimizedPlan.toString
+    val asofIdx = optimized.indexOf("AsOfJoin")
+    val filterIdx = optimized.indexOf("lid")
+    assert(asofIdx >= 0 && filterIdx >= 0, optimized)
+    // plan trees print children BELOW parents: a pushed filter's first
+    // mention of lid comes from the Filter under the join's left child
+    assert(optimized.indexOf("Filter") > asofIdx,
+      s"left filter stayed above the as-of join:\n$optimized")
+    assert(joined.count() == 9)
   }
 
   test("key filters above the join push through to BOTH sides' scans") {
