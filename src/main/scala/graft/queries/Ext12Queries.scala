@@ -355,9 +355,17 @@ object Ext12Queries {
       .withColumn("_age_days",
         (col("_mx") - col("ts_us")).cast("double") / lit(86400000000.0))
       .groupBy("event_type")
+      // DECIMAL-staged sums (round-13 fix): raw double SUMs depend on
+      // partition/merge order, so a large group could drift onto a
+      // ROUND(_, 4) knife edge and flip the last digit between engines or
+      // even between Spark runs — the same invariance hazard twap/autocorr
+      // already stage away. Each ADDEND is one double multiply (identical
+      // per row in both engines); only the summation becomes exact.
       .agg(count(lit(1)).as("n"),
-        round(sum(col("value")), 4).as("sum_raw"),
-        round(sum(col("value") * exp(col("_age_days") * lit(-0.05))), 4)
+        round(sum(col("value").cast(DecimalType(38, 12))).cast("double"), 4)
+          .as("sum_raw"),
+        round(sum((col("value") * exp(col("_age_days") * lit(-0.05)))
+          .cast(DecimalType(38, 12))).cast("double"), 4)
           .as("sum_decayed"))
   }
 
@@ -365,9 +373,12 @@ object Ext12Queries {
     """WITH e AS (
       |  SELECT event_type, value, epoch_us(ts) AS ts_us FROM events
       |), mx AS (SELECT MAX(ts_us) AS m FROM e)
-      |SELECT event_type, COUNT(*) AS n, ROUND(SUM(value), 4) AS sum_raw,
-      |  ROUND(SUM(value * exp(CAST(m - ts_us AS DOUBLE) / 86400000000.0
-      |    * -0.05)), 4) AS sum_decayed
+      |SELECT event_type, COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(value AS DECIMAL(38,12))) AS DOUBLE), 4)
+      |    AS sum_raw,
+      |  ROUND(CAST(SUM(CAST(value * exp(CAST(m - ts_us AS DOUBLE)
+      |    / 86400000000.0 * -0.05) AS DECIMAL(38,12))) AS DOUBLE), 4)
+      |    AS sum_decayed
       |FROM e CROSS JOIN mx
       |GROUP BY event_type""".stripMargin
 

@@ -179,65 +179,19 @@ object Ext16Queries {
     * zero arithmetic-parity surface. One shuffle to the (event_type, hour)
     * grain, then a per-series LAG pass over the tiny candle table.
     */
-  def candlePatterns(s: SparkSession, dir: String): DataFrame = {
-    Tables.events(s, dir).createOrReplaceTempView("events_cdl")
-    s.sql(
-      """WITH h AS (
-        |  SELECT event_type, ts_us div 3600000000 * 3600000000 AS hr_us,
-        |    value, ts_us, event_id
-        |  FROM events_cdl
-        |), w AS (
-        |  SELECT event_type, hr_us, value,
-        |    first_value(value) OVER (PARTITION BY event_type, hr_us
-        |      ORDER BY ts_us, event_id) AS o,
-        |    first_value(value) OVER (PARTITION BY event_type, hr_us
-        |      ORDER BY ts_us DESC, event_id DESC) AS c
-        |  FROM h
-        |), ohlc AS (
-        |  SELECT event_type, hr_us, MAX(o) AS open, MAX(value) AS high,
-        |    MIN(value) AS low, MAX(c) AS close
-        |  FROM w GROUP BY event_type, hr_us
-        |), lagged AS (
-        |  SELECT event_type, hr_us, open, high, low, close,
-        |    lag(open) OVER (PARTITION BY event_type ORDER BY hr_us)
-        |      AS prev_open,
-        |    lag(close) OVER (PARTITION BY event_type ORDER BY hr_us)
-        |      AS prev_close
-        |  FROM ohlc
-        |)
-        |SELECT event_type, hr_us, 'bullish_engulfing' AS pattern
-        |FROM lagged
-        |WHERE prev_close < prev_open AND close > open
-        |  AND close >= prev_open AND open <= prev_close
-        |UNION ALL
-        |SELECT event_type, hr_us, 'doji' AS pattern
-        |FROM lagged
-        |WHERE abs(close - open) <= 0.1 * (high - low)""".stripMargin)
-  }
-
-  val candlePatternsOracle: String =
-    """WITH h AS (
-      |  SELECT event_type, epoch_us(ts) // 3600000000 * 3600000000 AS hr_us,
-      |    value, epoch_us(ts) AS ts_us, event_id
-      |  FROM events
-      |), w AS (
-      |  SELECT event_type, hr_us, value,
-      |    first_value(value) OVER (PARTITION BY event_type, hr_us
-      |      ORDER BY ts_us, event_id) AS o,
-      |    first_value(value) OVER (PARTITION BY event_type, hr_us
-      |      ORDER BY ts_us DESC, event_id DESC) AS c
-      |  FROM h
-      |), ohlc AS (
-      |  SELECT event_type, hr_us, MAX(o) AS open, MAX(value) AS high,
-      |    MIN(value) AS low, MAX(c) AS close
-      |  FROM w GROUP BY event_type, hr_us
-      |), lagged AS (
+  /** The pattern scan rides Ext19's shared hourly-bars CTE via its
+    * sparkQ/duckQ helpers (round-13 consolidation: this file used to carry
+    * a verbatim second copy of the bars resample, which a bars fix in
+    * Ext19 would silently have left behind). The body CONTINUES the WITH
+    * clause sparkQ/duckQ open (`, lagged AS ...`). */
+  private val candleBody: String =
+    """, lagged AS (
       |  SELECT event_type, hr_us, open, high, low, close,
       |    lag(open) OVER (PARTITION BY event_type ORDER BY hr_us)
       |      AS prev_open,
       |    lag(close) OVER (PARTITION BY event_type ORDER BY hr_us)
       |      AS prev_close
-      |  FROM ohlc
+      |  FROM bars
       |)
       |SELECT event_type, hr_us, 'bullish_engulfing' AS pattern
       |FROM lagged
@@ -247,6 +201,12 @@ object Ext16Queries {
       |SELECT event_type, hr_us, 'doji' AS pattern
       |FROM lagged
       |WHERE abs(close - open) <= 0.1 * (high - low)""".stripMargin
+
+  def candlePatterns(s: SparkSession, dir: String): DataFrame =
+    Ext19Queries.sparkQ(s, dir, Ext19Queries.barsSpark, candleBody)
+
+  val candlePatternsOracle: String =
+    Ext19Queries.duckQ(Ext19Queries.barsDuck, candleBody)
 
   // --- prices ------------------------------------------------------------------
 

@@ -98,17 +98,26 @@ object Ext19Queries {
     */
   private val stochasticBody: String =
     """SELECT event_type, hr_us, ROUND(k_pct, 6) AS k_pct,
-      |  ROUND(AVG(k_pct) OVER (PARTITION BY event_type ORDER BY hr_us
-      |    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS d_pct
+      |  ROUND(d_pct, 6) AS d_pct
       |FROM (
-      |  SELECT event_type, hr_us, rn,
-      |    100 * (close - MIN(low) OVER w14)
-      |      / NULLIF(MAX(high) OVER w14 - MIN(low) OVER w14, 0) AS k_pct
+      |  -- %D's window is computed in THIS subquery and the rn gate applied
+      |  -- OUTSIDE it (round-13 fix): WHERE runs before window functions,
+      |  -- so a same-SELECT filter removed rows 14-15 from the 3-bar frame
+      |  -- and the first emitted d_pct equaled k_pct alone — mirrored
+      |  -- verbatim in the oracle, invisible to the parity gate
+      |  SELECT event_type, hr_us, rn, k_pct,
+      |    AVG(k_pct) OVER (PARTITION BY event_type ORDER BY hr_us
+      |      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS d_pct
       |  FROM (
-      |    SELECT *, CAST(row_number() OVER (PARTITION BY event_type
-      |      ORDER BY hr_us) AS INT) AS rn FROM bars)
-      |  WINDOW w14 AS (PARTITION BY event_type ORDER BY hr_us
-      |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+      |    SELECT event_type, hr_us, rn,
+      |      100 * (close - MIN(low) OVER w14)
+      |        / NULLIF(MAX(high) OVER w14 - MIN(low) OVER w14, 0) AS k_pct
+      |    FROM (
+      |      SELECT *, CAST(row_number() OVER (PARTITION BY event_type
+      |        ORDER BY hr_us) AS INT) AS rn FROM bars)
+      |    WINDOW w14 AS (PARTITION BY event_type ORDER BY hr_us
+      |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+      |  )
       |)
       |WHERE rn >= 16""".stripMargin
 
@@ -121,20 +130,28 @@ object Ext19Queries {
     * high − low. The Wilder-smoothed variant is `q_macd`'s fold shape.
     */
   private val atrBody: String =
-    """SELECT event_type, hr_us, ROUND(tr, 6) AS tr,
-      |  ROUND(AVG(tr) OVER (PARTITION BY event_type ORDER BY hr_us
-      |    ROWS BETWEEN 13 PRECEDING AND CURRENT ROW), 6) AS atr
+    """SELECT event_type, hr_us, ROUND(tr, 6) AS tr, ROUND(atr, 6) AS atr
       |FROM (
-      |  SELECT event_type, hr_us, rn,
-      |    GREATEST(high - low,
-      |      ABS(high - COALESCE(prev_close, high)),
-      |      ABS(low - COALESCE(prev_close, low))) AS tr
+      |  -- the SMA-14 window is computed in THIS subquery and the rn gate
+      |  -- applied OUTSIDE it (round-13 fix): WHERE runs before window
+      |  -- functions, so a same-SELECT filter removed rows 2-14 from the
+      |  -- frame and the first 13 emitted ATRs were partial averages —
+      |  -- mirrored verbatim in the oracle, invisible to the parity gate
+      |  SELECT event_type, hr_us, rn, tr,
+      |    AVG(tr) OVER (PARTITION BY event_type ORDER BY hr_us
+      |      ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS atr
       |  FROM (
-      |    SELECT *, lag(close) OVER (PARTITION BY event_type ORDER BY hr_us)
-      |        AS prev_close,
-      |      CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr_us)
-      |        AS INT) AS rn
-      |    FROM bars)
+      |    SELECT event_type, hr_us, rn,
+      |      GREATEST(high - low,
+      |        ABS(high - COALESCE(prev_close, high)),
+      |        ABS(low - COALESCE(prev_close, low))) AS tr
+      |    FROM (
+      |      SELECT *, lag(close) OVER (PARTITION BY event_type ORDER BY hr_us)
+      |          AS prev_close,
+      |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY hr_us)
+      |          AS INT) AS rn
+      |      FROM bars)
+      |  )
       |)
       |WHERE rn >= 15""".stripMargin
 

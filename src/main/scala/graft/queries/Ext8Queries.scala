@@ -71,7 +71,13 @@ object Ext8Queries {
         lit("</id><lang>"), col("lang"),
         lit("</lang><src>"), col("source"), lit("</src></item>")).as("value"))
       .as[String]
-      .mapPartitions(it => Iterator.single(it.mkString("<items>", "", "</items>")))
+      // STREAM the wrapper (round-13 fix): mkString materialized a whole
+      // partition's XML as ONE string/line — memory doubled and the 2 GB
+      // JVM string ceiling loomed at real partition sizes; the XML reader
+      // handles multi-line rowTag records, so emit fragments as their own
+      // lines between root-element lines
+      .mapPartitions(it =>
+        Iterator.single("<items>") ++ it ++ Iterator.single("</items>"))
       .toDF("value")
       .write.mode("overwrite").text(staged.toString)
     s.read
@@ -202,6 +208,16 @@ object Ext8Queries {
       .select("event_id", "ts_us", "user_id", "event_type", "value")
     slice.write.mode("overwrite").jdbc(url, "events_jdbc", props)
     val bounds = slice.agg(min("event_id"), max("event_id")).collect()(0)
+    // an empty slice yields Row(null, null) — getLong would NPE with no
+    // hint which query or input failed (round-13 guard). An empty JDBC
+    // table reads back as an empty result without partition bounds.
+    if (bounds.isNullAt(0))
+      return s.read.jdbc(url, "events_jdbc", props)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+            .cast("double").as("sum_value"),
+          max("ts_us").as("max_ts"))
     s.read
       .option("partitionColumn", "event_id")
       .option("lowerBound", bounds.getLong(0))

@@ -5,8 +5,55 @@ import org.apache.spark.sql.functions._
 import graft.queries.Ext19Queries
 
 class Ext19Spec extends SparkTestBase {
+  import spark.implicits._
 
   private val sf = "/root/testdata/sf0.001"
+
+  /** One event per hour, one event_type, OHLC collapses to the value —
+    * TR and %K become hand-computable. */
+  private def hourlyFixture(values: Seq[Double]): String = {
+    val dir = graft.util.TempDirs.create("graft-ta-fix").toString
+    values.zipWithIndex.map { case (v, i) =>
+      (i.toLong + 1L,
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:00:00")
+          .toInstant.plusSeconds(3600L * i)
+          .atZone(java.time.ZoneOffset.UTC).toLocalDateTime match {
+            case t => java.sql.Timestamp.valueOf(t)
+          },
+        7L, "click", v)
+    }.toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("round-13: the first emitted ATR is the SMA of all 14 in-frame TRs " +
+      "(the same-SELECT rn filter used to empty the warm-up frame)") {
+    // values: 14 zeros then a 100 jump at bar 15 -> TR(2..14) = 0,
+    // TR(15) = 100; ATR at rn=15 must average 14 TRs = 100/14, not 100
+    val dir = hourlyFixture(Seq.fill(14)(0.0) :+ 100.0)
+    val rows = Ext19Queries.atr(spark, dir).collect()
+    assert(rows.length == 1)
+    val atr = rows.head.getAs[Double]("atr")
+    val want = math.rint(100.0 / 14 * 1e6) / 1e6
+    assert(math.abs(atr - want) < 1e-9,
+      s"ATR warm-up frame truncated: got $atr, want $want")
+  }
+
+  test("round-13: the first emitted %D averages the three full-channel %Ks " +
+      "(it used to equal %K alone)") {
+    // v1..v13 = 1..13, v14 = 7, v15 = 10, v16 = 4:
+    // k14 = 100*(7-1)/(13-1) = 50, k15 = 100*(10-2)/(13-2) = 72.727273,
+    // k16 = 100*(4-3)/(13-3) = 10 -> d16 = (50 + 72.727273 + 10)/3
+    val dir = hourlyFixture((1 to 13).map(_.toDouble) ++ Seq(7.0, 10.0, 4.0))
+    val rows = Ext19Queries.stochastic(spark, dir).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(math.abs(r.getAs[Double]("k_pct") - 10.0) < 1e-9)
+    val want = (50.0 + 800.0 / 11 + 10.0) / 3
+    assert(math.abs(r.getAs[Double]("d_pct") - want) < 1e-5,
+      s"%D warm-up frame truncated: got ${r.getAs[Double]("d_pct")}, " +
+        s"want ~$want")
+  }
 
   test("stochastic: %K bounded to [0, 100], %D is a smoothing of %K") {
     val rows = Ext19Queries.stochastic(spark, sf).collect()
