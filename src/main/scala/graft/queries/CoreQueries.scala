@@ -214,11 +214,14 @@ object CoreQueries {
         round(element_at(col("ps"), 2), 6).as("p90"),
         round(element_at(col("ps"), 3), 6).as("p99"))
 
-  /** Range (interval containment) join: events falling inside each order's
-    * [orderdate, orderdate+7d) week, counted per order status. The join is a
-    * BroadcastNestedLoopJoin at this dim size; at scale, bucketing by
-    * coarse time bands turns it into an equi-join prefilter (documented in
-    * Scale).
+  /** Range (interval containment) join: events falling inside each of the
+    * first 20 users' opening 2-hour windows ([min ts_us, min ts_us + 2h)),
+    * counted per window owner. (Round-13 doc fix: an earlier draft of this
+    * query ranged over order weeks; the gated semantics are the event
+    * windows below.) The join is a BroadcastNestedLoopJoin at this dim
+    * size; at scale, bucketing by coarse time bands turns it into an
+    * equi-join prefilter (documented in Scale, exercised by
+    * q_binned_range_join).
     */
   def rangeJoin(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(s, dir).select(col("event_id"), col("ts_us"), col("user_id"))

@@ -339,8 +339,7 @@ object Ext13Queries {
     val bySource = Tables.documents(s, dir)
       .groupBy("source").agg(count(lit(1)).as("n"))
     val tot = bySource.agg(
-      sum(pow(col("n").cast("double"), 0.7)).as("_z"),
-      count(lit(1)).as("_k"))
+      sum(pow(col("n").cast("double"), 0.7)).as("_z"))
     // _exact is rounded to 6 dp BEFORE the floor: the parallel-summed z
     // carries ulp-level jitter, and when a share lands exactly on an
     // integer boundary (uniform corpora) a raw floor() flips

@@ -122,26 +122,36 @@ object Ext21Queries {
     * exact cumulative capture and lift per decile.
     */
   def liftCurve(s: SparkSession, dir: String): DataFrame = {
-    Tables.lineitem(s, dir).createOrReplaceTempView("li_lift")
-    s.sql(
-      """WITH b AS (
-        |  SELECT ntile(10) OVER (ORDER BY l_discount DESC, l_orderkey,
-        |    l_linenumber) AS decile,
-        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
-        |  FROM li_lift
-        |), g AS (
-        |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
-        |    CAST(SUM(y) AS BIGINT) AS n_pos
-        |  FROM b GROUP BY decile
-        |), t AS (SELECT SUM(n) AS nt, SUM(n_pos) AS pt FROM g)
-        |SELECT decile, n, n_pos,
-        |  ROUND(CAST(SUM(n_pos) OVER w AS DOUBLE) / CAST(pt AS DOUBLE), 6)
-        |    AS cum_capture,
-        |  ROUND((CAST(SUM(n_pos) OVER w AS DOUBLE) / CAST(pt AS DOUBLE))
-        |    / (CAST(SUM(n) OVER w AS DOUBLE) / CAST(nt AS DOUBLE)), 6) AS cum_lift
-        |FROM g CROSS JOIN t
-        |WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING
-        |  AND CURRENT ROW)""".stripMargin)
+    import graft.operators.PrefixSum
+    import org.apache.spark.sql.expressions.Window
+    // round-13 rewrite: the decile used to come from ntile(10) OVER a
+    // GLOBAL ORDER BY on the raw fact table — the single-task sort this
+    // repo built rankedPrefix + ntileFromRank to avoid (aucRoc in this
+    // file already rides it). The bucketed rank + arithmetic ntile give
+    // the identical decile assignment; only the 10-row decile summary
+    // ever sees an unpartitioned window.
+    val li = Tables.lineitem(s, dir)
+      .select(col("l_discount"), col("l_orderkey"), col("l_linenumber"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+    val n = broadcast(li.agg(count(lit(1)).as("_n")))
+    val ranked = PrefixSum.rankedPrefix(li, "l_discount", descOrder = true,
+      Seq("l_orderkey", "l_linenumber"), Nil, "_rn")
+    val deciled = PrefixSum.ntileFromRank(
+      ranked.crossJoin(n), "_rn", "_n", 10, "decile")
+    val g = deciled.groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("n_pos"))
+    val t = broadcast(g.agg(sum("n").as("nt"), sum("n_pos").as("pt")))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.crossJoin(t)
+      .withColumn("cum_capture", round(
+        sum(col("n_pos")).over(w).cast("double") / col("pt").cast("double"), 6))
+      .withColumn("cum_lift", round(
+        (sum(col("n_pos")).over(w).cast("double") / col("pt").cast("double"))
+          / (sum(col("n")).over(w).cast("double") / col("nt").cast("double")),
+        6))
+      .select(col("decile"), col("n"), col("n_pos"),
+        col("cum_capture"), col("cum_lift"))
   }
 
   val liftCurveOracle: String =
@@ -338,7 +348,13 @@ object Ext21Queries {
     val toks = split(col("p_name"), " ")
     val p = Tables.part(s, dir)
       .select(col("p_partkey"), col("p_name"),
-        concat_ws(" ", toks.getItem(0), toks.getItem(1)).as("btok"),
+        // two-token blocking key. NULL (excluded by the equi-join) when
+        // the name has fewer than two tokens — concat_ws would silently
+        // SKIP the missing token and emit the bare first token, while the
+        // oracle's `|| NULL ||` yields NULL and drops the row: a latent
+        // engine divergence on any one-word name (round-13 parity fix)
+        when(size(toks) >= 2,
+          concat(toks.getItem(0), lit(" "), toks.getItem(1))).as("btok"),
         (length(col("p_name")).cast("long")).as("len"))
       .withColumn("blen", expr("len div 4"))
     val a = p.select(col("btok"), col("blen"),

@@ -23,9 +23,14 @@ object Ext2Queries {
   def tfidf(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
     val n = docs.count()
+    // lazy localCheckpoint (round-13): `terms` feeds BOTH aggregation
+    // branches (tf and df) — unpinned, the corpus explode+filter executed
+    // once per branch, tripling the corpus scans together with the count
+    // above (the ksStat/aucRoc/skyline idiom)
     val terms = docs
       .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
       .filter(col("term") =!= "")
+      .localCheckpoint(false)
     val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
     val df = terms.select("doc_id", "term").distinct()
       .groupBy("term").agg(count(lit(1)).as("df"))
@@ -290,9 +295,14 @@ object Ext2Queries {
 
   /** Video frame sampling over binary payloads (every 4th fixed-size frame),
     * gated by frame content: the oracle recomputes each sampled frame's md5
-    * from the same byte ranges (payloads are utf8 text bytes, so SQL substr
-    * + md5 sees identical bytes). Extends the multimodal gate from metadata
-    * parity to actual payload-slicing parity.
+    * from the same byte ranges. PARITY SCOPE (round-13 doc fix): the engine
+    * slices payload BYTES while the oracle slices text CHARACTERS — the two
+    * agree only on ASCII fixtures (one byte per char), which the current
+    * testdata is; DuckDB cannot slice or md5 BLOBs, so a byte-true oracle
+    * is inexpressible and a multi-byte fixture would need a rows-only
+    * gate. QueriesSmokeSpec pins the ASCII assumption so a fixture change
+    * trips loudly instead of as a confusing hash mismatch. Extends the
+    * multimodal gate from metadata parity to actual payload-slicing parity.
     */
   def frameSample(s: SparkSession, dir: String): DataFrame = {
     val media = graft.operators.Multimodal.packPayload(
@@ -347,7 +357,13 @@ object Ext2Queries {
     */
   def streamJoin(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.Trigger
-    def side(tpe: String) = StreamQueries.eventsStream(s, dir)
+    // round-13 isolation fix (same treatment as streamOuterJoin): the
+    // narrow-drain partition override runs on an isolated child session,
+    // and the per-call memory view is dropped once the result resolves
+    // instead of pinning its rows in the caller's catalog for JVM life
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    def side(tpe: String) = StreamQueries.eventsStream(ss, dir)
       .filter(col("event_type") === tpe)
       .select(col("event_id"), col("user_id"), col("ts_t"), col("ts_us"))
       .withWatermark("ts_t", "1 hour")
@@ -363,19 +379,17 @@ object Ext2Queries {
         purchases("purchase_t") <= clicks("click_t") + expr("INTERVAL 1 HOUR"))
     val name = "stream_join_" + java.util.UUID.randomUUID().toString.replace("-", "")
     // Stream-stream joins keep 4 state stores per shuffle partition; at the
-    // drain's data volume the per-store fixed cost dominates, so run the
-    // drain at a narrow shuffle width (the partitioning does not change the
-    // join result). Restored after the drain completes.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = joined
-        .select(col("click_id"), col("purchase_id"), col("click_us"), col("purchase_us"))
-        .writeStream.outputMode("append").format("memory").queryName(name)
-        .trigger(Trigger.AvailableNow()).start()
-      graft.streaming.Drain.awaitOrFail(q, "stream drain")
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
-    s.table(name)
+    // drain's data volume the per-store fixed cost dominates, so the child
+    // session runs the drain at a narrow shuffle width (the partitioning
+    // does not change the join result).
+    val q = joined
+      .select(col("click_id"), col("purchase_id"), col("click_us"), col("purchase_us"))
+      .writeStream.outputMode("append").format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow()).start()
+    graft.streaming.Drain.awaitOrFail(q, "stream drain")
+    val result = ss.table(name)
+    ss.catalog.dropTempView(name)
+    result
   }
 
   val streamJoinOracle: String =

@@ -989,7 +989,13 @@ class PlanSpec extends SparkTestBase {
       "q_item_similarity" -> Budget(6, 1, 6, 0, 1),
       // BFS tail after per-level checkpoints
       "q_recursive_cte" -> Budget(1, 0, 0, 0, 0),
-      "q_lift_curve" -> Budget(1, 0, 0, 1, 3),
+      // round-13 rewrite: the decile comes from the two-phase bucketed
+      // rank (rankedPrefix probe + bucket window + totals/offsets) instead
+      // of ntile(10) OVER one GLOBAL sort — more, strictly SMALLER
+      // exchanges in place of the single-task whole-fact-table sort the
+      // old 1-shuffle budget encoded; the remaining unpartitioned windows
+      // run over the 10-row decile summary and the <=numParts offsets
+      "q_lift_curve" -> Budget(7, 0, 1, 2, 3),
       "q_ngram_jaccard" -> Budget(2, 0, 3, 0, 0),
       // 4 unrolled hop levels x (frontier join + anti-join + scalar
       // count) — bounded by the hop constant, never corpus-quadratic

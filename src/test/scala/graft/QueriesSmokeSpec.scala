@@ -34,6 +34,25 @@ class QueriesSmokeSpec extends SparkTestBase {
     assert(missing.isEmpty, s"queries without oracles: $missing")
   }
 
+  test("round-13 tripwire: documents text is ASCII — the byte-slicing " +
+      "queries' oracles slice CHARACTERS and only agree on 1-byte chars") {
+    // q_frame_sample / q_resize_plan: the engine slices payload BYTES
+    // (octet_length, binary substr) while DuckDB can neither slice nor
+    // md5 BLOBs, so their oracles slice text characters. One multi-byte
+    // character in the fixture would surface as a confusing hash mismatch
+    // far from the cause; fail HERE with the reason instead.
+    val nonAscii = graft.sources.Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.length(
+        org.apache.spark.sql.functions.col("text")) !==
+        org.apache.spark.sql.functions.octet_length(
+          org.apache.spark.sql.functions.col("text")))
+      .count()
+    assert(nonAscii == 0,
+      s"$nonAscii non-ASCII documents: q_frame_sample/q_resize_plan " +
+        "oracles are character-sliced and would hash-mismatch — move " +
+        "those gates to rows-only or regenerate an ASCII fixture")
+  }
+
   test("slow-oracle shapes stay fixed: chained valence CTEs + materialized helpers") {
     // DuckDB expands lateral column aliases and multiply-referenced CTEs by
     // textual substitution; these two shapes are what keeps the driver's
