@@ -37,7 +37,14 @@ object Anonymize {
         s"kAnonymize: input may not contain reserved working column '$n'")
     }
     val w = Window.partitionBy(quasiCols.map(col): _*)
+    // Pin ONE evaluation of the window count: starPool and guarded both
+    // consume withN, and without the pin each branch re-evaluates the full
+    // scan + window — so a non-deterministic upstream (sample/rand) could
+    // compute the _nstar guard from different rows than the ones it gates,
+    // releasing a sub-k "*" class. The lazy localCheckpoint also halves the
+    // scan cost (the double-window was q_kanonymity's 1.64x anchor ratio).
     val withN = df.withColumn("_qn", count(lit(1)).over(w))
+      .localCheckpoint(false)
     val starPool = withN.filter(col("_qn") < k)
       .agg(count(lit(1)).as("_nstar"))
     val guarded = withN

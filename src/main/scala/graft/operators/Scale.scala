@@ -50,7 +50,10 @@ object Scale {
     */
   def derivedIntKnob(s: SparkSession, key: String, corpus: DataFrame,
       derive: Long => Int): Int = {
-    val raw = s.conf.get(key, sys.props.getOrElse(key, ""))
+    // trim for parity with intKnob: a whitespace-padded value (' 8 ', a
+    // trailing-newline system property) must parse, and a whitespace-only
+    // value opts into derivation like an unset one
+    val raw = s.conf.get(key, sys.props.getOrElse(key, "")).trim
     if (raw.isEmpty) derive(Dedup.memoizedCount(corpus))
     else
       try raw.toInt

@@ -207,28 +207,26 @@ object Ext8Queries {
       .filter(col("event_type").isin("click", "error"))
       .select("event_id", "ts_us", "user_id", "event_type", "value")
     slice.write.mode("overwrite").jdbc(url, "events_jdbc", props)
-    val bounds = slice.agg(min("event_id"), max("event_id")).collect()(0)
-    // an empty slice yields Row(null, null) — getLong would NPE with no
-    // hint which query or input failed (round-13 guard). An empty JDBC
-    // table reads back as an empty result without partition bounds.
-    if (bounds.isNullAt(0))
-      return s.read.jdbc(url, "events_jdbc", props)
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n"),
-          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-            .cast("double").as("sum_value"),
-          max("ts_us").as("max_ts"))
-    s.read
-      .option("partitionColumn", "event_id")
-      .option("lowerBound", bounds.getLong(0))
-      .option("upperBound", bounds.getLong(1) + 1)
-      .option("numPartitions", 4)
-      .jdbc(url, "events_jdbc", props)
+    // one read-back aggregation for BOTH paths — duplicating it would let
+    // a future edit to one branch silently desync the other
+    def aggregated(readBack: DataFrame): DataFrame = readBack
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
           .cast("double").as("sum_value"),
         max("ts_us").as("max_ts"))
+    val bounds = slice.agg(min("event_id"), max("event_id")).collect()(0)
+    // an empty slice yields Row(null, null) — getLong would NPE with no
+    // hint which query or input failed (round-13 guard). An empty JDBC
+    // table reads back as an empty result without partition bounds.
+    if (bounds.isNullAt(0))
+      return aggregated(s.read.jdbc(url, "events_jdbc", props))
+    aggregated(s.read
+      .option("partitionColumn", "event_id")
+      .option("lowerBound", bounds.getLong(0))
+      .option("upperBound", bounds.getLong(1) + 1)
+      .option("numPartitions", 4)
+      .jdbc(url, "events_jdbc", props))
   }
 
   val jdbcRoundtripOracle: String =

@@ -68,8 +68,12 @@ object RunningTotals {
     // 1 RocksDB store per shuffle partition: narrow the bounded drain so
     // store spin-up, not data, stops dominating
     ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // Re-bind the ALREADY-RESOLVED plan: newSession() isolates the
+    // temp-view catalog and session UDFs, so re-analyzing the raw logical
+    // plan there would fail for a caller DataFrame that references either.
+    // The analyzed plan carries its resolved relations with it.
     val typed = org.apache.spark.sql.GraftColumnBridge
-      .ofRows(ss, events.queryExecution.logical)
+      .ofRows(ss, events.queryExecution.analyzed)
       .selectExpr("user_id", "value").as[(Long, Double)]
     val out = typed.groupByKey(_._1)
       .transformWithState(new TotalsProcessor, TimeMode.None(), OutputMode.Append())

@@ -57,6 +57,20 @@ class DerivedKnobSpec extends SparkTestBase {
     } finally s2.conf.unset(key)
   }
 
+  test("round-14: derivedIntKnob trims like intKnob — padded values parse, " +
+      "whitespace-only opts into derivation") {
+    val s2 = spark.newSession()
+    import s2.implicits._
+    val corpus = (1 to 100).toDF("x")
+    val key = "graft.test.derivedKnobTrim"
+    s2.conf.set(key, " 8 ")
+    try assert(Scale.derivedIntKnob(s2, key, corpus, _ => 999) == 8)
+    finally s2.conf.unset(key)
+    s2.conf.set(key, " \n")
+    try assert(Scale.derivedIntKnob(s2, key, corpus, _ => 77) == 77)
+    finally s2.conf.unset(key)
+  }
+
   test("round-13: intKnob names the offending key/value on a malformed " +
       "setting and trims whitespace (parity with derivedIntKnob/confLong)") {
     val s2 = spark.newSession()

@@ -248,6 +248,23 @@ class StreamingSpec extends SparkTestBase {
       "drain leaked memory-sink temp views into the caller session")
   }
 
+  test("round-14: drain re-binds the RESOLVED plan — input referencing a " +
+      "parent-session temp view survives the isolated child session") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Double)]
+    mem.addData((1L, 2.5), (1L, 3.5), (2L, 1.0))
+    val view = "rt_parent_view_r14"
+    mem.toDF().toDF("user_id", "value").createOrReplaceTempView(view)
+    try {
+      // spark.table(view) resolves only in THIS session's catalog; the
+      // child session drain used to re-analyze the raw logical plan there
+      // and fail with TABLE_OR_VIEW_NOT_FOUND
+      val out = graft.streaming.RunningTotals.drain(spark, spark.table(view))
+      val rows = out.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(rows == Map(1L -> 2L, 2L -> 1L))
+    } finally spark.catalog.dropTempView(view)
+  }
+
   test("stateful indicators keep state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[StatefulIndicators.KlinePoint]
