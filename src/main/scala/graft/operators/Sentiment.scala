@@ -26,8 +26,8 @@ import org.apache.spark.sql.functions.udf
   * SentimentSpec (e.g. "VADER is VERY SMART, handsome, and FUNNY!!!" ->
   * 0.9342) — those vectors exercise caps, boosters, damping, negation,
   * but-reweighting and punctuation together. The embedded lexicon is a
-  * ~7.2k-entry transcription of the published vader_lexicon.txt (core
-  * block + the [[VaderLexiconExt]]..[[VaderLexiconExt10]] widenings:
+  * ~7.4k-entry transcription of the published vader_lexicon.txt (core
+  * block + the [[VaderLexiconExt]]..[[VaderLexiconExt11]] widenings:
   * common sentiment vocabulary, informal/internet
   * tokens + the crypto-news domain); [[VaderScorer.fromLexiconFile]]
   * loads the full ~7.5k-entry published file for 100% lexical coverage —
@@ -268,7 +268,7 @@ object VaderScorer {
   * special-case idioms are the COMPLETE published sets; the lexicon is a
   * ~520-entry core transcription (common sentiment vocabulary plus the
   * crypto/news domain) merged with the [[VaderLexiconExt]]..
-  * [[VaderLexiconExt10]] widening blocks to ~7.2k entries total — see
+  * [[VaderLexiconExt11]] widening blocks to ~7.4k entries total — see
   * [[VaderData.lexicon]].
   */
 object VaderData {
@@ -480,8 +480,8 @@ object VaderData {
     // --- emoticons (tokens the stripper preserves) ---
     ":)" -> 2.0, ":(" -> -1.9, ":d" -> 2.3, ":/" -> -1.4)
 
-  /** Core block + the [[VaderLexiconExt]]..[[VaderLexiconExt10]]
-    * widenings (~7.2k entries total) — defined AFTER the literals so
+  /** Core block + the [[VaderLexiconExt]]..[[VaderLexiconExt11]]
+    * widenings (~7.4k entries total) — defined AFTER the literals so
     * object-initialization order is safe.
     */
   val lexicon: Map[String, Double] =
@@ -489,7 +489,8 @@ object VaderData {
       VaderLexiconExt3.entries ++ VaderLexiconExt4.entries ++
       VaderLexiconExt5.entries ++ VaderLexiconExt6.entries ++
       VaderLexiconExt7.entries ++ VaderLexiconExt8.entries ++
-      VaderLexiconExt9.entries ++ VaderLexiconExt10.entries
+      VaderLexiconExt9.entries ++ VaderLexiconExt10.entries ++
+      VaderLexiconExt11.entries
 }
 
 /** Default full-rule scorer over the embedded published tables. */
@@ -499,7 +500,7 @@ object Sentiment extends VaderScorer(
   /** Resolution behind [[active]], factored out so tests can exercise the
     * file path without racing the lazy val: system property
     * `graft.vader.lexicon` first, env `GRAFT_VADER_LEXICON` second, the
-    * embedded ~7.2k-entry merge last.
+    * embedded ~7.4k-entry merge last.
     */
   private[graft] def resolveActive(): VaderScorer =
     sys.props.get("graft.vader.lexicon")

@@ -1,7 +1,7 @@
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Sentiment, VaderData, VaderLexiconExt, VaderLexiconExt2, VaderLexiconExt3, VaderLexiconExt4, VaderLexiconExt5, VaderLexiconExt6, VaderLexiconExt7, VaderLexiconExt8, VaderLexiconExt9, VaderLexiconExt10}
+import graft.operators.{Sentiment, VaderData, VaderLexiconExt, VaderLexiconExt2, VaderLexiconExt3, VaderLexiconExt4, VaderLexiconExt5, VaderLexiconExt6, VaderLexiconExt7, VaderLexiconExt8, VaderLexiconExt9, VaderLexiconExt10, VaderLexiconExt11}
 
 /** Structural invariants of the three-block embedded lexicon (core +
   * round-10 widenings). These are SEMANTIC guards, not style checks: a
@@ -23,7 +23,8 @@ class VaderLexiconSpec extends AnyFunSuite {
     "ext7" -> VaderLexiconExt7.entries.keySet,
     "ext8" -> VaderLexiconExt8.entries.keySet,
     "ext9" -> VaderLexiconExt9.entries.keySet,
-    "ext10" -> VaderLexiconExt10.entries.keySet)
+    "ext10" -> VaderLexiconExt10.entries.keySet,
+    "ext11" -> VaderLexiconExt11.entries.keySet)
 
   test("no pair of lexicon blocks overlaps (no silent shadowing)") {
     for {
