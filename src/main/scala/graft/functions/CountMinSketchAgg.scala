@@ -19,6 +19,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class CountMinSketchAgg(depth: Int = 4, width: Int = 2048)
     extends Aggregator[String, Array[Long], Array[Long]] with Serializable {
+  // depth 0 would make estimate() return Long.MaxValue for every term
+  // (empty min-loop), a silently absurd count rather than an error
+  require(depth >= 1 && width >= 1,
+    s"CountMinSketchAgg: depth/width must be >= 1, got depth=$depth width=$width")
 
   private def idx(row: Int, term: String): Int = {
     val u = UTF8String.fromString(term)

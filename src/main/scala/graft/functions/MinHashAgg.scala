@@ -17,6 +17,7 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 class MinHashAgg(k: Int = 128)
     extends Aggregator[Long, Array[Long], Array[Long]] with Serializable {
+  require(k >= 1, s"MinHashAgg: k must be >= 1, got $k")
 
   // one fixed seed per permutation, itself SplitMix64-generated from i
   private val seeds: Array[Long] = {

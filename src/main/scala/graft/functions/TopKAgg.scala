@@ -20,6 +20,7 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAgg(k: Int)
     extends Aggregator[(Double, Long), Array[(Double, Long)], Array[(Double, Long)]]
     with Serializable {
+  require(k >= 1, s"TopKAgg: k must be >= 1, got $k")
 
   // total order: ord DESC, id ASC — a beats b when it sorts strictly earlier
   @inline private def beats(aOrd: Double, aId: Long, bOrd: Double, bId: Long): Boolean =
@@ -29,7 +30,12 @@ class TopKAgg(k: Int)
 
   override def reduce(buf: Array[(Double, Long)], x: (Double, Long)): Array[(Double, Long)] = {
     val (ord, id) = x
-    if (buf.length == k && !beats(ord, id, buf(k - 1)._1, buf(k - 1)._2)) buf
+    // NaN is unordered under `beats` (nothing beats it, it beats nothing):
+    // once inside a non-full buffer it would wedge ahead of every later
+    // element and break the sorted invariant both reduce and merge rely
+    // on. Contract: NaN-ordered rows are never in the top k.
+    if (java.lang.Double.isNaN(ord)) buf
+    else if (buf.length == k && !beats(ord, id, buf(k - 1)._1, buf(k - 1)._2)) buf
     else {
       // insertion into a ≤k sorted array: find position, shift tail
       var pos = buf.length

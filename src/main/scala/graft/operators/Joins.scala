@@ -55,6 +55,13 @@ object Joins {
     * @param incoming any DataFrame containing naturalCol (need not be distinct)
     */
   def getOrCreate(dim: DataFrame, incoming: DataFrame, idCol: String, naturalCol: String): DataFrame = {
+    // same reserved-name contract as asOfJoin/topKPerGroup: the numbering
+    // rewrite owns these bookkeeping columns, and a same-named natural/id
+    // column would be silently overwritten mid-plan
+    Seq("_pid", "_cnt", "_off", "_max_id").foreach { n =>
+      require(idCol != n && naturalCol != n,
+        s"getOrCreate: column name '$n' is reserved by the id-assignment rewrite")
+    }
     val maxId = coalesce(max(col(idCol)), lit(0L))
     val base = dim.agg(maxId.as("_max_id"))
     val spark = dim.sparkSession

@@ -31,12 +31,40 @@ object IdempotentWriter {
     fs.exists(p)
   }
 
+  /** True when the sink holds at least one VISIBLE data file. Existence of
+    * the path alone is not enough: a first append that dies mid-write can
+    * leave the directory with only committer droppings (`_temporary`,
+    * `_SUCCESS`, dot-files) — `spark.read.parquet` then fails schema
+    * inference, and because the path DOES exist, every replayed batch
+    * fails the same way and the stream wedges permanently (round-14 fix).
+    * The recursive listing is lazy (RemoteIterator) and returns at the
+    * first visible file, so the check is O(1) listing calls on a healthy
+    * sink of any size.
+    */
+  def sinkHasData(spark: org.apache.spark.sql.SparkSession, sinkPath: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(sinkPath)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return false
+    val it = fs.listFiles(p, true)
+    while (it.hasNext) {
+      val f = it.next()
+      // hidden-by-convention entries (the same prefixes Spark's file index
+      // skips); hidden DIRECTORIES like _temporary never reach here —
+      // listFiles yields files only, so test every path segment
+      val visible = f.getPath.toString
+        .substring(p.toString.length).split('/')
+        .forall(seg => seg.isEmpty || (!seg.startsWith("_") && !seg.startsWith(".")))
+      if (visible) return true
+    }
+    false
+  }
+
   /** foreachBatch body: append only rows whose `keys` aren't in the sink. */
   def appendNew(sinkPath: String, keys: Seq[String])(batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val deduped = batch.dropDuplicates(keys)
     val fresh =
-      if (sinkExists(spark, sinkPath))
+      if (sinkHasData(spark, sinkPath))
         Joins.antiJoinNew(deduped, spark.read.parquet(sinkPath), keys)
       else deduped
     fresh.write.mode(SaveMode.Append).parquet(sinkPath)

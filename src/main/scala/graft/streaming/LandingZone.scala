@@ -25,12 +25,35 @@ import org.apache.spark.sql.DataFrame
   */
 object LandingZone {
 
+  /** Session-conf key bounding a single staged step's parquet size. The
+    * `coalesce(1)` below is REQUIRED by the drain contract (one file =
+    * one `maxFilesPerTrigger=1` batch), which makes every step a
+    * single-task write — correct for the bounded drain fixtures this is
+    * for, a bottleneck for bulk data. The guard makes that limit loud: a
+    * step over the cap throws with a pointer to the partitioned writer
+    * instead of silently serializing gigabytes through one task. -1
+    * disables.
+    */
+  val MaxStepBytesKey = "graft.landing.maxStepBytes"
+  val DefaultMaxStepBytes: Long = 1L << 30 // 1 GiB
+
   /** Write `first` then each of `sentinels` as single-parquet-file steps of
     * a landing-zone directory with strictly increasing mtimes (the file
     * source's processing order), and return the directory path. All frames
     * must share one schema.
     */
   def stage(first: DataFrame, sentinels: Seq[DataFrame]): String = {
+    val maxStepBytes = {
+      val raw = first.sparkSession.conf.get(MaxStepBytesKey,
+        sys.props.getOrElse(MaxStepBytesKey, DefaultMaxStepBytes.toString))
+      try raw.trim.toLong
+      catch {
+        case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"$MaxStepBytesKey must be a long (-1 disables the guard); " +
+              s"got '$raw'")
+      }
+    }
     val staged = graft.util.TempDirs.create("graft-landing")
     val t0 = System.currentTimeMillis() - 60000L
     (first +: sentinels).zipWithIndex.foreach { case (df, i) =>
@@ -52,6 +75,15 @@ object LandingZone {
       require(src != null,
         s"landing-zone step $i wrote no .parquet part file under $tmp " +
           "(empty-partition write?) — the drain would silently skip a batch")
+      val stepBytes = java.nio.file.Files.size(src)
+      if (maxStepBytes >= 0 && stepBytes > maxStepBytes)
+        throw new IllegalStateException(
+          s"landing-zone step $i is $stepBytes bytes, over the " +
+            s"$MaxStepBytesKey cap of $maxStepBytes: stage() serializes " +
+            "each step through ONE task (the maxFilesPerTrigger=1 drain " +
+            "contract needs one file per step). For bulk data use " +
+            "Scale.writePartitioned and a normal file-source stream; " +
+            s"set $MaxStepBytesKey=-1 to override.")
       val dst = staged.resolve(f"step-$i%03d.parquet")
       java.nio.file.Files.copy(src, dst)
       java.nio.file.Files.setLastModifiedTime(dst,

@@ -158,4 +158,14 @@ class AsOfJoinSpec extends SparkTestBase {
     val twice = Joins.getOrCreate(once, incoming, "id", "nk")
     assert(twice.count() == 3, "re-run grew the dimension (NULL re-insert)")
   }
+
+  test("round-14: getOrCreate rejects reserved bookkeeping column names " +
+      "(same contract as asOfJoin/topKPerGroup)") {
+    val dim = Seq((1L, "btc")).toDF("id", "_pid")
+    val incoming = Seq("btc").toDF("_pid")
+    val e = intercept[IllegalArgumentException] {
+      Joins.getOrCreate(dim, incoming, "id", "_pid")
+    }
+    assert(e.getMessage.contains("reserved"))
+  }
 }

@@ -131,6 +131,30 @@ class Ext37Spec extends SparkTestBase {
     assert(got == Set((9L, 0L, 0L, 1L), (9L, gap, gap, 1L)))
   }
 
+  test("round-14: landing-zone step-size guard — a step over the byte cap " +
+      "throws naming the knob; -1 disables; default caps at 1 GiB") {
+    val rows = Seq((1L, 10L), (2L, 20L)).toDF("user_id", "ts_us")
+    val key = graft.streaming.LandingZone.MaxStepBytesKey
+    spark.conf.set(key, "10") // tiny cap: any real parquet step exceeds it
+    try {
+      val e = intercept[IllegalStateException] {
+        graft.streaming.LandingZone.stage(rows, Seq.empty)
+      }
+      assert(e.getMessage.contains(key))
+      assert(e.getMessage.contains("writePartitioned"))
+      // -1 disables the guard
+      spark.conf.set(key, "-1")
+      val dir = graft.streaming.LandingZone.stage(rows, Seq.empty)
+      assert(spark.read.parquet(dir).count() == 2)
+      // malformed value names the knob
+      spark.conf.set(key, "lots")
+      val m = intercept[IllegalArgumentException] {
+        graft.streaming.LandingZone.stage(rows, Seq.empty)
+      }
+      assert(m.getMessage.contains(key))
+    } finally spark.conf.unset(key)
+  }
+
   test("round-13: negative user ids are DATA, not sentinels (the old key<0 " +
       "check silently swallowed every signed-hash key's sessions)") {
     val gap = 1000000L

@@ -71,6 +71,27 @@ class StreamingSpec extends SparkTestBase {
     assert(out.select("id").as[Int].collect().toSet == Set(1, 2, 3))
   }
 
+  test("round-14: a sink dir holding only committer droppings does not " +
+      "wedge the stream (schema inference is never attempted on it)") {
+    val sink = tmp("graft-wedge") + "/out"
+    // simulate a first write that died mid-commit: path exists, but only
+    // _temporary/_SUCCESS/dot entries inside — no data files
+    val p = new java.io.File(sink + "/_temporary/0")
+    assert(p.mkdirs())
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(sink, "_SUCCESS"))
+    java.nio.file.Files.createFile(
+      java.nio.file.Paths.get(sink, "._started.crc"))
+    assert(IdempotentWriter.sinkExists(spark, sink))
+    assert(!IdempotentWriter.sinkHasData(spark, sink))
+    // the replayed batch must append cleanly instead of failing forever
+    val batch = Seq((1, "a"), (2, "b")).toDF("id", "v")
+    IdempotentWriter.appendNew(sink, Seq("id"))(batch, 0L)
+    assert(IdempotentWriter.sinkHasData(spark, sink))
+    IdempotentWriter.appendNew(sink, Seq("id"))(batch, 0L) // replay: no dupes
+    assert(spark.read.parquet(sink).count() == 2)
+  }
+
   test("news flow: URL whitelist + url dedup (P6/P7/J3)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]

@@ -27,6 +27,26 @@ class TopKAggSpec extends SparkTestBase {
     }
   }
 
+  test("round-14: NaN ord never enters the buffer (it is unordered under " +
+      "the beats comparator and would wedge the sorted invariant)") {
+    val agg = new TopKAgg(3)
+    val items = Seq((Double.NaN, 7L), (5.0, 1L), (Double.NaN, 8L), (9.0, 2L))
+    val seq = items.foldLeft(agg.zero)(agg.reduce)
+    assert(seq.toSeq == Seq((9.0, 2L), (5.0, 1L)))
+    // split/merge agrees even when one side saw only NaNs
+    val nanOnly = Seq((Double.NaN, 7L)).foldLeft(agg.zero)(agg.reduce)
+    val rest = Seq((5.0, 1L), (9.0, 2L)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.merge(nanOnly, rest).toSeq == Seq((9.0, 2L), (5.0, 1L)))
+  }
+
+  test("round-14: degenerate parameters throw at construction, not at " +
+      "buf(-1) deep inside a job") {
+    intercept[IllegalArgumentException](new TopKAgg(0))
+    intercept[IllegalArgumentException](new graft.functions.MinHashAgg(0))
+    intercept[IllegalArgumentException](
+      new graft.functions.CountMinSketchAgg(depth = 0))
+  }
+
   test("groups smaller than k emit all rows, ordered") {
     val agg = new TopKAgg(5)
     val out = Seq((2.0, 2L), (1.0, 1L)).foldLeft(agg.zero)(agg.reduce)
