@@ -105,6 +105,7 @@ object Multimodal {
     * distributed pipeline schedules and stores.
     */
   def resizePlan(decoded: DataFrame, maxEdge: Int = 256): DataFrame = {
+    require(maxEdge >= 1, s"resizePlan: maxEdge must be >= 1, got $maxEdge")
     val longest = greatest(col("width"), col("height"))
     decoded.select(
       col("media_id"), col("kind"), col("width"), col("height"),
@@ -120,7 +121,11 @@ object Multimodal {
     * as (media_id, frame_idx, frame_bytes) — pure expressions (slice over a
     * byte array), partition-preserving, no decode required for the slicing.
     */
-  def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame =
+  def sampleFrames(media: DataFrame, frameBytes: Int = 64, stride: Int = 4): DataFrame = {
+    // frameBytes 0 would divide by zero into a NULL sequence bound (silent
+    // empty output); stride 0 would pmod-by-zero every frame row
+    require(frameBytes >= 1 && stride >= 1,
+      s"sampleFrames: frameBytes/stride must be >= 1, got $frameBytes/$stride")
     media.filter(col("kind") === "video")
       .select(col("media_id"), col("payload"),
         explode(sequence(lit(0),
@@ -129,4 +134,5 @@ object Multimodal {
       .filter(pmod(col("frame_idx"), lit(stride)) === 0)
       .select(col("media_id"), col("frame_idx"),
         col("payload").substr(col("frame_idx") * frameBytes + 1, lit(frameBytes)).as("frame"))
+  }
 }

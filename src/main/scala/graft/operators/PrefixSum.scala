@@ -59,9 +59,18 @@ object PrefixSum {
     * a whole Verify drive is forced onto the two-phase path, e.g.
     * `sbt -Dgraft.prefixsum.threshold=-1 "runMain graft.Verify ..."` —
     * Verify's per-query newSession()s don't inherit root-session conf). */
-  private def threshold(df: DataFrame): Long =
-    df.sparkSession.conf.get("graft.prefixsum.threshold",
-      sys.props.getOrElse("graft.prefixsum.threshold", "100000")).toLong
+  private def threshold(df: DataFrame): Long = {
+    val key = "graft.prefixsum.threshold"
+    val raw = df.sparkSession.conf.get(key, sys.props.getOrElse(key, "100000"))
+    // trim + named failure, same contract as Scale.intKnob / ScaleFence
+    // .confLong: a padded or malformed value must name the offending knob
+    try raw.trim.toLong
+    catch {
+      case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$key must be a long (-1 forces the two-phase path); got '$raw'")
+    }
+  }
 
   /** One-pass size probe: (rowCount, ordered bucket bounds). The bounds are
     * the (1/parts .. (parts-1)/parts) approx percentiles of `ord` — a

@@ -163,7 +163,13 @@ object TextAnalysis {
     * training text.
     */
   def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
-      size: Int = 64, stride: Int = 32): DataFrame =
+      size: Int = 64, stride: Int = 32): DataFrame = {
+    // stride 0 is a sequence-step-0 runtime error on the first non-trivial
+    // doc; stride > size would emit a zero-token phantom tail chunk
+    // whenever the last start lands exactly at end-of-document (and gaps
+    // between chunks contradict the overlapping-window contract)
+    require(size >= 1 && stride >= 1 && stride <= size,
+      s"chunkTokens: need 1 <= stride <= size, got size=$size stride=$stride")
     docs
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("toks"))
       .select(col("doc_id"), col("toks"),
@@ -185,6 +191,7 @@ object TextAnalysis {
               " ")).as("chunk_md5")))).as("ch"))
       .select(col("doc_id"), col("ch.chunk_idx"), col("ch.start_tok"),
         col("ch.n_tok"), col("ch.chunk_md5"))
+  }
 
   /** Shard-local sequence packing — the sample-packing step a training
     * pipeline runs after chunking: concatenate documents into fixed-budget
@@ -207,6 +214,10 @@ object TextAnalysis {
     */
   def packSequences(docs: DataFrame, idCol: String, textCol: String,
       budget: Int = 512, shards: Int = 32): DataFrame = {
+    // budget 0 floors a division by zero into NULL bins; shards 0 pmods
+    // every doc into a NULL shard (one single-task window over the corpus)
+    require(budget >= 1 && shards >= 1,
+      s"packSequences: budget/shards must be >= 1, got $budget/$shards")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("shard"))
       .orderBy(col("n_tokens").desc, col("doc_id"))

@@ -102,6 +102,23 @@ class Ext11Spec extends SparkTestBase {
     assert(d4.map(_.getLong(3)).toSeq == Seq(64L, 64L, 64L, 34L))
   }
 
+  test("round-14: degenerate chunking/packing parameters throw at call " +
+      "time, not as sequence-step-0 / divide-by-zero inside a job") {
+    val docs = Seq((1L, "a b c")).toDF("id", "text")
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkTokens(docs, "id", "text", size = 64, stride = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunkTokens(docs, "id", "text", size = 8, stride = 16))
+    intercept[IllegalArgumentException](
+      TextAnalysis.packSequences(docs, "id", "text", budget = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.packSequences(docs, "id", "text", shards = 0))
+    intercept[IllegalArgumentException](
+      graft.operators.Multimodal.sampleFrames(docs.toDF(), frameBytes = 0))
+    intercept[IllegalArgumentException](
+      graft.operators.Multimodal.resizePlan(docs.toDF(), maxEdge = 0))
+  }
+
   test("chunking is shuffle-free (no Exchange in the physical plan)") {
     val plan = Ext11Queries.docChunks(spark, sf)
       .queryExecution.executedPlan.toString
