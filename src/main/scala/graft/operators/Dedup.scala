@@ -70,6 +70,10 @@ object Dedup {
     * run before this was hoisted).
     */
   def shingleArray(toksCol: Column, n: Int): Column = {
+    // n = 0 would silently emit one empty-string shingle per position
+    // (concat_ws over zero columns) — every doc then shares one shingle
+    // and every downstream candidate join degrades to all-pairs
+    require(n >= 1, s"shingleArray: n must be >= 1, got $n")
     val ngram = (i: Column) =>
       concat_ws(" ", (1 to n).map(j => element_at(toksCol, (i + lit(j)).cast("int"))): _*)
     // Docs shorter than n tokens yield ZERO shingles, like the oracle's
@@ -406,6 +410,10 @@ object Dedup {
     * become candidates. Shuffles on the bucket key.
     */
   def lshCandidates(sigs: DataFrame, bands: Int): DataFrame = {
+    // bands = 0 is a runtime div-by-zero in the slice expression; the
+    // k-multiple contract is enforced by minhashNearDup, but a direct
+    // caller still deserves the loud half of that check
+    require(bands >= 1, s"lshCandidates: bands must be >= 1, got $bands")
     // rows per band = size(sig) div bands, computed at runtime; callers
     // must keep size(sig) a positive multiple of bands (minhashNearDup
     // enforces it statically)
@@ -626,6 +634,11 @@ object Dedup {
     */
   def simhash(df: DataFrame, idCol: String, textCol: String, n: Int = 3,
       bits: Int = 64, tokHash: Column => Column = xxhashTok): DataFrame = {
+    // bits = 0 makes the fingerprint reduce an empty-list error at plan
+    // time (obscure); bits > 64 silently wraps 1L << i back onto low bits,
+    // double-voting them
+    require(bits >= 1 && bits <= 64,
+      s"simhash: bits must be in [1, 64], got $bits")
     val toks = shinglePostings(df, idCol, textCol, n)
       .withColumnRenamed("shingle", "tok")
       .withColumn("h", tokHash(col("tok")))
@@ -654,6 +667,13 @@ object Dedup {
   def simhashNearDup(df: DataFrame, idCol: String, textCol: String,
       maxHamming: Int = 3, n: Int = 3,
       bits: Int = 64, tokHash: Column => Column = xxhashTok): DataFrame = {
+    // a bits not divisible by 4 leaves the top bits % 4 fingerprint bits
+    // outside every band: pairs differing only there are never proposed,
+    // a silent recall hole BEYOND the documented maxHamming > 3 heuristic
+    require(bits >= 4 && bits % 4 == 0 && bits <= 64,
+      s"simhashNearDup: bits must be a multiple of 4 in [4, 64], got $bits")
+    require(maxHamming >= 0,
+      s"simhashNearDup: maxHamming must be >= 0, got $maxHamming")
     val chunkBits = bits / 4
     val chunkMask = (1L << chunkBits) - 1
     // one row per doc, but its lineage is the whole shingle -> token-hash ->

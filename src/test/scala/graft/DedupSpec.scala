@@ -300,4 +300,21 @@ class DedupSpec extends SparkTestBase {
       "external non-file leaves must probe per call (no staleness guard " +
         "is possible, so no memoization is allowed)")
   }
+
+  test("round-14: degenerate index parameters throw at call time — " +
+      "n=0 shingles, bands=0 LSH, off-range simhash bits") {
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException](
+      Dedup.shingleArray(org.apache.spark.sql.functions.col("t"), 0))
+    intercept[IllegalArgumentException](
+      Dedup.lshCandidates(docs.toDF("id", "sig"), 0))
+    intercept[IllegalArgumentException](
+      Dedup.simhash(docs, "doc_id", "text", bits = 0))
+    intercept[IllegalArgumentException](
+      Dedup.simhash(docs, "doc_id", "text", bits = 65))
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDup(docs, "doc_id", "text", bits = 62))
+    intercept[IllegalArgumentException](
+      Dedup.simhashNearDup(docs, "doc_id", "text", maxHamming = -1))
+  }
 }
