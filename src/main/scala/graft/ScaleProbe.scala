@@ -105,7 +105,12 @@ object ScaleProbe {
     // verifier, quadratic by design; q_semdedup / q_lsh_ann are its
     // measured scale paths.
     "q_ann_ivf", "q_lsh_ann", "q_semdedup",
-    "q_cosine_topk", "q_hard_negatives", "q_knn_classify")
+    "q_cosine_topk", "q_hard_negatives", "q_knn_classify",
+    // round-14: kAnonymize's plan changed (the per-group window count is
+    // now pinned by ONE lazy localCheckpoint feeding both the star pool
+    // and the release branch) — probe the materialization posture rather
+    // than assert it.
+    "q_kanonymity")
 
   /** Scale-knob confs applied (at BOTH scales) to queries whose probed
     * plan needs a conf override. Round 13 EMPTIED the ANN/LSH entries that
