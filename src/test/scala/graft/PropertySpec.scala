@@ -99,6 +99,32 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("top-k aggregator property: any random partitioning (with NaN " +
+      "contamination and tied ords) merges to the sort-based reference") {
+    val rnd = new scala.util.Random(1234)
+    (1 to 100).foreach { trial =>
+      val k = 1 + rnd.nextInt(6)
+      val agg = new graft.functions.TopKAgg(k)
+      val n = rnd.nextInt(30)
+      val items = List.fill(n)((
+        if (rnd.nextInt(10) == 0) Double.NaN
+        else rnd.nextInt(5).toDouble, // heavy ties
+        rnd.nextInt(20).toLong))
+      // reference: drop NaN, sort by (ord desc, id asc), take k
+      val expect = items.filterNot(_._1.isNaN)
+        .sortBy { case (ord, id) => (-ord, id) }.take(k)
+      // random split into 1-4 chunks, each reduced independently, then
+      // merged in a random order
+      val chunks = items.grouped(math.max(1, n / (1 + rnd.nextInt(4)) + 1))
+        .map(_.foldLeft(agg.zero)(agg.reduce)).toList
+      val merged = rnd.shuffle(chunks)
+        .foldLeft(agg.zero)(agg.merge)
+      assert(merged.toSeq == expect,
+        s"trial $trial diverged: k=$k items=$items got=${merged.toSeq} " +
+          s"want=$expect")
+    }
+  }
+
   test("jaro-winkler properties on random strings: symmetric, bounded, " +
     "identity, and single-char-edit similarity beats disjoint strings") {
     import org.apache.spark.unsafe.types.UTF8String
