@@ -48,6 +48,25 @@ object Verify {
     val defaultCpus = math.min(Runtime.getRuntime.availableProcessors, 16)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus.toString)
     val par = sys.env.getOrElse("SPARK_GRAFT_VERIFY_PAR", "8").toInt.max(1)
+    // execution-mode invariance axes (README "bit-stable across execution
+    // modes"): `run / fork := true` means `sbt -D...` flags land on the
+    // SBT jvm, not this one — the ritual needs a first-class knob.
+    // Comma-separated k=v pairs, e.g.
+    //   SPARK_GRAFT_EXTRA_CONF=spark.sql.codegen.wholeStage=false
+    // Applied as SYSTEM PROPERTIES before the builder runs so they land in
+    // the shared SparkConf and the per-query child sessions inherit them
+    // (runtime conf.set on the root session does NOT propagate to
+    // newSession(), same reason the gate pins sit at builder level).
+    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
+      s.split(',').map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) if k.trim.startsWith("spark.") =>
+            sys.props(k.trim) = v.trim
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not spark.*=value")
+        }
+      }
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
