@@ -18,6 +18,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
   * each accumulator (dot, |a|², |b|²) is summed sequentially left-to-right in
   * double precision, then cos = dot / (sqrt(na) * sqrt(nb)).
   */
+// TEMPLATE CAUTION for every doGenCode in this file: no generated line may
+// START with "||" (or any '|'-leading token) — Spark's code-Block
+// interpolator re-applies stripMargin with '|' as the margin char, silently
+// eating the operator; Janino then fails to parse and the WHOLE stage
+// demotes to interpreted eval (round-14 find: a 50%+ silent slowdown with
+// only a log-level warning). Keep boolean operators at END of line.
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -33,7 +39,16 @@ case class CosineSimilarity(left: Expression, right: Expression)
     * double, so one all-zero (dead/padded) embedding in a corpus became
     * the #1 neighbor of every query and a near-dup of everything. NULL
     * restores the reference semantics: filtered by every `cos >=
-    * threshold`, ranked last (then dropped) by the top-k operators. */
+    * threshold`, ranked last (then dropped) by the top-k operators.
+    *
+    * Also NULL on a NULL ELEMENT in the common prefix (round-14 fix):
+    * the typed getter (`getFloat`) REINTERPRETS a null slot as whatever
+    * bytes sit there (0.0 on unsafe buffers) instead of erroring, so a
+    * partially-null embedding silently scored as if the holes were
+    * zeros — where the HOF reference null-propagates the whole sum
+    * through zip_with/aggregate to a NULL cosine. Same contract for the
+    * other distance expressions below. Unequal lengths keep the
+    * documented common-prefix (zero-pad) semantics. */
   override def nullable: Boolean = true
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -43,6 +58,7 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var dot = 0.0
     var na = 0.0
     var nb = 0.0
+    if (ArrayNulls.hasNull(x, n) || ArrayNulls.hasNull(y, n)) return null
     var i = 0
     while (i < n) {
       val xa = x.getFloat(i).toDouble
@@ -65,17 +81,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xa = ctx.freshName("xa")
       val yb = ctx.freshName("yb")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $xa = (double) $x.getFloat($i);
-         |  double $yb = (double) $y.getFloat($i);
-         |  $dot += $xa * $yb;
-         |  $na += $xa * $xa;
-         |  $nb += $yb * $yb;
+         |boolean $anyNull = graft.functions.ArrayNulls.hasNull($x, $n) ||
+         |  graft.functions.ArrayNulls.hasNull($y, $n);
+         |if (!$anyNull) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $xa = (double) $x.getFloat($i);
+         |    double $yb = (double) $y.getFloat($i);
+         |    $dot += $xa * $yb;
+         |    $na += $xa * $xa;
+         |    $nb += $yb * $yb;
+         |  }
          |}
-         |if ($na == 0.0 || $nb == 0.0) {
+         |if ($anyNull || $na == 0.0 || $nb == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
@@ -101,11 +122,15 @@ case class SquaredL2Distance(left: Expression, right: Expression)
 
   override def prettyName: String = "sq_l2_distance"
 
+  // NULL on a null element in the common prefix — see CosineSimilarity
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
+    if (ArrayNulls.hasNull(x, n) || ArrayNulls.hasNull(y, n)) return null
     var i = 0
     while (i < n) {
       val d = x.getFloat(i).toDouble - y.getFloat(i).toDouble
@@ -121,14 +146,19 @@ case class SquaredL2Distance(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $d = (double) $x.getFloat($i) - (double) $y.getFloat($i);
-         |  $acc += $d * $d;
+         |boolean $anyNull = graft.functions.ArrayNulls.hasNull($x, $n) ||
+         |  graft.functions.ArrayNulls.hasNull($y, $n);
+         |if (!$anyNull) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double $d = (double) $x.getFloat($i) - (double) $y.getFloat($i);
+         |    $acc += $d * $d;
+         |  }
          |}
-         |${ev.value} = $acc;
+         |if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
 
@@ -148,11 +178,15 @@ case class L1Distance(left: Expression, right: Expression)
 
   override def prettyName: String = "l1_distance"
 
+  // NULL on a null element in the common prefix — see CosineSimilarity
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     var acc = 0.0
+    if (ArrayNulls.hasNull(x, n) || ArrayNulls.hasNull(y, n)) return null
     var i = 0
     while (i < n) {
       acc += math.abs(x.getFloat(i).toDouble - y.getFloat(i).toDouble)
@@ -166,14 +200,19 @@ case class L1Distance(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += java.lang.Math.abs(
-         |    (double) $x.getFloat($i) - (double) $y.getFloat($i));
+         |boolean $anyNull = graft.functions.ArrayNulls.hasNull($x, $n) ||
+         |  graft.functions.ArrayNulls.hasNull($y, $n);
+         |if (!$anyNull) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += java.lang.Math.abs(
+         |      (double) $x.getFloat($i) - (double) $y.getFloat($i));
+         |  }
          |}
-         |${ev.value} = $acc;
+         |if ($anyNull) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
 
@@ -194,10 +233,15 @@ case class LongArrayMatchFraction(left: Expression, right: Expression)
 
   override def prettyName: String = "match_fraction"
 
+  // NULL on a null element in the common prefix — see CosineSimilarity
+  // (a null signature slot must not "match" the reinterpreted bytes)
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    if (ArrayNulls.hasNull(x, n) || ArrayNulls.hasNull(y, n)) return null
     var eq = 0
     var i = 0
     while (i < n) {
@@ -212,13 +256,19 @@ case class LongArrayMatchFraction(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val eq = ctx.freshName("eq")
+      val anyNull = ctx.freshName("anyNull")
       s"""
          |int $n = java.lang.Math.min($x.numElements(), $y.numElements());
          |int $eq = 0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  if ($x.getLong($i) == $y.getLong($i)) $eq++;
+         |boolean $anyNull = graft.functions.ArrayNulls.hasNull($x, $n) ||
+         |  graft.functions.ArrayNulls.hasNull($y, $n);
+         |if (!$anyNull) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($x.getLong($i) == $y.getLong($i)) $eq++;
+         |  }
          |}
-         |${ev.value} = ($n == 0) ? 0.0 : ((double) $eq) / $n;
+         |if ($anyNull) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ($n == 0) ? 0.0 : ((double) $eq) / $n; }
        """.stripMargin
     })
 
@@ -257,18 +307,29 @@ case class HyperplaneChunks(child: Expression, planeRows: Seq[Seq[Long]],
 
   override def prettyName: String = "hyperplane_chunks"
 
+  /** A NULL element anywhere in the dotted prefix leaves ALL bits unset
+    * (round-14 fix): the HOF reference's per-plane dot null-propagates,
+    * and `when(null >= 0, bit)` takes the otherwise-0 branch for every
+    * plane — while the typed getter would have reinterpreted the null
+    * slot's bytes into an arbitrary sign. All-zero chunks keep such
+    * vectors in ONE bucket per band instead of scattering them
+    * non-reproducibly.
+    */
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
     val chunks = new Array[Long](bands)
-    var j = 0
-    while (j < planes.length) {
-      val p = planes(j)
-      val n = math.min(v.numElements(), p.length)
-      var dot = 0L
-      var d = 0
-      while (d < n) { dot += v.getLong(d) * p(d); d += 1 }
-      if (dot >= 0) chunks(j / bitsPerBand) |= 1L << (j % bitsPerBand)
-      j += 1
+    val nv = v.numElements()
+    if (!ArrayNulls.hasNull(v, nv)) {
+      var j = 0
+      while (j < planes.length) {
+        val p = planes(j)
+        val n = math.min(nv, p.length)
+        var dot = 0L
+        var d = 0
+        while (d < n) { dot += v.getLong(d) * p(d); d += 1 }
+        if (dot >= 0) chunks(j / bitsPerBand) |= 1L << (j % bitsPerBand)
+        j += 1
+      }
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(chunks)
   }
@@ -280,18 +341,22 @@ case class HyperplaneChunks(child: Expression, planeRows: Seq[Seq[Long]],
       val j = ctx.freshName("j")
       val d = ctx.freshName("d")
       val n = ctx.freshName("n")
+      val nv = ctx.freshName("nv")
       val dot = ctx.freshName("dot")
       val p = ctx.freshName("p")
       s"""
          |long[] $chunks = new long[$bands];
-         |for (int $j = 0; $j < ${planes.length}; $j++) {
-         |  long[] $p = $planesRef[$j];
-         |  int $n = java.lang.Math.min($v.numElements(), $p.length);
-         |  long $dot = 0L;
-         |  for (int $d = 0; $d < $n; $d++) {
-         |    $dot += $v.getLong($d) * $p[$d];
+         |int $nv = $v.numElements();
+         |if (!graft.functions.ArrayNulls.hasNull($v, $nv)) {
+         |  for (int $j = 0; $j < ${planes.length}; $j++) {
+         |    long[] $p = $planesRef[$j];
+         |    int $n = java.lang.Math.min($nv, $p.length);
+         |    long $dot = 0L;
+         |    for (int $d = 0; $d < $n; $d++) {
+         |      $dot += $v.getLong($d) * $p[$d];
+         |    }
+         |    if ($dot >= 0) $chunks[$j / $bitsPerBand] |= 1L << ($j % $bitsPerBand);
          |  }
-         |  if ($dot >= 0) $chunks[$j / $bitsPerBand] |= 1L << ($j % $bitsPerBand);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($chunks);
        """.stripMargin

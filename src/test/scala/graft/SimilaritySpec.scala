@@ -178,6 +178,88 @@ class SimilaritySpec extends SparkTestBase {
     assert(Similarity.planeCoef(3, 7) == Similarity.planeCoef(3, 7))
   }
 
+  test("round-14: ArrayNulls word-scan agrees with per-element isNullAt " +
+      "on UnsafeArrayData across word boundaries (layout reliance pinned)") {
+    import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def unsafe(vals: Array[Any]): UnsafeArrayData = {
+      // converter produces a real UnsafeArrayData with a packed null bitmap
+      val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+        .create(Array[org.apache.spark.sql.types.DataType](
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.LongType, containsNull = true)))
+      proj(org.apache.spark.sql.catalyst.InternalRow(
+        new GenericArrayData(vals))).getArray(0).asInstanceOf[UnsafeArrayData]
+    }
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(1, 3, 63, 64, 65, 128, 130); trial <- 1 to 5) {
+      val vals: Array[Any] = Array.tabulate[Any](n)(i =>
+        if (rnd.nextInt(20) == 0) null else i.toLong)
+      val u = unsafe(vals)
+      for (k <- Seq(0, 1, n / 2, n - 1, n).distinct.filter(_ >= 0)) {
+        val expect = (0 until k).exists(u.isNullAt)
+        assert(graft.functions.ArrayNulls.hasNull(u, k) == expect,
+          s"n=$n k=$k vals=${vals.take(k).mkString(",")}")
+      }
+      // generic fallback agrees
+      assert(graft.functions.ArrayNulls.hasNull(new GenericArrayData(vals), n)
+        == vals.contains(null))
+    }
+  }
+
+  test("round-14: NULL array elements null-propagate like the HOF " +
+      "reference instead of being byte-reinterpreted by the typed getters") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions._
+    val holey = Seq(
+      (1L, Array[java.lang.Float](1.0f, null, 3.0f)),
+      (2L, Array[java.lang.Float](1.0f, 2.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    def check(): Unit = {
+      val a = holey.filter($"vec_id" === 1).select(
+        cosine_sim(col("embedding"), col("embedding")).as("c"),
+        sq_l2_distance(col("embedding"), col("embedding")).as("l2"),
+        l1_distance(col("embedding"), col("embedding")).as("l1"),
+        match_fraction(col("embedding").cast("array<bigint>"),
+          col("embedding").cast("array<bigint>")).as("mf")).collect().head
+      (0 until 4).foreach(i => assert(a.isNullAt(i),
+        s"field $i must be NULL on a null-element vector, got $a"))
+      // the HOF reference agrees (pin the parity, not just the nullness)
+      val hof = holey.filter($"vec_id" === 1).select(
+        Similarity.cosineHof(col("embedding"), col("embedding"))).collect().head
+      assert(hof.isNullAt(0))
+      // clean vector still scores on the same plan
+      val b = holey.filter($"vec_id" === 2).select(
+        cosine_sim(col("embedding"), col("embedding"))).collect().head
+      assert(math.abs(b.getDouble(0) - 1.0) < 1e-12)
+      // hyperplane chunks: a null element leaves every bit unset (the
+      // HOF when(null >= 0) branch), same as a vector of all-negative dots
+      val planes = Seq(Seq(1L, 1L, 1L), Seq(1L, -1L, 2L))
+      val ch = holey.select(hyperplane_chunks(
+        col("embedding").cast("array<bigint>"), planes, 2).as("ch"))
+        .orderBy("vec_id")
+        .collect().map(_.getSeq[Long](0))
+      assert(ch(0) == Seq(0L), s"null-element vector must chunk to 0: ${ch(0)}")
+      assert(ch(1) == Seq(3L), s"clean vector chunks normally: ${ch(1)}")
+    }
+    check() // codegen path
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try check() // interpreted path
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+
+    // ColumnarArray branch: the vectorized parquet reader hands the
+    // expression a column-vector-backed array (not UnsafeArrayData) —
+    // the branch ArrayNulls reaches through the cached field offset
+    val dir = graft.util.TempDirs.create("graft-nullvec").toString
+    holey.write.mode("overwrite").parquet(dir)
+    val fromParquet = spark.read.parquet(dir)
+    val rows = fromParquet.select(col("vec_id"),
+      cosine_sim(col("embedding"), col("embedding")).as("c"))
+      .orderBy("vec_id").collect()
+    assert(rows(0).isNullAt(1), "null-element vector via parquet must be NULL")
+    assert(math.abs(rows(1).getDouble(1) - 1.0) < 1e-12)
+  }
+
   test("round-13: zero-norm vectors score NULL cosine and never enter " +
       "rankings or near-dup pairs (NaN would win every ordering)") {
     import spark.implicits._
