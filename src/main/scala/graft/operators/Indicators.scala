@@ -39,6 +39,9 @@ object Indicators {
       orderCols: Seq[String],
       priceCol: String,
       n: Int = 14) {
+    // n = 0 builds the inverted frame rowsBetween(1, 0) — an analysis-time
+    // frame error far from the caller; fail at construction instead
+    require(n >= 1, s"SeriesSpec: window length n must be >= 1, got $n")
     def window: WindowSpec =
       Window.partitionBy(partitionCols.map(col): _*).orderBy(orderCols.map(col): _*)
     def frame: WindowSpec = window.rowsBetween(-(n - 1), Window.currentRow)

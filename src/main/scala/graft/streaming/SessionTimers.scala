@@ -46,6 +46,9 @@ object SessionTimers {
     */
   class SessionProcessor(gapUs: Long)
       extends StatefulProcessor[Long, (Long, Long), SessionRow] {
+    // gap 0 closes a session per event; negative gaps invert every
+    // comparison below. The batch session_window rejects these too.
+    require(gapUs >= 1, s"SessionProcessor: gapUs must be >= 1, got $gapUs")
 
     // (session_start_us, session_last_us, n_events)
     @transient private var open: ValueState[(Long, Long, Long)] = _
