@@ -16,15 +16,35 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * or via config: `spark.sql.extensions=graft.functions.GraftExtensions`.
   */
 object GraftExtensions {
+
+  /** The SQL surface needs the SAME operand-type pinning the Scala
+    * wrappers apply (VectorFunctions round-13 fix): the expressions read
+    * elements with type-specific getters that REINTERPRET mistyped
+    * buffers, so `SELECT cosine_sim(double_arr, ...)` without this cast
+    * silently scored garbage where the Scala path converts or fails
+    * analysis. An identity cast is erased by SimplifyCasts.
+    */
+  private[functions] def asFloatArr(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType))
+
+  private[functions] def asLongArr(e: Expression): Expression =
+    org.apache.spark.sql.catalyst.expressions.Cast(e,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.LongType))
+
   /** Register on an ALREADY-RUNNING session (withExtensions only applies to
     * newly-built contexts; getOrCreate on an existing session ignores it).
     */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("cosine_sim",
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1)), "scala_udf")
+      (args: Seq[Expression]) =>
+        CosineSimilarity(asFloatArr(args(0)), asFloatArr(args(1))), "scala_udf")
     reg.createOrReplaceTempFunction("match_fraction",
-      (args: Seq[Expression]) => LongArrayMatchFraction(args(0), args(1)), "scala_udf")
+      (args: Seq[Expression]) =>
+        LongArrayMatchFraction(asLongArr(args(0)), asLongArr(args(1))), "scala_udf")
     reg.createOrReplaceTempFunction("graft_tokenize",
       (args: Seq[Expression]) => RegexTokenize(args(0), args(1)), "scala_udf")
     reg.createOrReplaceTempFunction("nfc_normalize",
@@ -44,11 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
-      (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+      (args: Seq[Expression]) => CosineSimilarity(
+        GraftExtensions.asFloatArr(args(0)), GraftExtensions.asFloatArr(args(1)))))
     ext.injectFunction((
       FunctionIdentifier("match_fraction"),
       info("match_fraction", "match_fraction(a, b) - fraction of equal positions in two long arrays"),
-      (args: Seq[Expression]) => LongArrayMatchFraction(args(0), args(1))))
+      (args: Seq[Expression]) => LongArrayMatchFraction(
+        GraftExtensions.asLongArr(args(0)), GraftExtensions.asLongArr(args(1)))))
     ext.injectFunction((
       FunctionIdentifier("graft_tokenize"),
       info("graft_tokenize", "graft_tokenize(text, pattern) - generates (pos, token) rows"),

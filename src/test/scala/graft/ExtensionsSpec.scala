@@ -63,4 +63,18 @@ class ExtensionsSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(viaSql == viaApi)
   }
+
+  test("round-14: SQL surface pins operand types like the Scala wrappers — " +
+      "a DOUBLE array converts instead of being byte-reinterpreted") {
+    // without the cast, getFloat() over a double-array buffer reads
+    // garbage half-words and this scores nonsense instead of 1.0
+    val r = spark.sql(
+      "SELECT cosine_sim(array(1.0D, 2.0D, 3.0D), array(1.0D, 2.0D, 3.0D)) c")
+      .collect().head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-6, s"double-array cosine must be ~1.0, got $r")
+    val mf = spark.sql(
+      "SELECT match_fraction(array(1, 2, 3), array(1, 9, 3)) m")
+      .collect().head.getDouble(0)
+    assert(math.abs(mf - 2.0 / 3.0) < 1e-12, s"int-array match fraction: $mf")
+  }
 }
