@@ -58,6 +58,7 @@ object Plans {
       "q_tpch_q6" -> "TPC-H Q6: every predicate in PushedFilters, 3-column ReadSchema, single partial+final aggregate — the pure-scan shape",
       "q_semdedup" -> "SemDeDup: centroid assignment broadcast-joined once, cluster-bucketed pairwise cosine (no all-pairs), left-anti keep. Dumped UNCONFIGURED (round 13): centroid count derives as ceil(sqrt N) — the production default; the gate pins 8 via conf",
       "q_triangle_count" -> "Triangle count: degree-oriented two-path equi-join — out-degrees bounded O(sqrt(E)), no hub blowup",
+      "q_kanonymity" -> "k-anonymity: ONE window count over the quasi-id shuffle pinned by a lazy localCheckpoint (round 14 — both the star pool and the release branch read the same evaluation), star-pool size as a broadcast one-row aggregate, no global window",
       "q_winsorize" -> "Winsorized mean: one percentile buffer per group, 1-row-per-group bounds broadcast back onto the fact scan",
       "q_tpch_q7" -> "TPC-H Q7: six-table volume-shipping join — supplier + both nation dims broadcast, facts shuffle once each, exact DECIMAL revenue",
       "q_weighted_sample" -> "A-Res weighted sampling: hash-derived keys, TakeOrderedAndProject top-k (per-partition heaps, no global sort)",
