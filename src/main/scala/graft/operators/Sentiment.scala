@@ -47,25 +47,51 @@ import org.apache.spark.sql.functions.udf
   * scraped text can diverge from NLTK, whose published golden vectors are
   * all ASCII. Full NLTK Unicode parity would require
   * `UNICODE_CHARACTER_CLASS` splitting and would desync the portable
-  * oracle — parity with the gate wins.
+  * oracle — parity with the gate wins. Round 14 closes the library-user
+  * side of that trade: [[VaderScorer.unicodeVariant]] is the SAME rule
+  * engine with Unicode tokenization (`(?U)\s+` split +
+  * `Character.isUpperCase` caps), NLTK-faithful on non-ASCII text; the
+  * gate keeps scoring with the ASCII default.
   */
 class VaderScorer(
     val lexicon: Map[String, Double],
     val boosters: Map[String, Double],
     val negations: Set[String],
-    val idioms: Map[String, Double]) extends Serializable {
+    val idioms: Map[String, Double],
+    val unicodeMode: Boolean = false) extends Serializable {
 
   import VaderScorer._
+
+  /** This scorer with Unicode tokenization (round 14): splits on Unicode
+    * whitespace (`(?U)\s+` — NBSP, ideographic space, ...) and tests
+    * all-caps with `Character.isUpperCase`/`isLowerCase` — the semantics
+    * of the published Python scorer's `text.split()` + `str.isupper()`,
+    * which the DEFAULT ASCII mode trades away for bit-identical DuckDB
+    * oracle parity (see the class scaladoc). Library callers scoring
+    * non-ASCII scraped text get NLTK-faithful behavior here; the
+    * oracle-gated queries keep the default. Punctuation stripping stays
+    * ASCII in BOTH modes — the published scorer uses `string.punctuation`
+    * (ASCII) even in Python.
+    */
+  lazy val unicodeVariant: VaderScorer =
+    if (unicodeMode) this
+    else new VaderScorer(lexicon, boosters, negations, idioms, unicodeMode = true)
+
+  private def splitWords(text: String): Array[String] =
+    text.split(if (unicodeMode) "(?U)\\s+" else "\\s+")
+
+  private def capsFn(token: String): Boolean =
+    if (unicodeMode) isAllCapsUnicode(token) else isAllCaps(token)
 
   /** Compound score in [-1, 1]; 0.0 for empty/blank content (the reference's
     * scrape-failure fallback, producer_news.py:72-74).
     */
   def score(text: String): Double = {
     if (text == null) return 0.0
-    val words = text.split("\\s+").filter(_.nonEmpty).map(stripPuncIfWord)
+    val words = splitWords(text).filter(_.nonEmpty).map(stripPuncIfWord)
     if (words.isEmpty) return 0.0
     val lower = words.map(_.toLowerCase)
-    val nUpper = words.count(isAllCaps)
+    val nUpper = words.count(capsFn)
     val capDiff = nUpper > 0 && nUpper < words.length
 
     val sentiments = Array.ofDim[Double](words.length)
@@ -113,7 +139,7 @@ class VaderScorer(
       case None => 0.0
       case Some(b0) =>
         var s = if (valence < 0) -b0 else b0
-        if (isAllCaps(word) && capDiff)
+        if (capsFn(word) && capDiff)
           s += (if (valence > 0) CapsIncr else -CapsIncr)
         s
     }
@@ -133,7 +159,7 @@ class VaderScorer(
             (i > 2 && lower(i - 3) == "no" &&
               (lower(i - 1) == "or" || lower(i - 1) == "nor")))
           valence = lexVal * NegationScalar
-        if (isAllCaps(words(i)) && capDiff)
+        if (capsFn(words(i)) && capDiff)
           valence += (if (valence > 0) CapsIncr else -CapsIncr)
 
         var d = 1
@@ -240,6 +266,16 @@ object VaderScorer {
   def isAllCaps(token: String): Boolean =
     token.exists(c => c >= 'A' && c <= 'Z') &&
       !token.exists(c => c >= 'a' && c <= 'z')
+
+  /** Unicode isupper with Python `str.isupper()` semantics: at least one
+    * cased character and no lowercase/titlecase character — "ПРИВЕТ" and
+    * "ÉNORME" qualify, "Éa" does not. Used by [[VaderScorer.unicodeVariant]];
+    * the ASCII form above stays the oracle-parity default.
+    */
+  def isAllCapsUnicode(token: String): Boolean =
+    token.exists(c => Character.isUpperCase(c) || Character.isLowerCase(c) ||
+      Character.isTitleCase(c)) &&
+      !token.exists(c => Character.isLowerCase(c) || Character.isTitleCase(c))
 
   /** Parse the published vader_lexicon.txt TSV (token \t valence \t std \t
     * raw ratings); emoji/multi-codepoint lines pass through as-is.

@@ -246,4 +246,35 @@ class SentimentSpec extends SparkTestBase {
       .as[Double].collect()
     assert(out(0) > 0 && out(1) < 0)
   }
+
+  test("round-14: unicodeVariant tokenizes like NLTK — NBSP splits tokens " +
+      "and non-Latin all-caps triggers the caps boost; ASCII mode and the " +
+      "published golden vectors are unchanged") {
+    val u = Sentiment.unicodeVariant
+    // NBSP (U+00A0): Python text.split() separates, Java ASCII \s+ does not
+    val nbsp = "great outcome"
+    assert(Sentiment.score(nbsp) == 0.0,
+      "ASCII mode must see one OOV token across the NBSP")
+    assert(u.score(nbsp) > 0.3, "unicode mode must split and score 'great'")
+    // NLTK's emphasis rule is DIFFERENTIAL: a document that is entirely
+    // shouting gets no caps boost. "GREAT ПРИВЕТ" is all-caps under the
+    // Unicode test (capDiff false, no emphasis — Python's view) but the
+    // ASCII test cannot see the Cyrillic shout, calls the doc mixed-case,
+    // and boosts GREAT.
+    val ru = "GREAT ПРИВЕТ"
+    assert(u.score(ru) < Sentiment.score(ru),
+      "unicode mode must see the all-shouting doc and skip the caps boost")
+    // isupper semantics pinned directly
+    assert(VaderScorer.isAllCapsUnicode("ПРИВЕТ"))
+    assert(VaderScorer.isAllCapsUnicode("ÉNORME"))
+    assert(!VaderScorer.isAllCapsUnicode("Éa"))
+    assert(!VaderScorer.isAllCapsUnicode("123")) // no cased chars
+    assert(!VaderScorer.isAllCaps("ПРИВЕТ")) // the documented ASCII trade
+    // the published golden vector scores identically under BOTH modes
+    // (all-ASCII input): the variant is the same rule engine
+    val golden = "VADER is VERY SMART, handsome, and FUNNY!!!"
+    assert(u.score(golden) == Sentiment.score(golden))
+    // ASCII path completely unaffected (same instance semantics)
+    assert(Sentiment.score("not gr8") < 0 && u.score("not gr8") < 0)
+  }
 }
