@@ -17,6 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object Anonymize {
 
+  /** How [[kAnonymize]] pins the single evaluation of its window count
+    * (session conf; default `localCheckpoint`):
+    *
+    *  - `localCheckpoint` — lineage-truncating executor-local materialization.
+    *    Cheapest on a stable topology, but the blocks live in executor
+    *    storage with NO lineage to rebuild from: on a cluster, losing an
+    *    executor (or dynamic-allocation decommission) fails the job
+    *    unrecoverably. Fine for local[] / static-allocation clusters.
+    *  - `cache` — MEMORY_AND_DISK persist WITH lineage. A lost block is
+    *    recomputed from source; under a non-deterministic upstream
+    *    (sample/rand) that recompute could in principle diverge, but the
+    *    guard and the suppression then BOTH re-read the recomputed blocks,
+    *    so the sub-k "*" release hazard stays closed for any single lost
+    *    block consumed once. Use on clusters with dynamic allocation.
+    *  - `none` — no pin: each consumer re-evaluates the scan + window.
+    *    ONLY sound when the caller certifies the input deterministic
+    *    (no sample/rand/shuffling nondeterminism upstream); avoids pinned
+    *    blocks entirely at the cost of a second scan + window.
+    *
+    * Pinned blocks (both modes) live until unpersisted or session end;
+    * long-running sessions that call kAnonymize repeatedly should prefer
+    * `cache` and release between calls (`spark.catalog.clearCache()` or
+    * unpersist on the source).
+    */
+  val PinModeKey = "graft.anonymize.pin"
+
   /** Suppress quasi-identifiers of rows whose quasi-identifier group has
     * fewer than k members: each column in `quasiCols` is replaced by "*"
     * (stringified otherwise), so every released row is identical to at
@@ -41,10 +67,18 @@ object Anonymize {
     // consume withN, and without the pin each branch re-evaluates the full
     // scan + window — so a non-deterministic upstream (sample/rand) could
     // compute the _nstar guard from different rows than the ones it gates,
-    // releasing a sub-k "*" class. The lazy localCheckpoint also halves the
-    // scan cost (the double-window was q_kanonymity's 1.64x anchor ratio).
-    val withN = df.withColumn("_qn", count(lit(1)).over(w))
-      .localCheckpoint(false)
+    // releasing a sub-k "*" class. The lazy pin also halves the scan cost
+    // (the double-window was q_kanonymity's 1.64x anchor ratio). Pin
+    // mechanism is conf-selectable — see [[PinModeKey]] for the cluster
+    // (dynamic-allocation) caveat on the localCheckpoint default.
+    val counted = df.withColumn("_qn", count(lit(1)).over(w))
+    val withN = df.sparkSession.conf.get(PinModeKey, "localCheckpoint") match {
+      case "localCheckpoint" => counted.localCheckpoint(false)
+      case "cache"           => counted.cache()
+      case "none"            => counted
+      case other => throw new IllegalArgumentException(
+        s"$PinModeKey must be localCheckpoint|cache|none, got '$other'")
+    }
     val starPool = withN.filter(col("_qn") < k)
       .agg(count(lit(1)).as("_nstar"))
     val guarded = withN

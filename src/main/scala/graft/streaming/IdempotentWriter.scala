@@ -45,15 +45,27 @@ object IdempotentWriter {
     val p = new org.apache.hadoop.fs.Path(sinkPath)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(p)) return false
+    // Compare Path objects against the QUALIFIED root, never string prefixes:
+    // listFiles returns fully-qualified paths (file:/...) while sinkPath may
+    // be bare, so a string cut at sinkPath.length lands mid-path and ancestor
+    // segments leak into the hidden check — a sink under ~/.cache or /data/_w
+    // would classify every real file as hidden and silently skip the
+    // anti-join on replay (round-15 fix).
+    val root = fs.makeQualified(p)
     val it = fs.listFiles(p, true)
     while (it.hasNext) {
       val f = it.next()
       // hidden-by-convention entries (the same prefixes Spark's file index
       // skips); hidden DIRECTORIES like _temporary never reach here —
-      // listFiles yields files only, so test every path segment
-      val visible = f.getPath.toString
-        .substring(p.toString.length).split('/')
-        .forall(seg => seg.isEmpty || (!seg.startsWith("_") && !seg.startsWith(".")))
+      // listFiles yields files only, so test every segment BELOW the root
+      // (the root's own name and its ancestors are the caller's business)
+      var cur = f.getPath
+      var visible = true
+      while (visible && cur != null && cur != root) {
+        val seg = cur.getName
+        if (seg.startsWith("_") || seg.startsWith(".")) visible = false
+        cur = cur.getParent
+      }
       if (visible) return true
     }
     false

@@ -48,6 +48,24 @@ class Ext12EdgeSpec extends SparkTestBase {
     assert(stars == 2)
   }
 
+  test("round-15: kAnonymize pin modes (localCheckpoint|cache|none) agree; " +
+      "an unknown mode throws") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 3), ("c", 4), ("c", 5))
+      .toDF("q", "id")
+    def run() = Anonymize.kAnonymize(df, Seq("q"), 2)
+      .orderBy("id").collect().toSeq
+    val expected = run() // default localCheckpoint
+    for (mode <- Seq("cache", "none")) {
+      spark.conf.set(Anonymize.PinModeKey, mode)
+      try assert(run() == expected, s"pin mode '$mode' diverged")
+      finally spark.conf.unset(Anonymize.PinModeKey)
+    }
+    spark.catalog.clearCache()
+    spark.conf.set(Anonymize.PinModeKey, "bogus")
+    try intercept[IllegalArgumentException](run())
+    finally spark.conf.unset(Anonymize.PinModeKey)
+  }
+
   test("madOutliers: constant column gives mad=0 and zero outliers " +
       "(dev > 3*0 never fires on dev == 0)") {
     val df = Seq.fill(10)(5.0).zipWithIndex.map { case (v, i) => ("g", v, i) }

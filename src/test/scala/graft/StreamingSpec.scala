@@ -92,6 +92,33 @@ class StreamingSpec extends SparkTestBase {
     assert(spark.read.parquet(sink).count() == 2)
   }
 
+  test("round-15: a sink under a dot/underscore-prefixed ANCESTOR dir (or " +
+      "with such a leaf name) still sees its own data files — only segments " +
+      "BELOW the sink root count as hidden") {
+    // ~/.cache/... and /data/_work/... shaped sinks: the old string-prefix
+    // cut compared against the UNQUALIFIED path, so the qualified listing's
+    // extra `file:` prefix shifted the cut mid-path and ancestor segments
+    // leaked into the hidden check — every real file classified hidden,
+    // sinkHasData stayed false, and replays re-appended duplicates
+    for (sink <- Seq(tmp("graft-dotanc") + "/.cache/deep/out",
+        tmp("graft-underanc") + "/_work/out",
+        tmp("graft-dotleaf") + "/_out")) {
+      val batch = Seq((1, "a"), (2, "b")).toDF("id", "v")
+      IdempotentWriter.appendNew(sink, Seq("id"))(batch, 0L)
+      assert(IdempotentWriter.sinkHasData(spark, sink),
+        s"data files under $sink classified as hidden")
+      IdempotentWriter.appendNew(sink, Seq("id"))(batch, 0L) // replay
+      assert(spark.read.parquet(sink).count() == 2,
+        s"replayed batch appended duplicates under $sink")
+      // committer droppings BELOW the root must still read as hidden
+      val empty = sink + "-empty"
+      assert(new java.io.File(empty + "/_temporary/0").mkdirs())
+      java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(empty, "_SUCCESS"))
+      assert(!IdempotentWriter.sinkHasData(spark, empty))
+    }
+  }
+
   test("news flow: URL whitelist + url dedup (P6/P7/J3)") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[String]

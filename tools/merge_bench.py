@@ -67,9 +67,16 @@ def main() -> int:
         common = [n for n in names if n in aq and aq[n] > 0]
         geo = math.exp(sum(math.log(mins[n] / aq[n]) for n in common)
                        / len(common))
+        # ratio over the COMMON query set on both sides: summing all-run
+        # `total` against an anchor sum restricted to `common` inflates the
+        # ratio whenever the anchor file is missing queries
+        excluded = len(names) - len(common)
         print(f"anchor: total ratio "
-              f"{total / sum(aq[n] for n in common):.3f}, "
-              f"per-query geomean {geo:.3f}")
+              f"{sum(mins[n] for n in common) / sum(aq[n] for n in common):.3f}"
+              f" ({len(common)} queries"
+              + (f", {excluded} absent from anchor excluded" if excluded
+                 else "")
+              + f"), per-query geomean {geo:.3f}")
         over = [n for n in common if mins[n] > 2 * aq[n]]
         print(f"over 2x gate: {over or 'none'}")
         worst = sorted(((mins[n] / aq[n], n) for n in common),
