@@ -126,7 +126,9 @@ object Ext37Queries {
     // watermark BEFORE the per-side type filters: sentinel rows advance the
     // clock for both sides, then drop out of the join inputs
     val stream = s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
+      // one batch per staged STEP (k files, round-15 parallel drain)
+      .option("maxFilesPerTrigger",
+        graft.streaming.LandingZone.DrainFilesPerStep.toString)
       .parquet(staged)
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
       .withWatermark("ts_t", "0 seconds")
@@ -187,7 +189,8 @@ object Ext37Queries {
     // sentinels sit 2h+ past the data so the watermark ends up beyond every
     // click's 1-hour purchase window
     val staged = LandingZone.stage(ev,
-      Seq(sentinel(maxUs + 7200000000L), sentinel(maxUs + 10800000000L)))
+      Seq(sentinel(maxUs + 7200000000L), sentinel(maxUs + 10800000000L)),
+      filesPerStep = LandingZone.DrainFilesPerStep)
     // Round-13 isolation fix: the narrow-drain partition override runs on
     // an isolated child session so a concurrently planned query on the
     // caller's session can't inherit 8 shuffle partitions; the per-drain

@@ -10,39 +10,62 @@ import org.apache.spark.sql.DataFrame
   * END of each micro-batch, gating emission to a SUBSEQUENT batch. A
   * single-batch replay of a finite table therefore never flushes the tail.
   * The staging contract here makes the flush provable: the real rows land
-  * as the first file, then far-future sentinel rows land as later files,
-  * and `maxFilesPerTrigger=1` forces one batch per file — so batch 2
-  * publishes the data watermark and batch 3 runs with the sentinel
-  * watermark, past every horizon the data could have set. Sentinel rows
-  * carry an out-of-domain key — one RESERVED value per caller (e.g.
-  * [[SessionTimers.SentinelKey]] = Long.MinValue), never a broad "any
-  * negative id" convention that would swallow signed-hash keys — so query
-  * logic can exclude them from results while they still advance the clock.
+  * as the first step, then far-future sentinel rows land as later steps.
+  * Every step holds EXACTLY `filesPerStep` part files sharing one mtime
+  * (strictly increasing across steps), and the drain reads with
+  * `maxFilesPerTrigger = filesPerStep` — the file source takes the k
+  * oldest unread files per batch, so batch j is exactly step j regardless
+  * of within-step tie order. Batch 2 then publishes the data watermark and
+  * batch 3 runs with the sentinel watermark, past every horizon the data
+  * could have set. Sentinel rows carry an out-of-domain key — one RESERVED
+  * value per caller (e.g. [[SessionTimers.SentinelKey]] = Long.MinValue),
+  * never a broad "any negative id" convention that would swallow
+  * signed-hash keys — so query logic can exclude them from results while
+  * they still advance the clock.
   *
   * This is exactly how a production landing zone behaves (late files keep
   * arriving and push the watermark); the sentinels just make the tail flush
   * happen inside the bounded drain instead of "on the next day's data".
+  *
+  * Scale note (round-15): `filesPerStep > 1` splits each step with
+  * `repartition(k)` so the drain reads and folds k files in k parallel
+  * source tasks per batch — the round-14 single-task drain
+  * (`coalesce(1)` + `maxFilesPerTrigger=1`) is the `filesPerStep = 1`
+  * degenerate case. Spark writes no part file for an empty shuffle
+  * partition, so steps are PADDED to exactly k files with empty
+  * (schema-only) parquet files; padding files are data-free and
+  * batch-composition-neutral.
   */
 object LandingZone {
 
-  /** Session-conf key bounding a single staged step's parquet size. The
-    * `coalesce(1)` below is REQUIRED by the drain contract (one file =
-    * one `maxFilesPerTrigger=1` batch), which makes every step a
-    * single-task write — correct for the bounded drain fixtures this is
-    * for, a bottleneck for bulk data. The guard makes that limit loud: a
-    * step over the cap throws with a pointer to the partitioned writer
-    * instead of silently serializing gigabytes through one task. -1
-    * disables.
+  /** Session-conf key bounding a single part FILE of a staged step. Each
+    * part file is one source task's read unit, so the per-file cap is the
+    * per-task bound; a file over the cap throws with a pointer to the
+    * partitioned writer instead of silently serializing gigabytes through
+    * one task. -1 disables.
     */
   val MaxStepBytesKey = "graft.landing.maxStepBytes"
   val DefaultMaxStepBytes: Long = 1L << 30 // 1 GiB
 
-  /** Write `first` then each of `sentinels` as single-parquet-file steps of
-    * a landing-zone directory with strictly increasing mtimes (the file
-    * source's processing order), and return the directory path. All frames
-    * must share one schema.
+  /** Files per staged step used by the built-in drains
+    * ([[SessionTimers.drain]], `Ext37Queries.streamOuterJoin`): matches
+    * their 8 shuffle partitions so the source side feeds state folding at
+    * the same width.
     */
-  def stage(first: DataFrame, sentinels: Seq[DataFrame]): String = {
+  val DrainFilesPerStep: Int = 8
+
+  /** Write `first` then each of `sentinels` as steps of a landing-zone
+    * directory — exactly `filesPerStep` parquet part files per step, one
+    * shared mtime per step, strictly increasing across steps (the file
+    * source's processing order) — and return the directory path. All
+    * frames must share one schema. Drain with
+    * `maxFilesPerTrigger = filesPerStep` so one batch consumes exactly one
+    * step.
+    */
+  def stage(first: DataFrame, sentinels: Seq[DataFrame],
+      filesPerStep: Int = 1): String = {
+    require(filesPerStep >= 1,
+      s"stage: filesPerStep must be >= 1, got $filesPerStep")
     val maxStepBytes = {
       val raw = first.sparkSession.conf.get(MaxStepBytesKey,
         sys.props.getOrElse(MaxStepBytesKey, DefaultMaxStepBytes.toString))
@@ -56,38 +79,68 @@ object LandingZone {
     }
     val staged = graft.util.TempDirs.create("graft-landing")
     val t0 = System.currentTimeMillis() - 60000L
+
+    def partFiles(tmp: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val listing = java.nio.file.Files.list(tmp)
+      try {
+        val b = Seq.newBuilder[java.nio.file.Path]
+        val it = listing.iterator()
+        while (it.hasNext) {
+          val p = it.next()
+          if (p.getFileName.toString.endsWith(".parquet")) b += p
+        }
+        // stable order so replays of the same stage lay files out
+        // identically
+        b.result().sortBy(_.getFileName.toString)
+      } finally listing.close()
+    }
+
+    // Empty (schema-only) parquet used to pad steps short of filesPerStep:
+    // an empty shuffle partition writes NO part file, but batch alignment
+    // needs exactly k files per step. Built lazily from the first frame's
+    // schema; a padding file carries zero rows, so readers see no extra
+    // data.
+    lazy val padTemplate: java.nio.file.Path = {
+      val tmp = graft.util.TempDirs.create("graft-landing-pad")
+      first.limit(0).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val fs = partFiles(tmp)
+      require(fs.nonEmpty,
+        "landing-zone pad template wrote no parquet file — cannot pad " +
+          s"steps to $filesPerStep files")
+      fs.head
+    }
+
     (first +: sentinels).zipWithIndex.foreach { case (df, i) =>
       // exit-registered like every staging dir: a write that FAILS below
       // (disk full, task error) must not orphan a populated intermediate;
       // the eager delete on the success path still runs (exit hook no-ops
       // on missing paths)
       val tmp = graft.util.TempDirs.create("graft-landing-stage")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val listing = java.nio.file.Files.list(tmp)
-      var src: java.nio.file.Path = null
-      try {
-        val part = listing.iterator()
-        while (part.hasNext) {
-          val p = part.next()
-          if (p.getFileName.toString.endsWith(".parquet")) src = p
-        }
-      } finally listing.close()
-      require(src != null,
+      val shaped =
+        if (filesPerStep == 1) df.coalesce(1) else df.repartition(filesPerStep)
+      shaped.write.mode("overwrite").parquet(tmp.toString)
+      val written = partFiles(tmp)
+      require(filesPerStep > 1 || written.nonEmpty,
         s"landing-zone step $i wrote no .parquet part file under $tmp " +
           "(empty-partition write?) — the drain would silently skip a batch")
-      val stepBytes = java.nio.file.Files.size(src)
-      if (maxStepBytes >= 0 && stepBytes > maxStepBytes)
-        throw new IllegalStateException(
-          s"landing-zone step $i is $stepBytes bytes, over the " +
-            s"$MaxStepBytesKey cap of $maxStepBytes: stage() serializes " +
-            "each step through ONE task (the maxFilesPerTrigger=1 drain " +
-            "contract needs one file per step). For bulk data use " +
-            "Scale.writePartitioned and a normal file-source stream; " +
-            s"set $MaxStepBytesKey=-1 to override.")
-      val dst = staged.resolve(f"step-$i%03d.parquet")
-      java.nio.file.Files.copy(src, dst)
-      java.nio.file.Files.setLastModifiedTime(dst,
-        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 10000L))
+      written.foreach { src =>
+        val stepBytes = java.nio.file.Files.size(src)
+        if (maxStepBytes >= 0 && stepBytes > maxStepBytes)
+          throw new IllegalStateException(
+            s"landing-zone step $i part file is $stepBytes bytes, over " +
+              s"the $MaxStepBytesKey cap of $maxStepBytes: each part file " +
+              "is read by ONE source task. For bulk data use " +
+              "Scale.writePartitioned and a normal file-source stream; " +
+              s"raise filesPerStep, or set $MaxStepBytesKey=-1 to override.")
+      }
+      val mtime =
+        java.nio.file.attribute.FileTime.fromMillis(t0 + i * 10000L)
+      (written ++ Seq.fill(filesPerStep - written.size)(padTemplate))
+        .zipWithIndex.foreach { case (src, j) =>
+          val dst = staged.resolve(f"step-$i%03d-$j%02d.parquet")
+          java.nio.file.Files.copy(src, dst)
+          java.nio.file.Files.setLastModifiedTime(dst, mtime)
+        }
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
     staged.toString

@@ -125,12 +125,13 @@ object SessionTimers {
   }
 
   /** Stage `(user_id, ts_us)` rows as a file landing zone — the real events
-    * first, then two far-future sentinel files — and drain with
-    * `maxFilesPerTrigger=1` so the watermark advances batch-by-batch and
-    * every parked session's timer provably fires before the drain
-    * terminates: batch 1 folds the data, batch 2 (sentinel A) publishes the
-    * data watermark, batch 3 (sentinel B) runs with watermark >= every
-    * `last + gap` timer.
+    * first, then two far-future sentinel steps — and drain with
+    * `maxFilesPerTrigger` = the per-step file count so the watermark
+    * advances batch-by-batch and every parked session's timer provably
+    * fires before the drain terminates: batch 1 folds the data (k source
+    * tasks, round-15 — no longer a single-task funnel), batch 2
+    * (sentinel A) publishes the data watermark, batch 3 (sentinel B) runs
+    * with watermark >= every `last + gap` timer.
     */
   /** The UN-STARTED streaming Dataset over a staged landing zone — exposed
     * so the plan pin (PlanSpec/PLANS.md) can inspect the streaming logical
@@ -138,8 +139,9 @@ object SessionTimers {
     * (every file advances the clock), TransformWithState in EventTime time
     * mode keyed by user_id.
     */
-  def sessionStream(s: SparkSession, staged: String,
-      gapUs: Long): org.apache.spark.sql.Dataset[SessionRow] = {
+  def sessionStream(s: SparkSession, staged: String, gapUs: Long,
+      filesPerStep: Int = LandingZone.DrainFilesPerStep)
+      : org.apache.spark.sql.Dataset[SessionRow] = {
     import s.implicits._
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("user_id",
@@ -147,7 +149,7 @@ object SessionTimers {
       org.apache.spark.sql.types.StructField("ts_us",
         org.apache.spark.sql.types.LongType)))
     s.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", filesPerStep.toString)
       .parquet(staged)
       .withColumn("ts_t", timestamp_micros(col("ts_us")))
       .withWatermark("ts_t", "0 seconds")
@@ -169,14 +171,17 @@ object SessionTimers {
       val sentB = sentA + 3600000000L
       LandingZone.stage(rows,
         Seq(Seq((SentinelKey, sentA)).toDF("user_id", "ts_us"),
-          Seq((SentinelKey, sentB)).toDF("user_id", "ts_us")))
+          Seq((SentinelKey, sentB)).toDF("user_id", "ts_us")),
+        filesPerStep = LandingZone.DrainFilesPerStep)
     }
     // staged landing zones are replay-only — memoize (revalidated) per
     // caller key so repeated drains of the same source skip the three
-    // staging write jobs
+    // staging write jobs; the layout (files per step) is part of the key
     val staged =
       if (cacheKey == null) stage()
-      else StagedDirs.getOrStage(s"tws-sessions|$cacheKey|$gapUs")(stage())
+      else StagedDirs.getOrStage(
+        s"tws-sessions|$cacheKey|$gapUs|k${LandingZone.DrainFilesPerStep}")(
+        stage())
 
     // Round-13 isolation fix: the provider/partition overrides run on an
     // ISOLATED child session instead of set-then-restore on the caller's —

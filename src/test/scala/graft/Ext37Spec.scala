@@ -155,6 +155,71 @@ class Ext37Spec extends SparkTestBase {
     } finally spark.conf.unset(key)
   }
 
+  test("round-15: filesPerStep>1 stages EXACTLY k files per step (empty " +
+      "padding included), one mtime per step, strictly increasing") {
+    val rows = Seq.tabulate(9)(i => ((i % 3).toLong, i * 60000000L))
+      .toDF("user_id", "ts_us")
+    val sent = Seq((Long.MinValue, 999999999999L)).toDF("user_id", "ts_us")
+    val dir = graft.streaming.LandingZone.stage(rows, Seq(sent, sent),
+      filesPerStep = 4)
+    val files = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val byStep = files.groupBy(_.getName.take("step-000".length))
+    assert(byStep.keySet == Set("step-000", "step-001", "step-002"))
+    byStep.values.foreach { fs =>
+      assert(fs.length == 4, s"step not padded to 4 files: ${fs.toSeq}")
+      assert(fs.map(_.lastModified).distinct.length == 1,
+        "files within a step must share one mtime")
+    }
+    val stepTimes = byStep.toSeq.sortBy(_._1).map(_._2.head.lastModified)
+    assert(stepTimes == stepTimes.sorted && stepTimes.distinct == stepTimes,
+      "step mtimes must strictly increase")
+    // padding files carry zero rows: full read-back equals data + sentinels
+    assert(spark.read.parquet(dir).count() == 11)
+  }
+
+  test("round-15: with k files per step, one micro-batch consumes exactly " +
+      "one step (batch alignment is what makes the sentinel flush provable)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val m = 60000000L
+    val rows = Seq.tabulate(9)(i => ((i % 3).toLong, i * m))
+      .toDF("user_id", "ts_us")
+    val sentKey = Long.MinValue
+    val sentA = Seq((sentKey, 9999L * m)).toDF("user_id", "ts_us")
+    val sentB = Seq((sentKey, 10999L * m)).toDF("user_id", "ts_us")
+    val k = graft.streaming.LandingZone.DrainFilesPerStep
+    val staged = graft.streaming.LandingZone.stage(rows, Seq(sentA, sentB),
+      filesPerStep = k)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    val out = SessionTimers.sessionStream(ss, staged, gapUs = 1800000000L,
+      filesPerStep = k)
+    val name = "r15_align_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.toDF().writeStream.outputMode("append").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    graft.streaming.Drain.awaitOrFail(q, "r15_align")
+    try {
+      val perBatch = q.recentProgress.toSeq.map(_.numInputRows)
+        .filter(_ > 0) // trailing no-data progress entries carry 0 rows
+      assert(perBatch == Seq(9L, 1L, 1L),
+        s"batches misaligned with steps: $perBatch")
+      // all 9 on-time rows folded: 3 users x 1 session of 3 events each
+      // (events 8 min apart, 30 min gap => one session per user)
+      val got = ss.table(name)
+        .as[(Long, Long, Long, Long)](org.apache.spark.sql.Encoders
+          .tuple(org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+        .collect().toSeq
+      assert(got.map(_._4).sum == 9L, s"rows dropped as late: $got")
+      assert(got.size == 3)
+    } finally ss.catalog.dropTempView(name)
+  }
+
   test("round-13: negative user ids are DATA, not sentinels (the old key<0 " +
       "check silently swallowed every signed-hash key's sessions)") {
     val gap = 1000000L
