@@ -33,6 +33,14 @@ import org.apache.spark.sql.functions.udf
   * loads the full ~7.5k-entry published file for 100% lexical coverage —
   * the file format is the published TSV, no code changes needed.
   *
+  * EMBEDDED-LEXICON BOUNDARY — FINAL (round 15). The residual ~100-entry
+  * gap vs the published file is the tail that failed the two-embedded-
+  * sibling precision test (no independent family evidence for the exact
+  * valence): transcribing those from memory risks wrong scores, which is
+  * worse for fidelity than a missing rare word. The embedded set will not
+  * be widened further; deployments wanting the complete published
+  * vocabulary load it through the file seam above.
+  *
   * Kept as a Scala UDF by design: the control flow (per-distance backward
   * scan with running-valence sign checks) is genuinely imperative;
   * SURVEY.md §2.9 rates a UDF sufficient for parity. The DuckDB oracle

@@ -949,6 +949,57 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("round-15: JDBC (Derby) scan — column pruning and predicate " +
+      "pushdown reach the remote query; the gate round trip reads only " +
+      "its aggregate's columns over 4 scan partitions (SURVEY §4.1)") {
+    import org.apache.spark.sql.execution.RowDataSourceScanExec
+    import org.apache.spark.sql.functions.{col, count, lit, max, sum}
+    withStaticPlans {
+      // 1) the gate query's own read-back: the explicit select + aggregate
+      // must prune the JDBC scan to exactly the consumed columns, through
+      // the partitioned (numPartitions=4) scan
+      val gate = graft.queries.Ext8Queries.jdbcRoundtrip(spark, sf)
+      val gateScans = planOf(gate)
+        .collect { case s: RowDataSourceScanExec => s }
+      assert(gateScans.size == 1, s"expected 1 JDBC scan, got $gateScans")
+      assert(gateScans.head.output.map(_.name).toSet
+        == Set("event_type", "value", "ts_us"),
+        "JDBC query not narrowed: " +
+          gateScans.head.output.map(_.name).mkString(","))
+      assert(gateScans.head.inputRDDs().map(_.getNumPartitions).sum == 4,
+        "partitioned JDBC scan collapsed to fewer connections")
+      // 2) a filtered read on a Derby table: the predicate is PUSHED (the
+      // `*` prefix = fully handled by the source, no residual Spark
+      // filter) and the filter-only column pruned away. Numeric predicate
+      // on purpose: Derby stores Spark strings as CLOB, which rejects
+      // remote string comparisons.
+      val db = graft.util.TempDirs.create("graft-derby-plan")
+        .resolve("plandb")
+      val url = s"jdbc:derby:$db;create=true"
+      val props = new java.util.Properties()
+      spark.range(100).selectExpr("id AS event_id", "id * 2 AS ts_us",
+          "CAST(id % 3 AS STRING) AS event_type",
+          "CAST(id AS DOUBLE) AS value")
+        .write.jdbc(url, "events_jdbc", props)
+      val q2 = spark.read.jdbc(url, "events_jdbc", props)
+        .filter(col("event_id") < 50)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("value").as("s"),
+          max("ts_us").as("m"))
+      val scan2 = planOf(q2)
+        .collect { case s: RowDataSourceScanExec => s }
+      assert(scan2.size == 1)
+      val pushed = scan2.head.metadata("PushedFilters")
+      assert(pushed.contains("*LessThan(event_id,50)"),
+        s"predicate not pushed to the JDBC source: $pushed")
+      assert(scan2.head.output.map(_.name).toSet
+        == Set("event_type", "value", "ts_us"),
+        "filter-only column not pruned from the JDBC query: " +
+          scan2.head.output.map(_.name).mkString(","))
+      assert(q2.collect().length == 3) // the pushed plan actually runs
+    }
+  }
+
   // ---- round-13 budget pins: every remaining >1.5 s-anchor BATCH query -
 
   test("round-13 shape budgets: each remaining >1.5s-anchor batch query " +
