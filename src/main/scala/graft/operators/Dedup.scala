@@ -642,12 +642,22 @@ object Dedup {
     val toks = shinglePostings(df, idCol, textCol, n)
       .withColumnRenamed("shingle", "tok")
       .withColumn("h", tokHash(col("tok")))
+    // Branch-free vote formulation (round-15): per bit, count the ONES with
+    // sum((h >>> i) & 1) and set the fingerprint bit iff 2·ones > n — equal
+    // to the former sum(when(bit, 1).otherwise(-1)) > 0 vote exactly (ties
+    // leave the bit clear in both), so the SQL oracle replay is untouched.
+    // Replacing the 60 CASE WHEN branches with shift-mask arithmetic keeps
+    // the codegen'd primitive HashAggregate (a typed Aggregator here falls
+    // back to sort-based ObjectHashAggregate past 128 groups — measured
+    // SLOWER steady-state) while shrinking the generated vote code the
+    // one-time whole-stage compile pays for.
     val votes = (0 until bits).map { i =>
-      sum(when(col("h").bitwiseAND(lit(1L << i)) =!= 0, 1).otherwise(-1)).as(s"v$i")
-    }
+      sum(shiftrightunsigned(col("h"), i).bitwiseAND(lit(1L))).as(s"v$i")
+    } :+ count(lit(1)).as("vn")
     val agg = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
     val fp = (0 until bits)
-      .map(i => when(col(s"v$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+      .map(i => when(col(s"v$i") * 2 > col("vn"), lit(1L << i))
+        .otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     agg.select(col("id"), fp.as("simhash"))
   }
