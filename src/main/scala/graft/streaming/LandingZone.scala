@@ -123,6 +123,13 @@ object LandingZone {
       require(filesPerStep > 1 || written.nonEmpty,
         s"landing-zone step $i wrote no .parquet part file under $tmp " +
           "(empty-partition write?) — the drain would silently skip a batch")
+      // more files than the drain's maxFilesPerTrigger would smear one step
+      // across two batches and silently break the batch/step alignment the
+      // sentinel flush proof rides on
+      require(written.size <= filesPerStep,
+        s"landing-zone step $i wrote ${written.size} part files, over the " +
+          s"filesPerStep=$filesPerStep drain contract (maxRecordsPerFile " +
+          "splitting or speculative leftovers?)")
       written.foreach { src =>
         val stepBytes = java.nio.file.Files.size(src)
         if (maxStepBytes >= 0 && stepBytes > maxStepBytes)
