@@ -612,11 +612,12 @@ object Dedup {
 
   // --- SimHash ---------------------------------------------------------------
 
-  /** 64-bit SimHash over n-gram shingle features: per bit, shingles vote
-    * +1/-1 by their xxhash64 bit; the fingerprint sets bits with positive
-    * vote sums. Shingles (not unigrams) keep the fingerprint discriminative
-    * when the vocabulary is small. 64 codegen'd conditional sums in ONE
-    * aggregate pass.
+  /** 64-bit SimHash over n-gram shingle features: per bit, count the
+    * shingles whose token-hash bit is set and set the fingerprint bit iff
+    * set-votes form a strict majority (2·ones > n — equal to the classic
+    * ±1 vote sum being positive). Shingles (not unigrams) keep the
+    * fingerprint discriminative when the vocabulary is small. 64 codegen'd
+    * branch-free shift-mask sums in ONE aggregate pass (round 15).
     */
   /** Default shingle hash: Spark-native codegen'd xxhash64 (fast path). */
   val xxhashTok: Column => Column = (c: Column) => xxhash64(c)

@@ -60,10 +60,14 @@ object LandingZone {
     * source's processing order) — and return the directory path. All
     * frames must share one schema. Drain with
     * `maxFilesPerTrigger = filesPerStep` so one batch consumes exactly one
-    * step.
+    * step — the default here deliberately EQUALS [[SessionTimers
+    * .sessionStream]]'s default `maxFilesPerTrigger` ([[DrainFilesPerStep]])
+    * so a caller pairing the two public APIs on defaults keeps the
+    * batch/step alignment the sentinel-flush proof rides on; override BOTH
+    * together or neither.
     */
   def stage(first: DataFrame, sentinels: Seq[DataFrame],
-      filesPerStep: Int = 1): String = {
+      filesPerStep: Int = DrainFilesPerStep): String = {
     require(filesPerStep >= 1,
       s"stage: filesPerStep must be >= 1, got $filesPerStep")
     val maxStepBytes = {
@@ -97,13 +101,18 @@ object LandingZone {
 
     // Empty (schema-only) parquet used to pad steps short of filesPerStep:
     // an empty shuffle partition writes NO part file, but batch alignment
-    // needs exactly k files per step. Built lazily from the first frame's
-    // schema; a padding file carries zero rows, so readers see no extra
-    // data.
-    lazy val padTemplate: java.nio.file.Path = {
-      val tmp = graft.util.TempDirs.create("graft-landing-pad")
-      first.limit(0).coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val fs = partFiles(tmp)
+    // needs exactly k files per step. Built lazily ONCE per stage() call
+    // from the first frame's schema (its dir is eagerly deleted at the end
+    // of staging); a padding file carries zero rows, so readers see no
+    // extra data.
+    var padDir: java.nio.file.Path = null
+    def padTemplate: java.nio.file.Path = {
+      if (padDir == null) {
+        padDir = graft.util.TempDirs.create("graft-landing-pad")
+        first.limit(0).coalesce(1).write.mode("overwrite")
+          .parquet(padDir.toString)
+      }
+      val fs = partFiles(padDir)
       require(fs.nonEmpty,
         "landing-zone pad template wrote no parquet file — cannot pad " +
           s"steps to $filesPerStep files")
@@ -120,9 +129,16 @@ object LandingZone {
         if (filesPerStep == 1) df.coalesce(1) else df.repartition(filesPerStep)
       shaped.write.mode("overwrite").parquet(tmp.toString)
       val written = partFiles(tmp)
-      require(filesPerStep > 1 || written.nonEmpty,
+      // a NON-EMPTY frame that writes zero part files is a write anomaly
+      // the drain would silently turn into a skipped batch (round-14
+      // loudness, restored for the padded path too: padding an anomaly
+      // into an all-empty step would eat a watermark advance). A genuinely
+      // empty frame (e.g. an empty source table) pads to a zero-row step,
+      // which is correct — there is nothing to fold and sentinels still
+      // advance the clock.
+      require(written.nonEmpty || df.isEmpty,
         s"landing-zone step $i wrote no .parquet part file under $tmp " +
-          "(empty-partition write?) — the drain would silently skip a batch")
+          "for a NON-EMPTY frame — the drain would silently skip a batch")
       // more files than the drain's maxFilesPerTrigger would smear one step
       // across two batches and silently break the batch/step alignment the
       // sentinel flush proof rides on
@@ -145,11 +161,18 @@ object LandingZone {
       (written ++ Seq.fill(filesPerStep - written.size)(padTemplate))
         .zipWithIndex.foreach { case (src, j) =>
           val dst = staged.resolve(f"step-$i%03d-$j%02d.parquet")
-          java.nio.file.Files.copy(src, dst)
+          // written files: metadata-only rename (both dirs live under the
+          // same TempDirs root — a byte-copy would double the write I/O the
+          // per-file cap scales to filesPerStep x 1 GiB). The pad template
+          // is COPIED: it is reused across steps.
+          if (src.startsWith(tmp)) java.nio.file.Files.move(src, dst)
+          else java.nio.file.Files.copy(src, dst)
           java.nio.file.Files.setLastModifiedTime(dst, mtime)
         }
       org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
     }
+    if (padDir != null)
+      org.apache.commons.io.FileUtils.deleteDirectory(padDir.toFile)
     staged.toString
   }
 }

@@ -55,12 +55,19 @@ class Ext12EdgeSpec extends SparkTestBase {
     def run() = Anonymize.kAnonymize(df, Seq("q"), 2)
       .orderBy("id").collect().toSeq
     val expected = run() // default localCheckpoint
-    for (mode <- Seq("cache", "none")) {
+    // 'none' BEFORE 'cache', with a cache sweep after each leg: the cache
+    // leg registers the window plan in the shared CacheManager, and a
+    // later identical plan would silently get the cached InMemoryRelation
+    // substituted — the un-pinned double-evaluation path 'none' exists to
+    // exercise would never actually run
+    for (mode <- Seq("none", "cache")) {
       spark.conf.set(Anonymize.PinModeKey, mode)
       try assert(run() == expected, s"pin mode '$mode' diverged")
-      finally spark.conf.unset(Anonymize.PinModeKey)
+      finally {
+        spark.conf.unset(Anonymize.PinModeKey)
+        spark.catalog.clearCache()
+      }
     }
-    spark.catalog.clearCache()
     spark.conf.set(Anonymize.PinModeKey, "bogus")
     try intercept[IllegalArgumentException](run())
     finally spark.conf.unset(Anonymize.PinModeKey)

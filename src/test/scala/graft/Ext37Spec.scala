@@ -176,6 +176,14 @@ class Ext37Spec extends SparkTestBase {
       "step mtimes must strictly increase")
     // padding files carry zero rows: full read-back equals data + sentinels
     assert(spark.read.parquet(dir).count() == 11)
+    // a genuinely EMPTY first frame pads to a zero-row step (nothing to
+    // fold; the sentinels still advance the clock) — layout intact
+    val dirE = graft.streaming.LandingZone.stage(
+      rows.filter(col("user_id") < -999), Seq(sent), filesPerStep = 4)
+    val filesE = new java.io.File(dirE).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(filesE.length == 8, s"empty-first staging broke the layout")
+    assert(spark.read.parquet(dirE).count() == 1)
   }
 
   test("round-15: with k files per step, one micro-batch consumes exactly " +

@@ -70,12 +70,15 @@ def main() -> int:
         # ratio over the COMMON query set on both sides: summing all-run
         # `total` against an anchor sum restricted to `common` inflates the
         # ratio whenever the anchor file is missing queries
-        excluded = len(names) - len(common)
+        absent = sum(1 for n in names if n not in aq)
+        nonpos = sum(1 for n in names if n in aq and aq[n] <= 0)
+        notes = ([f"{absent} absent from anchor excluded"] if absent else []) \
+            + ([f"{nonpos} with non-positive anchor excluded"] if nonpos
+               else [])
         print(f"anchor: total ratio "
               f"{sum(mins[n] for n in common) / sum(aq[n] for n in common):.3f}"
               f" ({len(common)} queries"
-              + (f", {excluded} absent from anchor excluded" if excluded
-                 else "")
+              + ("".join(", " + x for x in notes))
               + f"), per-query geomean {geo:.3f}")
         over = [n for n in common if mins[n] > 2 * aq[n]]
         print(f"over 2x gate: {over or 'none'}")
