@@ -26,11 +26,24 @@ object Anonymize {
     *    executor (or dynamic-allocation decommission) fails the job
     *    unrecoverably. Fine for local[] / static-allocation clusters.
     *  - `cache` — MEMORY_AND_DISK persist WITH lineage. A lost block is
-    *    recomputed from source; under a non-deterministic upstream
-    *    (sample/rand) that recompute could in principle diverge, but the
-    *    guard and the suppression then BOTH re-read the recomputed blocks,
-    *    so the sub-k "*" release hazard stays closed for any single lost
-    *    block consumed once. Use on clusters with dynamic allocation.
+    *    recomputed from source, so the job survives executor loss. BUT the
+    *    pinned blocks are consumed TWICE (once by the starPool guard
+    *    aggregate, once by the suppression branch): a block evicted or lost
+    *    BETWEEN those two consumptions recomputes from the upstream, and if
+    *    that upstream is non-deterministic (sample/rand) the recomputed rows
+    *    differ from the ones the _nstar guard was computed over — the guard
+    *    then no longer matches the rows it gates, reopening the sub-k "*"
+    *    release hazard for exactly that divergence window. `cache` narrows
+    *    the hazard (vs `none` re-evaluating everything); it does NOT close
+    *    it. Callers with non-deterministic upstreams on dynamic-allocation
+    *    clusters should pre-pin with a reliable `df.checkpoint()` (HDFS-
+    *    backed, survives executor loss deterministically) before calling.
+    *    NOTE `cache` registers the counted plan in the session's shared
+    *    CacheManager and [[kAnonymize]] never unpersists it: a LATER
+    *    logically-identical call under pin mode `none` silently resolves to
+    *    the cached InMemoryRelation — `none` is not honored after a prior
+    *    `cache` call in the same session unless the caller releases first
+    *    (`spark.catalog.clearCache()` / unpersist on the source).
     *  - `none` — no pin: each consumer re-evaluates the scan + window.
     *    ONLY sound when the caller certifies the input deterministic
     *    (no sample/rand/shuffling nondeterminism upstream); avoids pinned

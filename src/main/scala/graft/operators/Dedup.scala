@@ -647,7 +647,8 @@ object Dedup {
     // sum((h >>> i) & 1) and set the fingerprint bit iff 2·ones > n — equal
     // to the former sum(when(bit, 1).otherwise(-1)) > 0 vote exactly (ties
     // leave the bit clear in both), so the SQL oracle replay is untouched.
-    // Replacing the 60 CASE WHEN branches with shift-mask arithmetic keeps
+    // Replacing the per-bit CASE WHEN branches (64 at the default width)
+    // with shift-mask arithmetic keeps
     // the codegen'd primitive HashAggregate (a typed Aggregator here falls
     // back to sort-based ObjectHashAggregate past 128 groups — measured
     // SLOWER steady-state) while shrinking the generated vote code the

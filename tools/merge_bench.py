@@ -65,6 +65,10 @@ def main() -> int:
         aq = json.load(open(args.anchor))
         aq = aq.get("queries", aq)
         common = [n for n in names if n in aq and aq[n] > 0]
+        if not common:
+            print("anchor: no overlapping queries with anchor file "
+                  f"{args.anchor} — skipping ratio/geomean report")
+            return 0
         geo = math.exp(sum(math.log(mins[n] / aq[n]) for n in common)
                        / len(common))
         # ratio over the COMMON query set on both sides: summing all-run
