@@ -57,17 +57,29 @@ object Verify {
     // the shared SparkConf and the per-query child sessions inherit them
     // (runtime conf.set on the root session does NOT propagate to
     // newSession(), same reason the gate pins sit at builder level).
-    sys.env.get("SPARK_GRAFT_EXTRA_CONF").foreach { s =>
-      s.split(',').map(_.trim).filter(_.nonEmpty).foreach { kv =>
-        kv.split("=", 2) match {
-          case Array(k, v) if k.trim.startsWith("spark.") =>
-            sys.props(k.trim) = v.trim
-          case _ => throw new IllegalArgumentException(
-            s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not spark.*=value")
+    // graft.* keys (library knobs like graft.anonymize.pin) are legal too
+    // (round-16: the pin-mode invariance run flips a graft.* conf): they
+    // cannot ride system properties (SparkConf.loadFromSystemProperties
+    // only picks up spark.*), so they are applied as builder-level
+    // .config entries below — AFTER the gate pins, so an extra-conf entry
+    // can also override a pin deliberately.
+    val extraConf: Seq[(String, String)] =
+      sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq.flatMap { s =>
+        s.split(',').map(_.trim).filter(_.nonEmpty).map { kv =>
+          kv.split("=", 2) match {
+            case Array(k, v) if k.trim.startsWith("spark.") ||
+                k.trim.startsWith("graft.") =>
+              (k.trim, v.trim)
+            case _ => throw new IllegalArgumentException(
+              s"SPARK_GRAFT_EXTRA_CONF entry '$kv' is not spark.*=value " +
+                "or graft.*=value")
+          }
         }
       }
+    extraConf.foreach { case (k, v) =>
+      if (k.startsWith("spark.")) sys.props(k) = v
     }
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
@@ -80,6 +92,8 @@ object Verify {
       .config("graft.lsh.bitsPerBand", "6")
       .config("graft.semdedup.centroids", "8")
       .config("graft.ivf.centroids", "10")
+    val spark = extraConf
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

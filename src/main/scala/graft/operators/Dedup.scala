@@ -522,22 +522,49 @@ object Dedup {
     // path's singleton rejoin casts ids to long, which for string ids is
     // NULL: every singleton silently collapsed to one (null, null) row
     // set. Make the contract uniform and size-independent instead.
-    (Seq(nodes.schema(idCol)) ++
-        Seq(pairs.schema("id_1"), pairs.schema("id_2"))).foreach { f =>
+    Seq(nodes.schema(idCol)).foreach { f =>
       import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
       require(Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType),
         s"Dedup.clusterLabels: id column '${f.name}' must be integral " +
           s"(got ${f.dataType.simpleString}) — map string ids to longs " +
           "(e.g. xxhash64) before clustering")
     }
+    val members = memberLabels(pairs, maxIter, smallGraphEdges)
+    // Singletons rejoin (self-labeled) once, at the end: members is pinned
+    // (checkpointed) by memberLabels, so the anti-join's build side reads
+    // pinned blocks, not a recompute.
+    val singletons = nodes.select(col(idCol).cast("long").as("node"))
+      .join(members.select("node"), Seq("node"), "left_anti")
+      .withColumn("label", col("node"))
+    members.unionByName(singletons)
+  }
+
+  /** Labels for EDGE-TOUCHING nodes ONLY — [[clusterLabels]] minus the
+    * singleton rejoin. Every node appearing in `pairs` gets the minimum
+    * reachable id as its label (roots label themselves); nodes absent from
+    * `pairs` are absent from the output. This is the right call when the
+    * consumer only cares about duplicate-cluster MEMBERS (dedup canonical
+    * selection drops singletons anyway): it avoids a full corpus re-scan
+    * and an anti-join whose only product would be rows the caller filters
+    * back out — at 100 TB that second scan is the dominant cost of the
+    * full-labeling variant. Output is pinned (checkpointed), so multiple
+    * consumers do not re-run the resolution.
+    */
+  def memberLabels(pairs: DataFrame, maxIter: Int = 20,
+      smallGraphEdges: Long = 5000000L): DataFrame = {
+    Seq(pairs.schema("id_1"), pairs.schema("id_2")).foreach { f =>
+      import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(f.dataType),
+        s"Dedup.memberLabels: id column '${f.name}' must be integral " +
+          s"(got ${f.dataType.simpleString}) — map string ids to longs " +
+          "(e.g. xxhash64) before clustering")
+    }
     val edges = pairs.select(col("id_1").as("src"), col("id_2").as("dst"))
       .unionByName(pairs.select(col("id_2").as("src"), col("id_1").as("dst")))
       .localCheckpoint()
-    if (edges.count() <= smallGraphEdges) return smallGraphLabels(edges, nodes, idCol)
-    // Propagate over EDGE-TOUCHING nodes only: in a near-dup corpus the
-    // overwhelming majority of docs are singletons — shuffling them through
-    // every round multiplies each iteration's cost for rows whose label can
-    // never change. Singletons rejoin (self-labeled) once, at the end.
+    if (edges.count() <= smallGraphEdges) return smallGraphMemberLabels(edges)
+    // Propagate over the edge-touching nodes (by construction the only
+    // nodes here): labels can change only along edges.
     val active = edges.select(col("src").as("node")).distinct().localCheckpoint()
     var labels = active.withColumn("label", col("node")).localCheckpoint()
     var converged = active.isEmpty
@@ -566,22 +593,18 @@ object Dedup {
       labels = next.select("node", "label")
       iter += 2
     }
-    val singletons = nodes.select(col(idCol).cast("long").as("node"))
-      .join(active, Seq("node"), "left_anti")
-      .withColumn("label", col("node"))
-    labels.unionByName(singletons)
+    labels
   }
 
   /** Small-graph component resolution: path-compressed union-find over the
     * edge list in a single task — one job, O(E α(E)), no fixpoint rounds.
     * Exact same min-label semantics as the distributed loop (union keeps
-    * the smaller root). Singletons rejoin via the same anti-join.
+    * the smaller root). Edge-touching nodes only.
     */
-  private def smallGraphLabels(edges: DataFrame, nodes: DataFrame,
-      idCol: String): DataFrame = {
+  private def smallGraphMemberLabels(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val labeled = edges.select(col("src"), col("dst")).as[(Long, Long)]
+    edges.select(col("src"), col("dst")).as[(Long, Long)]
       .repartition(1)
       .mapPartitions { it =>
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -600,14 +623,10 @@ object Dedup {
         parent.keysIterator.map(n => (n, find(n))).toSeq.iterator
       }
       .toDF("node", "label")
-      // two consumers below (singleton anti-join + final union): pin ONE
-      // evaluation or the single-task union-find pass runs twice
+      // multiple consumers (clusterLabels' singleton anti-join + union, or
+      // dedupClusters' direct select): pin ONE evaluation or the
+      // single-task union-find pass runs once per consumer
       .localCheckpoint(false)
-    val active = labeled.select("node")
-    val singletons = nodes.select(col(idCol).cast("long").as("node"))
-      .join(active, Seq("node"), "left_anti")
-      .withColumn("label", col("node"))
-    labeled.unionByName(singletons)
   }
 
   // --- SimHash ---------------------------------------------------------------

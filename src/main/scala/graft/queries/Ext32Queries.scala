@@ -31,9 +31,16 @@ object Ext32Queries {
     * are tiny relative to the corpus, so the expensive part stays the pair
     * graph, not this pick.
     */
-  def clusterCanonical(s: SparkSession, dir: String): DataFrame = {
-    val members = LlmQueries.dedupClusters(s, dir)
-    val docs = Tables.documents(s, dir).select(col("doc_id"), col("n_chars"))
+  def clusterCanonical(s: SparkSession, dir: String): DataFrame =
+    clusterCanonicalOn(Tables.documents(s, dir))
+
+  /** [[clusterCanonical]] over a caller-supplied documents frame — the
+    * DataFrame core Bench's codegen warm pass reuses (see
+    * [[LlmQueries.dedupClustersOn]] for the one-code-path rationale).
+    */
+  def clusterCanonicalOn(docsFull: DataFrame): DataFrame = {
+    val members = LlmQueries.dedupClustersOn(docsFull)
+    val docs = docsFull.select(col("doc_id"), col("n_chars"))
     val scored = members.join(docs, "doc_id")
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("n_chars").desc, col("doc_id").asc)

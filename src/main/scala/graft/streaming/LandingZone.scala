@@ -31,10 +31,16 @@ import org.apache.spark.sql.DataFrame
   * `repartition(k)` so the drain reads and folds k files in k parallel
   * source tasks per batch — the round-14 single-task drain
   * (`coalesce(1)` + `maxFilesPerTrigger=1`) is the `filesPerStep = 1`
-  * degenerate case. Spark writes no part file for an empty shuffle
-  * partition, so steps are PADDED to exactly k files with empty
-  * (schema-only) parquet files; padding files are data-free and
-  * batch-composition-neutral.
+  * degenerate case. The writer may emit FEWER than k part files (small
+  * frames; AQE-coalesced tiny shuffles — and the coalesced write can even
+  * include a zero-row part file: observed on Spark 4.1.2, 1 row through
+  * repartition(4) wrote 2 files, one empty), so steps are PADDED to
+  * exactly k files with empty (schema-only) parquet files. The pad
+  * arithmetic (`k - written.size`) is correct for ANY written count in
+  * [0, k] — zero-row written files are data-free exactly like pads — and
+  * a write producing MORE than k files throws loudly in [[stage]] rather
+  * than smearing a step across two batches (Ext37Spec round-16 pins this
+  * boundary against Spark upgrades).
   */
 object LandingZone {
 
@@ -100,8 +106,10 @@ object LandingZone {
     }
 
     // Empty (schema-only) parquet used to pad steps short of filesPerStep:
-    // an empty shuffle partition writes NO part file, but batch alignment
-    // needs exactly k files per step. Built lazily ONCE per stage() call
+    // small frames write fewer than k part files (empty partitions are
+    // usually skipped; AQE may coalesce the tiny shuffle outright), but
+    // batch alignment needs exactly k files per step. Built lazily ONCE
+    // per stage() call
     // from the first frame's schema (its dir is eagerly deleted at the end
     // of staging); a padding file carries zero rows, so readers see no
     // extra data.

@@ -60,4 +60,37 @@ class ClusterSpec extends SparkTestBase {
     val twice = labelsOf(pairs, Seq(1L, 2L, 3L, 10L, 11L))
     assert(once == twice)
   }
+
+  test("round-16: memberLabels equals clusterLabels restricted to " +
+      "edge-touching nodes, on both resolution paths") {
+    val rnd = new scala.util.Random(11)
+    val nodes = 0L until 80L
+    val pairs = Seq.fill(50)((rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+      .filter { case (a, b) => a != b }
+    val touching = pairs.flatMap { case (a, b) => Seq(a, b) }.toSet
+    for (threshold <- Seq(5000000L, 0L)) { // union-find path, then forced loop
+      val full = labelsOf(pairs, nodes, smallGraphEdges = threshold)
+      val members = Dedup.memberLabels(pairs.toDF("id_1", "id_2"),
+          smallGraphEdges = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(members.keySet == touching,
+        "memberLabels must cover exactly the edge-touching nodes")
+      assert(members == full.view.filterKeys(touching).toMap,
+        "member labels must agree with the full labeling")
+    }
+  }
+
+  test("round-16: memberLabels of an empty pair set is empty (no phantom " +
+      "rows for a clean corpus)") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_1", "id_2")
+    assert(Dedup.memberLabels(empty).isEmpty)
+  }
+
+  test("round-16: memberLabels rejects non-integral id columns") {
+    val pairs = Seq(("a", "b")).toDF("id_1", "id_2")
+    val e = intercept[IllegalArgumentException] {
+      Dedup.memberLabels(pairs)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
 }

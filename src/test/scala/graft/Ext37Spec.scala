@@ -186,6 +186,52 @@ class Ext37Spec extends SparkTestBase {
     assert(spark.read.parquet(dirE).count() == 1)
   }
 
+  test("round-16: upgrade tripwire — a small repartition(k) write never " +
+      "emits MORE than k part files (the half of the writer contract the " +
+      "step alignment actually rides on)") {
+    // Discovery note (the red run that shaped this test): the draft pin
+    // asserted the "empty shuffle partitions write NO part file" folklore
+    // — expecting exactly 1 file from a 1-row repartition(4) write — and
+    // FAILED on Spark 4.1.2: the write produced 2 files, one with ZERO
+    // rows (AQE coalesces the tiny explicit repartition and the coalesced
+    // write emits an empty part). So that assumption is already false
+    // today, and LandingZone.stage never needed it: the pad count
+    // (filesPerStep - written.size) is correct for ANY written count in
+    // [0, k], and zero-row written files are data-free exactly like
+    // padding files. What step alignment DOES require is written.size
+    // <= filesPerStep — more files than maxFilesPerTrigger would smear
+    // one step across two batches. stage() guards that loudly at runtime;
+    // this spec pins the writer side of the bargain against Spark
+    // upgrades, at the two frame shapes the drains actually stage
+    // (bulk data step, 1-row sentinel step), and proves the <k shortfall
+    // (empties included) still pads to an aligned k-file step.
+    val k = graft.streaming.LandingZone.DrainFilesPerStep
+    for (rows <- Seq(1, 3)) {
+      val tmp = graft.util.TempDirs.create("graft-emptypart-pin")
+      Seq.tabulate(rows)(i => (i.toLong, i.toLong)).toDF("a", "b")
+        .repartition(k).write.mode("overwrite").parquet(tmp.toString)
+      val parts = new java.io.File(tmp.toString).listFiles
+        .filter(_.getName.endsWith(".parquet"))
+      assert(parts.length <= k && parts.nonEmpty,
+        s"Spark wrote ${parts.length} part files for a $rows-row " +
+          s"repartition($k) write — outside the (0, k] band " +
+          "LandingZone.stage's pad arithmetic and step alignment assume; " +
+          "revisit the staged-drain layout before trusting this Spark")
+      // read-back sanity: zero-row parts (if any) add no data
+      assert(spark.read.parquet(tmp.toString).count() == rows)
+    }
+    // end-to-end: a 1-row step (the sentinel shape) still lands as
+    // exactly k files after padding, zero-row parts and all
+    val one = Seq((Long.MinValue, 999999999999L)).toDF("user_id", "ts_us")
+    val dir = graft.streaming.LandingZone.stage(one, Seq.empty,
+      filesPerStep = k)
+    val staged = new java.io.File(dir).listFiles
+      .filter(_.getName.endsWith(".parquet"))
+    assert(staged.length == k,
+      s"1-row step staged ${staged.length} files, expected $k")
+    assert(spark.read.parquet(dir).count() == 1)
+  }
+
   test("round-15: with k files per step, one micro-batch consumes exactly " +
       "one step (batch alignment is what makes the sentinel flush provable)") {
     import org.apache.spark.sql.streaming.Trigger

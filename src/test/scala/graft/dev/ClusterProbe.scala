@@ -1,0 +1,166 @@
+package graft.dev
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only probe for the q_cluster_canonical bimodality (round-16 ask #1):
+  * runs the query N times in one JVM, printing per-job wall times, GC-time
+  * deltas, and codegen-compile counters between runs — separates a
+  * first-run JIT term (fast after run 1) from a stochastic GC term (random
+  * across runs) from a double-computed stage (visible as a repeated job).
+  * Run: sbt 'Test/runMain graft.dev.ClusterProbe [reps]'
+  */
+object ClusterProbe {
+  def main(args: Array[String]): Unit = {
+    val reps = args.headOption.map(_.toInt).getOrElse(4)
+    val qname = args.drop(1).headOption.getOrElse("q_cluster_canonical")
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      // stage-id-free generated class names -> janino cache hits across
+      // structurally identical stages (the round-16 experiment)
+      .config("spark.sql.codegen.useIdInClassName", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+    val jobLines = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val desc = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("?")
+        jobStarts.put(e.jobId, (System.nanoTime(), desc))
+      }
+      override def onJobEnd(e: SparkListenerJobEnd): Unit = {
+        Option(jobStarts.remove(e.jobId)).foreach { case (t0, desc) =>
+          val ms = (System.nanoTime() - t0) / 1e6
+          if (ms > 50) jobLines.add(f"    job ${e.jobId}%3d ${ms}%8.0f ms  $desc")
+        }
+      }
+    })
+
+    def gcMs: Long = {
+      import scala.jdk.CollectionConverters._
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(_.getCollectionTime).sum
+    }
+    // Janino whole-stage-codegen compile cost (driver-side, serial):
+    // CodegenMetrics' histogram of per-compile times in nanoseconds.
+    def codegenNs: (Long, Long) = {
+      val h = org.apache.spark.metrics.source.CodegenMetrics
+        .METRIC_COMPILATION_TIME
+      (h.getCount, h.getSnapshot.getValues.sum)
+    }
+    def jitMs: Long =
+      java.lang.management.ManagementFactory.getCompilationMXBean
+        .getTotalCompilationTime
+
+    // warmup like Bench: flagship + all tables + fixtures (mirrors
+    // Bench.main's warm() block so a single-rep fresh-JVM invocation of
+    // this probe reproduces the isolated-protocol conditions exactly)
+    graft.SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+    Seq("lineitem", "orders", "customer", "supplier", "part", "nation",
+      "region", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet")
+        .write.format("noop").mode("overwrite").save()
+    }
+    try graft.queries.Ext6Queries.ensureStaged(spark, sfDir)
+    catch { case e: Throwable => println(s"warm fixture: $e") }
+    try graft.queries.Ext14Queries.binarySource(spark, sfDir).limit(1).collect()
+    catch { case e: Throwable => println(s"warm fixture: $e") }
+    // codegen warm: the exact cluster-canonical builder over a tiny
+    // synthetic corpus with guaranteed near-dup pairs — compiles the
+    // pipeline's generated stage sources outside the timed region
+    {
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+        "eta", "theta")
+      val rows = (0 until 8000).map { i =>
+        val g = i / 2
+        val toks = (0 until 50).map(j => words(j % 8) + "g" + g + "x" + j)
+        val text = (if (i % 2 == 0) toks
+          else toks.drop(1) :+ ("tail" + g)).mkString(" ")
+        Row(i.toLong, text, "en", "synthetic", text.length.toLong)
+      }
+      val docs0 = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 16), schema)
+      // round-trip through parquet so the warm plan's SCAN stage generates
+      // the same source as the real query's parquet scan
+      val warmDir = graft.util.TempDirs.create("graft-codegen-warm")
+      docs0.write.mode("overwrite").parquet(warmDir.toString)
+      val docs = spark.read.parquet(warmDir.toString)
+      for (_ <- 1 to 2) {
+        graft.queries.Ext32Queries.clusterCanonicalOn(docs)
+          .write.format("noop").mode("overwrite").save()
+        graft.operators.Dedup.unpersistIntermediates()
+        spark.catalog.clearCache()
+      }
+    }
+    println(s"warmup done: jit=${jitMs} ms codegen=${codegenNs._1} compiles")
+
+    for (r <- 1 to reps) {
+      jobLines.clear()
+      val g0 = gcMs
+      val (c0, _) = codegenNs
+      val j0 = jitMs
+      val t0 = System.nanoTime()
+      if (qname == "phases") {
+        // phase decomposition of q_cluster_canonical
+        import org.apache.spark.sql.functions._
+        def lap(tag: String, t: Long): Long = {
+          val now = System.nanoTime()
+          println(f"      phase $tag%-12s ${(now - t) / 1e9}%6.2f s")
+          now
+        }
+        var tp = t0
+        val docs = graft.sources.Tables.documents(spark, sfDir)
+        val pairs = graft.operators.Dedup.jaccardPrefixPairs(
+          docs, "doc_id", "text", n = 3, threshold = 0.5)
+        tp = lap("pairs-build", tp)
+        val labels = graft.operators.Dedup.memberLabels(
+          pairs.select("id_1", "id_2"))
+        tp = lap("labels-build", tp) // eager checkpoint runs HERE
+        val members = labels.select(col("node").as("doc_id"),
+          col("label").as("cluster_id"))
+        val scored = members.join(
+          docs.select(col("doc_id"), col("n_chars")), "doc_id")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("cluster_id"))
+          .orderBy(col("n_chars").desc, col("doc_id").asc)
+        scored.withColumn("rk", row_number().over(w))
+          .groupBy(col("cluster_id"))
+          .agg(max(when(col("rk") === 1, col("doc_id"))).as("canonical_id"),
+            count(lit(1)).as("n_members"),
+            max(when(col("rk") === 1, col("n_chars"))).as("kept_chars"),
+            (sum(col("n_chars")) - max(when(col("rk") === 1, col("n_chars"))))
+              .as("dropped_chars"))
+          .write.format("noop").mode("overwrite").save()
+        lap("tail-write", tp)
+      } else {
+        graft.SparkEntry.queries(qname)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+      }
+      val t = (System.nanoTime() - t0) / 1e9
+      val dg = gcMs - g0
+      val (c1, _) = codegenNs
+      val dj = jitMs - j0
+      println(f"run $r: ${t}%6.2f s   gc +${dg} ms   codegen +${c1 - c0} compiles   jit +${dj} ms")
+      jobLines.forEach(l => println(l))
+      graft.operators.Dedup.unpersistIntermediates()
+      spark.catalog.clearCache()
+    }
+    spark.stop()
+  }
+}
