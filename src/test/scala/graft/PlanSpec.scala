@@ -1021,7 +1021,11 @@ class PlanSpec extends SparkTestBase {
     final case class Budget(sh: Int, smj: Int, bhj: Int, bnlj: Int, win: Int)
     val budgets = Seq(
       "q_curation_funnel" -> Budget(6, 1, 0, 4, 0),
-      "q_cluster_canonical" -> Budget(1, 0, 1, 0, 1),
+      // round-16 memberLabels collapse: the singleton anti-join + corpus
+      // re-scan + filter/union/distinct tail left the plan — ZERO
+      // exchanges remain (the heavy work sits inside the checkpointed
+      // pair/label subtree); one broadcast docs join + one window
+      "q_cluster_canonical" -> Budget(0, 0, 1, 0, 1),
       "q_containment" -> Budget(3, 0, 5, 0, 0),
       "q_containment_prefix" -> Budget(1, 0, 3, 0, 0),
       "q_kn_bigram" -> Budget(10, 0, 3, 1, 0),
@@ -1031,9 +1035,10 @@ class PlanSpec extends SparkTestBase {
       // the cached subtree, the tail is one broadcast band-bucket verify
       "q_simhash_fast" -> Budget(0, 0, 1, 0, 0),
       "q_bigram_lm" -> Budget(7, 0, 2, 1, 0),
-      // the label-propagation tail (edges materialized per round; the
-      // union-find below the 5M-edge cutoff is a single narrow task)
-      "q_dedup_clusters" -> Budget(1, 0, 0, 0, 0),
+      // round-16: the tail is just the checkpointed union-find scan plus
+      // a rename — no shuffle, join, or window at all (the singleton
+      // rejoin that used to cost an anti-join is gone with memberLabels)
+      "q_dedup_clusters" -> Budget(0, 0, 0, 0, 0),
       "q_assoc_rules" -> Budget(7, 1, 5, 1, 0),
       "q_lpa_communities" -> Budget(8, 3, 2, 0, 2),
       "q_jaccard_prefix" -> Budget(1, 0, 3, 0, 0),
