@@ -3,12 +3,21 @@ package graft.dev
 import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
 import org.apache.spark.sql.SparkSession
 
-/** Dev-only probe for the q_cluster_canonical bimodality (round-16 ask #1):
-  * runs the query N times in one JVM, printing per-job wall times, GC-time
-  * deltas, and codegen-compile counters between runs — separates a
-  * first-run JIT term (fast after run 1) from a stochastic GC term (random
-  * across runs) from a double-computed stage (visible as a repeated job).
-  * Run: sbt 'Test/runMain graft.dev.ClusterProbe [reps]'
+/** Dev-only probe for cold-run cost attribution (round 16: this is the
+  * instrument that re-diagnosed the q_cluster_canonical "bimodality" as
+  * first-execution compile cost): runs a query N times in one JVM,
+  * printing per-job wall times, GC-time deltas, janino codegen-compile
+  * counts, and JVM JIT-time deltas between runs — separates a first-run
+  * compile term (fast after run 1, visible in the codegen/jit counters)
+  * from a stochastic GC term (random across runs) from a double-computed
+  * stage (visible as a repeated job). The warmup mirrors Bench.main's
+  * warm() block, including the parquet-round-tripped synthetic codegen
+  * warm, so a single-rep fresh-JVM invocation reproduces the isolated
+  * bench protocol's conditions.
+  * Run: sbt 'Test/runMain graft.dev.ClusterProbe [reps] [queryName]'
+  * — queryName defaults to q_cluster_canonical; the literal name
+  * `phases` instead runs a phase-decomposed q_cluster_canonical
+  * (pairs-build / labels-build / tail-write laps).
   */
 object ClusterProbe {
   def main(args: Array[String]): Unit = {
