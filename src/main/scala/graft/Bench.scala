@@ -14,6 +14,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val noR16Warm = sys.env.get("SPARK_GRAFT_NO_R16_WARM")
+      .exists(v => v.nonEmpty && v != "0" && v != "false")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,9 +35,9 @@ object Bench {
       // those recompiles are pure waste on the driver's compile path —
       // measured ~85 compiles inside q_cluster_canonical's cold timed
       // region, of which the warm pass below + this conf remove ~75.
-      // SPARK_GRAFT_NO_R16_WARM=1 restores the r15 posture (A/B lever).
-      .config("spark.sql.codegen.useIdInClassName",
-        sys.env.contains("SPARK_GRAFT_NO_R16_WARM").toString)
+      // SPARK_GRAFT_NO_R16_WARM=1 restores the r15 posture (A/B lever;
+      // 0/empty/false count as UNSET, so '=0' does not silently flip arms).
+      .config("spark.sql.codegen.useIdInClassName", noR16Warm.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -108,61 +110,25 @@ object Bench {
       graft.queries.Ext6Queries.ensureStaged(spark, sfDir))
     warm("binary-source landing zone")(
       graft.queries.Ext14Queries.binarySource(spark, sfDir).limit(1).collect())
-    // Codegen/JIT warm for the dedup-cluster pipeline (round 16): the
-    // flagship warmup compiles scan/agg paths, but the dedup family's
-    // ~90 generated stage classes were compiled INSIDE the first family
-    // query's timed region — q_cluster_canonical, alphabetically first,
-    // paid 3-5 s of janino + C2 churn while its siblings ran warm (the
-    // r15 "bimodal high mode"; the low readings were the noise-guard's
-    // warm re-runs). Same unfairness argument as the per-table warm
-    // above, fixed the same way: run the EXACT query builder
-    // (clusterCanonicalOn — one code path, so generated sources match)
-    // over a tiny synthetic near-dup corpus, untimed. Data caches are
-    // dropped after; only compiled code stays hot, which is precisely
-    // what a warmup is for.
-    if (!sys.env.contains("SPARK_GRAFT_NO_R16_WARM"))
-    warm("dedup-cluster codegen")({
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
-      val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
-        "eta", "theta")
-      val rows = (0 until 8000).map { i =>
-        val g = i / 2 // near-identical doc pairs -> guaranteed dup pairs
-        val toks = (0 until 50).map(j => words(j % 8) + "g" + g + "x" + j)
-        val text = (if (i % 2 == 0) toks
-          else toks.drop(1) :+ ("tail" + g)).mkString(" ")
-        Row(i.toLong, text, "en", "synthetic", text.length.toLong)
-      }
-      val docs0 = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 16), schema)
-      // Round-trip through parquet: the warm corpus must be SCANNED the
-      // way the timed query scans (FileSourceScan), not as a parallelized
-      // local RDD — the scan stage's generated source feeds the sources
-      // of every consuming stage, and an RDD-scan warm left ~35 stage
-      // classes still compiling inside the timed region (measured; the
-      // parquet-scan warm leaves ZERO).
-      val warmDir = graft.util.TempDirs.create("graft-codegen-warm")
-      docs0.write.mode("overwrite").parquet(warmDir.toString)
-      val docs = spark.read.parquet(warmDir.toString)
-      // twice: run 1 compiles (janino), run 2 executes compiled code hot
-      // enough for C2 to finish its tier-up outside any timed region
-      for (_ <- 1 to 2) {
-        graft.queries.Ext32Queries.clusterCanonicalOn(docs)
-          .write.format("noop").mode("overwrite").save()
-        graft.operators.Dedup.unpersistIntermediates()
-        spark.catalog.clearCache()
-      }
-      org.apache.commons.io.FileUtils.deleteDirectory(warmDir.toFile)
-    })
-
     // Optional dev-only filter (the driver passes no args): any arg keeps
     // only queries whose name contains it — single-query perf iteration.
+    // Computed BEFORE the dedup-cluster warm so the warm — the most
+    // expensive warmup step — can skip dev-filtered runs that never touch
+    // the dedup family.
     val names0 = SparkEntry.queries.keys.toSeq.sorted
     val names = if (args.isEmpty) names0 else names0.filter(n => args.exists(n.contains))
+    // Round 16: the flagship warmup compiles scan/agg paths, but the
+    // dedup family's ~90 generated stage classes were compiled INSIDE the
+    // first family query's timed region — q_cluster_canonical,
+    // alphabetically first, paid 3-5 s of janino + C2 churn while its
+    // siblings ran warm (the r15 "bimodal high mode"; the low readings
+    // were the noise-guard's warm re-runs). Same unfairness argument as
+    // the per-table warm above, fixed the same way — see
+    // [[warmDedupClusterCodegen]].
+    val dedupClusterFamily =
+      Set("q_cluster_canonical", "q_dedup_clusters", "q_curation_funnel")
+    if (!noR16Warm && names.exists(dedupClusterFamily))
+      warm("dedup-cluster codegen")(warmDedupClusterCodegen(spark))
     val firstPass = names.map(n => n -> materialize(n))
     // NOISE GUARD (round-9 verdict: the driver host can be loaded, and a
     // one-off 9.94 s reading for a 1.3 s query is indistinguishable from a
@@ -253,5 +219,50 @@ object Bench {
       }
     }
     spark.stop()
+  }
+
+  /** Codegen/JIT warm for the dedup-cluster pipeline: runs the EXACT
+    * cluster-canonical builder (one code path — generated stage sources
+    * match the timed query's) over a synthetic near-dup corpus,
+    * round-tripped through parquet. The round-trip is load-bearing: the
+    * warm corpus must be SCANNED the way the timed query scans
+    * (FileSourceScan), not as a parallelized local RDD — the scan stage's
+    * generated source feeds the sources of every consuming stage, and an
+    * RDD-scan warm left ~35 stage classes still compiling inside the
+    * timed region (measured; the parquet-scan warm leaves ZERO). Runs the
+    * pipeline TWICE: run 1 compiles (janino), run 2 executes compiled
+    * code hot enough for C2 to finish its tier-up outside any timed
+    * region. Data caches are dropped after; only compiled code stays hot,
+    * which is precisely what a warmup is for. Shared with the
+    * ClusterProbe dev harness so probe and bench warm identically.
+    */
+  def warmDedupClusterCodegen(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta")
+    val rows = (0 until 8000).map { i =>
+      val g = i / 2 // near-identical doc pairs -> guaranteed dup pairs
+      val toks = (0 until 50).map(j => words(j % 8) + "g" + g + "x" + j)
+      val text = (if (i % 2 == 0) toks
+        else toks.drop(1) :+ ("tail" + g)).mkString(" ")
+      Row(i.toLong, text, "en", "synthetic", text.length.toLong)
+    }
+    val docs0 = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 16), schema)
+    val warmDir = graft.util.TempDirs.create("graft-codegen-warm")
+    docs0.write.mode("overwrite").parquet(warmDir.toString)
+    val docs = spark.read.parquet(warmDir.toString)
+    for (_ <- 1 to 2) {
+      graft.queries.Ext32Queries.clusterCanonicalOn(docs)
+        .write.format("noop").mode("overwrite").save()
+      graft.operators.Dedup.unpersistIntermediates()
+      spark.catalog.clearCache()
+    }
+    org.apache.commons.io.FileUtils.deleteDirectory(warmDir.toFile)
   }
 }

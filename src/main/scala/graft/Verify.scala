@@ -58,11 +58,13 @@ object Verify {
     // (runtime conf.set on the root session does NOT propagate to
     // newSession(), same reason the gate pins sit at builder level).
     // graft.* keys (library knobs like graft.anonymize.pin) are legal too
-    // (round-16: the pin-mode invariance run flips a graft.* conf): they
-    // cannot ride system properties (SparkConf.loadFromSystemProperties
-    // only picks up spark.*), so they are applied as builder-level
-    // .config entries below — AFTER the gate pins, so an extra-conf entry
-    // can also override a pin deliberately.
+    // (round-16: the pin-mode invariance run flips a graft.* conf). Every
+    // entry — spark.* and graft.* alike — is applied as a builder-level
+    // .config AFTER the gate pins, so an extra-conf entry can also
+    // override a pin deliberately; builder options override
+    // system-property-loaded SparkConf values, so a separate sys.props
+    // path would be redundant (verified: the flipped-conf axes stay green
+    // through the builder alone).
     val extraConf: Seq[(String, String)] =
       sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq.flatMap { s =>
         s.split(',').map(_.trim).filter(_.nonEmpty).map { kv =>
@@ -76,9 +78,6 @@ object Verify {
           }
         }
       }
-    extraConf.foreach { case (k, v) =>
-      if (k.startsWith("spark.")) sys.props(k) = v
-    }
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

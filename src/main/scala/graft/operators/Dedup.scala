@@ -559,8 +559,15 @@ object Dedup {
           s"(got ${f.dataType.simpleString}) — map string ids to longs " +
           "(e.g. xxhash64) before clustering")
     }
-    val edges = pairs.select(col("id_1").as("src"), col("id_2").as("dst"))
-      .unionByName(pairs.select(col("id_2").as("src"), col("id_1").as("dst")))
+    // cast to long HERE so both resolution paths emit the same schema:
+    // the union-find path decodes (Long, Long) anyway, but the distributed
+    // loop would otherwise preserve a narrower input type (Int/Short) —
+    // the same call flipping output schema when the corpus crosses the
+    // smallGraphEdges threshold is a downstream append/union landmine
+    val edges = pairs.select(
+        col("id_1").cast("long").as("src"), col("id_2").cast("long").as("dst"))
+      .unionByName(pairs.select(
+        col("id_2").cast("long").as("src"), col("id_1").cast("long").as("dst")))
       .localCheckpoint()
     if (edges.count() <= smallGraphEdges) return smallGraphMemberLabels(edges)
     // Propagate over the edge-touching nodes (by construction the only

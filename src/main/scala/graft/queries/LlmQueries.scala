@@ -106,7 +106,10 @@ object LlmQueries {
 
   // --- dedup ladder ----------------------------------------------------------
 
-  private val JaccardThreshold = 0.5
+  // private[graft]: the ClusterProbe dev harness's phase decomposition
+  // must build the pair graph at the SAME threshold as the gate query
+  // (a hardcoded copy silently diverges if this is ever tuned)
+  private[graft] val JaccardThreshold = 0.5
 
   def ngramJaccard(s: SparkSession, dir: String): DataFrame =
     Dedup.jaccardPairs(Tables.documents(s, dir), "doc_id", "text", n = 3,

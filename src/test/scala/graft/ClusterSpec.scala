@@ -86,6 +86,21 @@ class ClusterSpec extends SparkTestBase {
     assert(Dedup.memberLabels(empty).isEmpty)
   }
 
+  test("round-16: memberLabels emits LongType node/label on BOTH " +
+      "resolution paths even for narrower integral inputs — the schema " +
+      "must not flip when the corpus crosses the smallGraphEdges " +
+      "threshold (downstream appends/unions would break)") {
+    val pairs = Seq((1, 2), (2, 3)).toDF("id_1", "id_2") // IntegerType ids
+    for (threshold <- Seq(5000000L, 0L)) {
+      val out = Dedup.memberLabels(pairs, smallGraphEdges = threshold)
+      assert(out.schema.fields.map(_.dataType.simpleString).toSeq ==
+        Seq("bigint", "bigint"),
+        s"smallGraphEdges=$threshold: schema ${out.schema.simpleString}")
+      assert(out.as[(Long, Long)].collect().toMap ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    }
+  }
+
   test("round-16: memberLabels rejects non-integral id columns") {
     val pairs = Seq(("a", "b")).toDF("id_1", "id_2")
     val e = intercept[IllegalArgumentException] {

@@ -84,39 +84,9 @@ object ClusterProbe {
     catch { case e: Throwable => println(s"warm fixture: $e") }
     try graft.queries.Ext14Queries.binarySource(spark, sfDir).limit(1).collect()
     catch { case e: Throwable => println(s"warm fixture: $e") }
-    // codegen warm: the exact cluster-canonical builder over a tiny
-    // synthetic corpus with guaranteed near-dup pairs — compiles the
-    // pipeline's generated stage sources outside the timed region
-    {
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
-      val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
-        "eta", "theta")
-      val rows = (0 until 8000).map { i =>
-        val g = i / 2
-        val toks = (0 until 50).map(j => words(j % 8) + "g" + g + "x" + j)
-        val text = (if (i % 2 == 0) toks
-          else toks.drop(1) :+ ("tail" + g)).mkString(" ")
-        Row(i.toLong, text, "en", "synthetic", text.length.toLong)
-      }
-      val docs0 = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows, 16), schema)
-      // round-trip through parquet so the warm plan's SCAN stage generates
-      // the same source as the real query's parquet scan
-      val warmDir = graft.util.TempDirs.create("graft-codegen-warm")
-      docs0.write.mode("overwrite").parquet(warmDir.toString)
-      val docs = spark.read.parquet(warmDir.toString)
-      for (_ <- 1 to 2) {
-        graft.queries.Ext32Queries.clusterCanonicalOn(docs)
-          .write.format("noop").mode("overwrite").save()
-        graft.operators.Dedup.unpersistIntermediates()
-        spark.catalog.clearCache()
-      }
-    }
+    // codegen warm: THE bench's own helper (not a copy), so the probe's
+    // compile-warm conditions cannot drift from the bench it diagnoses
+    graft.Bench.warmDedupClusterCodegen(spark)
     println(s"warmup done: jit=${jitMs} ms codegen=${codegenNs._1} compiles")
 
     for (r <- 1 to reps) {
@@ -136,7 +106,8 @@ object ClusterProbe {
         var tp = t0
         val docs = graft.sources.Tables.documents(spark, sfDir)
         val pairs = graft.operators.Dedup.jaccardPrefixPairs(
-          docs, "doc_id", "text", n = 3, threshold = 0.5)
+          docs, "doc_id", "text", n = 3,
+          threshold = graft.queries.LlmQueries.JaccardThreshold)
         tp = lap("pairs-build", tp)
         val labels = graft.operators.Dedup.memberLabels(
           pairs.select("id_1", "id_2"))
