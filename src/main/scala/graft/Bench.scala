@@ -170,11 +170,47 @@ object Bench {
     // enough (~3 KB at 150 queries) that log-tail capture can't truncate it
     // mid-object (BENCH_r04's tail cut at 67 queries and failed to parse)
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    // DRAIN-FAMILY HOST-FLOOR CALIBRATION (round-17 ask #3). The r16
+    // settlement proved the RocksDB/micro-batch drain family's floor moves
+    // ~1.4x between HOST BOOTS, uniformly across the family, while
+    // CPU-bound queries reproduce exactly — so a drain-family reading is
+    // only comparable across records after normalizing by the host's floor
+    // that day. This measures that floor directly: one FIXED-SHAPE drain
+    // (4k rows, 50 keys — constant regardless of SF) through the same
+    // machinery the family pays for (micro-batch planner, RocksDB store
+    // spin-up on 8 partitions, checkpoint-dir fsync, memory sink), run
+    // AFTER the timed loop (warm JVM, and it cannot pre-warm any timed
+    // query), min-of-2 so one-off scheduler jitter doesn't pollute the
+    // stamp. To compare drain-family entries across two records, divide
+    // each by its record's calib_drain_sec first (see BASELINE.md).
+    val calibDrainSec: Double = {
+      try {
+        // fixed single-part landing zone, staged OUTSIDE the timed region
+        // (staging is a batch write, not part of the drain floor)
+        val dir = java.nio.file.Files.createTempDirectory("graft-calib-drain")
+        try {
+          spark.range(0, 4000).selectExpr(
+              "id % 50 AS user_id", "CAST(id AS DOUBLE) * 0.5 AS value")
+            .coalesce(1).write.mode("overwrite").parquet(dir.toString)
+          def once(): Double = {
+            val in = spark.readStream
+              .schema("user_id LONG, value DOUBLE").parquet(dir.toString)
+            val t0 = System.nanoTime()
+            graft.streaming.RunningTotals.drain(spark, in).count()
+            (System.nanoTime() - t0) / 1e9
+          }
+          r3(math.min(once(), once()))
+        } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration drain failed: $e"); -1.0
+      }
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","calib_drain_sec":$calibDrainSec}"""
     println(line)
     // Provenance note for the repo-side record (round-16 ask: stop future
     // judges re-deriving which file is the quiet-host floor): run count is
@@ -211,7 +247,18 @@ object Bench {
       val note = s"single-pass run (min-of-N records are merge_bench " +
         s"artifacts with their own note); 1-min loadavg at finish " +
         s"${loadavg}"
-      val stamped = line.dropRight(1) + s""","note":"$note"}"""
+      // splice the note before the closing brace — guarded (round-17
+      // advice): if the metric line's tail ever changes, write the
+      // unstamped-but-valid line and say so LOUDLY instead of committing
+      // malformed JSON (and never crash a finished 4-minute run over a
+      // provenance note)
+      val stamped =
+        if (line.endsWith("}")) line.dropRight(1) + s""","note":"$note"}"""
+        else {
+          System.err.println("[bench] metric line does not end with '}' — " +
+            "writing BENCHLOCAL without the provenance note")
+          line
+        }
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(target), stamped + "\n")
       catch { case e: Throwable =>

@@ -78,20 +78,32 @@ object Verify {
           }
         }
       }
+    // GATE PINS (round 13): the ANN/LSH index parameters the static
+    // DuckDB oracles bake into their SQL (8x6 LSH bits, 8 semdedup /
+    // 10 IVF centroids). Library defaults now derive from corpus size
+    // (Scale.derivedIntKnob); the gate must keep the published replay
+    // shapes. Builder-level so the per-query child sessions inherit.
+    val gatePins: Seq[(String, String)] = Seq(
+      "spark.sql.shuffle.partitions" -> cpus.toString,
+      "spark.sql.session.timeZone" -> "UTC",
+      "spark.ui.enabled" -> "false",
+      "graft.lsh.bitsPerBand" -> "6",
+      "graft.semdedup.centroids" -> "8",
+      "graft.ivf.centroids" -> "10")
+    // Overriding a pin via SPARK_GRAFT_EXTRA_CONF is legal (the invariance
+    // rituals flip pins deliberately) but must never be SILENT: an
+    // oracle-green run under a flipped pin that nobody noticed would read
+    // as ordinary evidence (round-17 advice). One loud line per collision.
+    val pinnedKeys = gatePins.map(_._1).toSet
+    extraConf.filter(kv => pinnedKeys(kv._1)).foreach { case (k, v) =>
+      System.err.println(
+        s"[verify] WARNING: SPARK_GRAFT_EXTRA_CONF overrides gate pin " +
+          s"$k (pin=${gatePins.toMap.apply(k)}, override=$v) — this run's " +
+          "results are under a FLIPPED pin, not the published gate posture")
+    }
     val builder = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // GATE PINS (round 13): the ANN/LSH index parameters the static
-      // DuckDB oracles bake into their SQL (8x6 LSH bits, 8 semdedup /
-      // 10 IVF centroids). Library defaults now derive from corpus size
-      // (Scale.derivedIntKnob); the gate must keep the published replay
-      // shapes. Builder-level so the per-query child sessions inherit.
-      .config("graft.lsh.bitsPerBand", "6")
-      .config("graft.semdedup.centroids", "8")
-      .config("graft.ivf.centroids", "10")
-    val spark = extraConf
+    val spark = (gatePins ++ extraConf)
       .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -549,6 +549,15 @@ object Dedup {
     * back out — at 100 TB that second scan is the dominant cost of the
     * full-labeling variant. Output is pinned (checkpointed), so multiple
     * consumers do not re-run the resolution.
+    *
+    * Reflexive pairs (id_1 == id_2) are dropped when building the edge
+    * list (round-17 advice): a self-pair carries no connectivity, and
+    * without the filter a node whose ONLY pair is itself would surface as
+    * a phantom one-member "cluster" — the library's pair producers
+    * ([[jaccardPrefixPairs]], [[lshCandidates]]) enforce id_1 < id_2, but
+    * this public API must not depend on that. Null-id pairs fall out with
+    * them (null =!= null is null → filtered), which is the right call:
+    * a null id cannot participate in a labeled component.
     */
   def memberLabels(pairs: DataFrame, maxIter: Int = 20,
       smallGraphEdges: Long = 5000000L): DataFrame = {
@@ -564,9 +573,11 @@ object Dedup {
     // loop would otherwise preserve a narrower input type (Int/Short) —
     // the same call flipping output schema when the corpus crosses the
     // smallGraphEdges threshold is a downstream append/union landmine
-    val edges = pairs.select(
+    // drop reflexive (and null-id) pairs BEFORE symmetrizing — see scaladoc
+    val properPairs = pairs.filter(col("id_1") =!= col("id_2"))
+    val edges = properPairs.select(
         col("id_1").cast("long").as("src"), col("id_2").cast("long").as("dst"))
-      .unionByName(pairs.select(
+      .unionByName(properPairs.select(
         col("id_2").cast("long").as("src"), col("id_1").cast("long").as("dst")))
       .localCheckpoint()
     if (edges.count() <= smallGraphEdges) return smallGraphMemberLabels(edges)

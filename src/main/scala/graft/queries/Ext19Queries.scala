@@ -7,8 +7,8 @@ import graft.sources.Tables
 
 /** Round-6 extension: the technical-analysis indicator tier. The reference
   * pipeline's whole analytical surface is kline indicators — SMA-14, RSI and
-  * Bollinger bands over hourly candles (`dags/spark_job_1.py`,
-  * `dags/spark_job_2.py`, `dags/spark_job_3.py`) computed from the OHLC
+  * Bollinger bands over hourly candles (`dags/spark_job_1.py:25-46`, the
+  * reference's only Spark job) computed from the OHLC
   * candles `dags/producer_prices.py:21-27` fetches. This tier completes the
   * standard TA toolbox a user of that pipeline reaches for next: stochastic
   * oscillator, ATR, Donchian channels, OBV, Williams %R, CCI, MFI, floor

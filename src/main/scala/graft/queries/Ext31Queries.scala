@@ -7,7 +7,8 @@ import graft.sources.Tables
 
 /** Round-8 extension: technical-analysis indicator tier 2. Completes the
   * candle toolbox begun in [[Ext19Queries]] (the reference pipeline's SMA /
-  * RSI / Bollinger surface, `dags/spark_job_1.py`..`spark_job_3.py`) with
+  * RSI / Bollinger surface, `dags/spark_job_1.py:25-46`, the reference's
+  * only Spark job) with
   * the next shelf of published indicators: Vortex, Ichimoku Cloud, Chaikin
   * Money Flow, Ulcer Index, Chande Momentum Oscillator, and Keltner
   * Channels.

@@ -38,8 +38,21 @@ object Ext32Queries {
     * DataFrame core Bench's codegen warm pass reuses (see
     * [[LlmQueries.dedupClustersOn]] for the one-code-path rationale).
     */
-  def clusterCanonicalOn(docsFull: DataFrame): DataFrame = {
-    val members = LlmQueries.dedupClustersOn(docsFull)
+  def clusterCanonicalOn(docsFull: DataFrame): DataFrame =
+    canonicalTail(LlmQueries.dedupClustersOn(docsFull), docsFull)
+
+  /** The members→canonical tail (score join + window pick + yield agg) as a
+    * shared builder: ClusterProbe's phase decomposition calls THIS instead
+    * of a hand-copied tail, so the probe's phase plan cannot silently drift
+    * from the real query's (round-17 advice — the same one-code-path
+    * argument that made [[graft.queries.LlmQueries.JaccardThreshold]]
+    * `private[graft]`).
+    *
+    * @param members (doc_id, cluster_id) rows — non-trivial-cluster members
+    * @param docsFull the documents frame (only doc_id, n_chars are read)
+    */
+  private[graft] def canonicalTail(
+      members: DataFrame, docsFull: DataFrame): DataFrame = {
     val docs = docsFull.select(col("doc_id"), col("n_chars"))
     val scored = members.join(docs, "doc_id")
     val w = Window.partitionBy(col("cluster_id"))

@@ -101,6 +101,28 @@ class ClusterSpec extends SparkTestBase {
     }
   }
 
+  test("round-17: memberLabels drops reflexive pairs — a node whose only " +
+      "pair is itself is NOT a phantom one-member cluster, on both " +
+      "resolution paths (the library's pair producers enforce id_1 < " +
+      "id_2, but the public API must not depend on that)") {
+    // 7 has only a self-pair; 1-2 is a real cluster that also carries a
+    // redundant self-pair on 1 (must not perturb its labels)
+    val pairs = Seq((7L, 7L), (1L, 1L), (1L, 2L)).toDF("id_1", "id_2")
+    for (threshold <- Seq(5000000L, 0L)) {
+      val out = Dedup.memberLabels(pairs, smallGraphEdges = threshold)
+        .as[(Long, Long)].collect().toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L),
+        s"smallGraphEdges=$threshold: got $out")
+    }
+    // all-reflexive input degenerates to the empty-member case
+    val onlySelf = Seq((9L, 9L)).toDF("id_1", "id_2")
+    assert(Dedup.memberLabels(onlySelf).isEmpty)
+    // clusterLabels (member labels + singleton rejoin) still labels the
+    // self-paired node as its own singleton when it is in the node frame
+    val l = labelsOf(Seq((7L, 7L), (1L, 2L)), Seq(1L, 2L, 7L))
+    assert(l == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+  }
+
   test("round-16: memberLabels rejects non-integral id columns") {
     val pairs = Seq(("a", "b")).toDF("id_1", "id_2")
     val e = intercept[IllegalArgumentException] {

@@ -114,18 +114,9 @@ object ClusterProbe {
         tp = lap("labels-build", tp) // eager checkpoint runs HERE
         val members = labels.select(col("node").as("doc_id"),
           col("label").as("cluster_id"))
-        val scored = members.join(
-          docs.select(col("doc_id"), col("n_chars")), "doc_id")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("cluster_id"))
-          .orderBy(col("n_chars").desc, col("doc_id").asc)
-        scored.withColumn("rk", row_number().over(w))
-          .groupBy(col("cluster_id"))
-          .agg(max(when(col("rk") === 1, col("doc_id"))).as("canonical_id"),
-            count(lit(1)).as("n_members"),
-            max(when(col("rk") === 1, col("n_chars"))).as("kept_chars"),
-            (sum(col("n_chars")) - max(when(col("rk") === 1, col("n_chars"))))
-              .as("dropped_chars"))
+        // the real query's tail builder (round-17 advice: no hand-copied
+        // tail that can drift from Ext32Queries.clusterCanonicalOn)
+        graft.queries.Ext32Queries.canonicalTail(members, docs)
           .write.format("noop").mode("overwrite").save()
         lap("tail-write", tp)
       } else {

@@ -30,6 +30,10 @@ def main() -> int:
     ap.add_argument("-o", "--out", required=True)
     ap.add_argument("-n", "--note", default="")
     ap.add_argument("--anchor", default="BASELINE_ANCHOR.json")
+    ap.add_argument("--allow-empty-anchor", action="store_true",
+                    help="exit 0 even when the anchor file shares no "
+                         "queries with the merged runs (default: exit 3 so "
+                         "a mis-pointed anchor fails loudly in scripts)")
     args = ap.parse_args()
 
     runs = [json.load(open(p)) for p in args.runs]
@@ -48,10 +52,18 @@ def main() -> int:
         return 2
     mins = {n: min(r["queries"][n] for r in runs) for n in names}
     total = round(sum(mins.values()), 3)
+    # drain-family host-floor calibration (round 17): carry the min across
+    # runs (the quiet floor) plus the per-run list, so drain-family entries
+    # in this record can be normalized against other records' floors
+    calibs = [r["calib_drain_sec"] for r in runs
+              if isinstance(r.get("calib_drain_sec"), (int, float))
+              and r["calib_drain_sec"] > 0]
     out = {
         "metric": "total", "value": total, "unit": "sec",
         "queries": {n: round(v, 3) for n, v in mins.items()},
         "sf": runs[0].get("sf", ""),
+        **({"calib_drain_sec": min(calibs),
+            "calib_drain_sec_runs": calibs} if calibs else {}),
         "note": args.note or (
             "min-of-%d (run totals %s)" % (
                 len(runs),
@@ -66,9 +78,17 @@ def main() -> int:
         aq = aq.get("queries", aq)
         common = [n for n in names if n in aq and aq[n] > 0]
         if not common:
+            # the record was still written; the distinct exit code exists so
+            # scripted runs notice a mis-pointed anchor instead of treating
+            # "no ratio computed" as success (round-17 advice)
             print("anchor: no overlapping queries with anchor file "
-                  f"{args.anchor} — skipping ratio/geomean report")
-            return 0
+                  f"{args.anchor} — skipping ratio/geomean report",
+                  file=sys.stderr)
+            if args.allow_empty_anchor:
+                return 0
+            print("(pass --allow-empty-anchor to make this non-fatal)",
+                  file=sys.stderr)
+            return 3
         geo = math.exp(sum(math.log(mins[n] / aq[n]) for n in common)
                        / len(common))
         # ratio over the COMMON query set on both sides: summing all-run
