@@ -98,7 +98,7 @@ object Verify {
     extraConf.filter(kv => pinnedKeys(kv._1)).foreach { case (k, v) =>
       System.err.println(
         s"[verify] WARNING: SPARK_GRAFT_EXTRA_CONF overrides gate pin " +
-          s"$k (pin=${gatePins.toMap.apply(k)}, override=$v) — this run's " +
+          s"$k (pin=${gatePins.toMap.apply(k)}, override=$v) -- this run's " +
           "results are under a FLIPPED pin, not the published gate posture")
     }
     val builder = SparkSession.builder()
