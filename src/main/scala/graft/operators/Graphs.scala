@@ -4,8 +4,9 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Graph primitives over edge-list DataFrames, complementing
-  * [[Dedup.connectedComponents]] (dedup clusters) and the PageRank query
-  * (Ext8Queries): triangle counting via the oriented two-path join.
+  * [[Dedup.clusterLabels]] / [[Dedup.memberLabels]] (dedup clusters) and
+  * the PageRank query (Ext8Queries): triangle counting via the oriented
+  * two-path join.
   *
   * Scale posture: the classic distributed triangle count (Suri & Vassilvitskii
   * 2011, "Counting Triangles and the Curse of the Last Reducer") orients
