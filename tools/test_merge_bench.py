@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Self-test for tools/merge_bench.py — run `python3 tools/test_merge_bench.py`.
+
+Codifies the round-17 contract additions so a future edit can't silently
+regress them: calib_drain_sec carry (min + per-run list), the distinct
+exit code 3 for a disjoint anchor (round-17 advice: exit 0 let scripted
+runs treat 'no ratio computed' as success), --allow-empty-anchor, and the
+pre-existing failure modes (single run, mismatched query sets, failed
+queries).
+"""
+import json
+import os
+import subprocess
+import sys
+import tempfile
+
+TOOL = os.path.join(os.path.dirname(__file__), "merge_bench.py")
+
+
+def run(*args):
+    return subprocess.run([sys.executable, TOOL, *args],
+                          capture_output=True, text=True)
+
+
+def main() -> int:
+    failures = []
+
+    def check(name, cond, detail=""):
+        status = "ok" if cond else "FAIL"
+        print(f"  {status}  {name}" + (f"  ({detail})" if detail and not cond else ""))
+        if not cond:
+            failures.append(name)
+
+    with tempfile.TemporaryDirectory() as d:
+        r1 = {"metric": "total", "value": 3.0, "unit": "sec",
+              "queries": {"q_a": 1.0, "q_b": 2.0}, "sf": "x",
+              "calib_drain_sec": 1.5}
+        r2 = {"metric": "total", "value": 2.5, "unit": "sec",
+              "queries": {"q_a": 0.9, "q_b": 1.6}, "sf": "x",
+              "calib_drain_sec": 1.2}
+        for i, r in enumerate([r1, r2]):
+            json.dump(r, open(f"{d}/r{i}.json", "w"))
+        out = f"{d}/out.json"
+
+        # --- min-of-N merge + calib carry -------------------------------
+        anchor = f"{d}/anchor.json"
+        json.dump({"queries": {"q_a": 1.0, "q_b": 2.0}}, open(anchor, "w"))
+        p = run(f"{d}/r0.json", f"{d}/r1.json", "-o", out, "--anchor", anchor)
+        check("overlapping anchor exits 0", p.returncode == 0, p.stderr)
+        rec = json.load(open(out))
+        check("per-query min", rec["queries"] == {"q_a": 0.9, "q_b": 1.6})
+        check("total is sum of mins", rec["value"] == 2.5)
+        check("calib min carried", rec.get("calib_drain_sec") == 1.2)
+        check("calib run list carried",
+              rec.get("calib_drain_sec_runs") == [1.5, 1.2])
+
+        # --- calib absent / invalid: no field, not a crash --------------
+        r3 = dict(r1); r3.pop("calib_drain_sec")
+        r4 = dict(r2); r4["calib_drain_sec"] = -1.0  # failed-calibration marker
+        json.dump(r3, open(f"{d}/r3.json", "w"))
+        json.dump(r4, open(f"{d}/r4.json", "w"))
+        p = run(f"{d}/r3.json", f"{d}/r4.json", "-o", out, "--anchor", anchor)
+        check("calib-less merge exits 0", p.returncode == 0, p.stderr)
+        rec = json.load(open(out))
+        check("no calib field when none valid",
+              "calib_drain_sec" not in rec and
+              "calib_drain_sec_runs" not in rec)
+
+        # --- disjoint anchor: loud by default, opt-out flag -------------
+        json.dump({"queries": {"q_zzz": 1.0}}, open(anchor, "w"))
+        p = run(f"{d}/r0.json", f"{d}/r1.json", "-o", out, "--anchor", anchor)
+        check("disjoint anchor exits 3", p.returncode == 3, str(p.returncode))
+        check("record still written on disjoint anchor",
+              json.load(open(out))["value"] == 2.5)
+        p = run(f"{d}/r0.json", f"{d}/r1.json", "-o", out, "--anchor", anchor,
+                "--allow-empty-anchor")
+        check("--allow-empty-anchor exits 0", p.returncode == 0, p.stderr)
+
+        # --- missing anchor file: not an error (dev hosts) --------------
+        p = run(f"{d}/r0.json", f"{d}/r1.json", "-o", out,
+                "--anchor", f"{d}/nope.json")
+        check("absent anchor file exits 0", p.returncode == 0, p.stderr)
+
+        # --- pre-existing failure modes ----------------------------------
+        p = run(f"{d}/r0.json", "-o", out)
+        check("single run exits 2", p.returncode == 2, str(p.returncode))
+        r5 = dict(r1); r5["queries"] = {"q_a": 1.0}
+        json.dump(r5, open(f"{d}/r5.json", "w"))
+        p = run(f"{d}/r0.json", f"{d}/r5.json", "-o", out)
+        check("mismatched query sets exit 2", p.returncode == 2,
+              str(p.returncode))
+        r6 = dict(r1); r6["queries"] = {"q_a": -1.0, "q_b": 2.0}
+        json.dump(r6, open(f"{d}/r6.json", "w"))
+        p = run(f"{d}/r0.json", f"{d}/r6.json", "-o", out)
+        check("failed query (-1) exits 2", p.returncode == 2,
+              str(p.returncode))
+
+    if failures:
+        print(f"{len(failures)} FAILED: {failures}")
+        return 1
+    print("all merge_bench self-tests passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
