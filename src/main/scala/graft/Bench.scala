@@ -183,8 +183,22 @@ object Bench {
     // query), min-of-2 so one-off scheduler jitter doesn't pollute the
     // stamp. To compare drain-family entries across two records, divide
     // each by its record's calib_drain_sec first (see BASELINE.md).
-    val calibDrainSec: Double = {
-      try {
+    //
+    // Round-18 (r17 advice): only calibrate when a drain-family query
+    // actually RAN in this invocation — a dev-filtered perf loop on a
+    // CPU-bound query was paying ~2 s of staging + two drains for a stamp
+    // nothing consumes. Field OMITTED when skipped (vs -1.0, which keeps
+    // its meaning of attempted-and-failed). Full runs always include the
+    // family, so driver records are unaffected. Must match the family
+    // list in tools/merge_bench.py (DRAIN_FAMILY).
+    val drainCalibFamily = Set(
+      "q_doc_pipeline", "q_session_window", "q_state_inspect",
+      "q_stateful_indicators", "q_stream_dedup", "q_stream_join",
+      "q_stream_outer_join", "q_stream_session", "q_stream_static",
+      "q_stream_tumbling", "q_tws_sessions", "q_tws_totals")
+    val calibDrainSec: Option[Double] =
+      if (!names.exists(drainCalibFamily)) None
+      else Some(try {
         // fixed single-part landing zone, staged OUTSIDE the timed region
         // (staging is a batch write, not part of the drain floor)
         val dir = java.nio.file.Files.createTempDirectory("graft-calib-drain")
@@ -203,15 +217,30 @@ object Bench {
         } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] calibration drain failed: $e"); -1.0
-      }
-    }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      })
+    // Build the metric record ONCE as ordered (key, rendered-value) fields
+    // and serialize with a single renderer (round-17 advice: the previous
+    // note-splice string surgery could only be guarded, never proven) —
+    // stdout gets the fields, BENCHLOCAL gets fields + note, same renderer.
+    def jstr(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }.mkString("\"", "", "\"")
+    def render(fields: Seq[(String, String)]): String =
+      fields.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v) => jstr(k) + ":" + r3(v) }
       .mkString("{", ",", "}")
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""sf":"$sfDir","calib_drain_sec":$calibDrainSec}"""
-    println(line)
+    val fields = Vector(
+      "metric" -> "\"total\"",
+      "value" -> total.toString,
+      "unit" -> "\"sec\"",
+      "queries" -> qs,
+      "sf" -> jstr(sfDir)) ++
+      calibDrainSec.map(c => "calib_drain_sec" -> c.toString)
+    println(render(fields))
     // Provenance note for the repo-side record (round-16 ask: stop future
     // judges re-deriving which file is the quiet-host floor): run count is
     // implicit (this writer emits SINGLE-PASS runs; min-of-N records come
@@ -247,18 +276,9 @@ object Bench {
       val note = s"single-pass run (min-of-N records are merge_bench " +
         s"artifacts with their own note); 1-min loadavg at finish " +
         s"${loadavg}"
-      // splice the note before the closing brace — guarded (round-17
-      // advice): if the metric line's tail ever changes, write the
-      // unstamped-but-valid line and say so LOUDLY instead of committing
-      // malformed JSON (and never crash a finished 4-minute run over a
-      // provenance note)
-      val stamped =
-        if (line.endsWith("}")) line.dropRight(1) + s""","note":"$note"}"""
-        else {
-          System.err.println("[bench] metric line does not end with '}' — " +
-            "writing BENCHLOCAL without the provenance note")
-          line
-        }
+      // same renderer as the stdout line, note appended as a real field —
+      // no string surgery on an already-serialized record (round-17 advice)
+      val stamped = render(fields :+ ("note" -> jstr(note)))
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(target), stamped + "\n")
       catch { case e: Throwable =>
