@@ -23,9 +23,34 @@ import math
 import os
 import sys
 
+# The RocksDB/micro-batch drain family: queries whose wall time is
+# dominated by a HOST-BOOT-DEPENDENT fixed floor (r16 settlement — the
+# family floats ~1.4x between boots by one common factor while CPU-bound
+# queries reproduce exactly). Their anchor ratios are reported both raw
+# and normalized by the calib_drain_sec floor stamps, so a cold-boot
+# floor can't masquerade as a code regression. Must match the
+# drainCalibFamily set in src/main/scala/graft/Bench.scala.
+DRAIN_FAMILY = (
+    "q_doc_pipeline", "q_session_window", "q_state_inspect",
+    "q_stateful_indicators", "q_stream_dedup", "q_stream_join",
+    "q_stream_outer_join", "q_stream_session", "q_stream_static",
+    "q_stream_tumbling", "q_tws_sessions", "q_tws_totals")
+
+EPILOG = """\
+exit codes:
+  0  merged record written (and anchor report printed when an anchor
+     file with overlapping queries exists)
+  2  bad input: fewer than 2 runs, mismatched query sets, or a failed
+     (-1) query in any run — nothing written
+  3  record WAS written, but the anchor file shares no queries with the
+     merged runs (mis-pointed anchor; round-17 change — was exit 0).
+     Pass --allow-empty-anchor to restore exit 0 for that case.
+"""
+
 
 def main() -> int:
-    ap = argparse.ArgumentParser()
+    ap = argparse.ArgumentParser(
+        epilog=EPILOG, formatter_class=argparse.RawDescriptionHelpFormatter)
     ap.add_argument("runs", nargs="+", help="full-Bench JSON files (>= 2)")
     ap.add_argument("-o", "--out", required=True)
     ap.add_argument("-n", "--note", default="")
@@ -34,6 +59,11 @@ def main() -> int:
                     help="exit 0 even when the anchor file shares no "
                          "queries with the merged runs (default: exit 3 so "
                          "a mis-pointed anchor fails loudly in scripts)")
+    ap.add_argument("--anchor-calib", type=float, default=None,
+                    help="drain-floor stamp (seconds) for the ANCHOR "
+                         "session, overriding the anchor file's "
+                         "calib_drain_sec; used to print drain-family "
+                         "ratios calib-normalized alongside raw")
     args = ap.parse_args()
 
     runs = [json.load(open(p)) for p in args.runs]
@@ -53,16 +83,23 @@ def main() -> int:
     mins = {n: min(r["queries"][n] for r in runs) for n in names}
     total = round(sum(mins.values()), 3)
     # drain-family host-floor calibration (round 17): carry the min across
-    # runs (the quiet floor) plus the per-run list, so drain-family entries
-    # in this record can be normalized against other records' floors
-    calibs = [r["calib_drain_sec"] for r in runs
-              if isinstance(r.get("calib_drain_sec"), (int, float))
-              and r["calib_drain_sec"] > 0]
+    # runs (the quiet floor) plus the per-run values keyed by run filename
+    # (round-18, r17 advice: a plain list lost which run a value came from
+    # whenever some runs lacked the field), so drain-family entries in this
+    # record can be normalized against other records' floors. bool is
+    # excluded explicitly — in Python True is an int, so a malformed
+    # calib_drain_sec:true would otherwise be carried as 1.0.
+    def valid_calib(v):
+        return isinstance(v, (int, float)) and not isinstance(v, bool) \
+            and v > 0
+    calibs = {os.path.basename(p): r["calib_drain_sec"]
+              for p, r in zip(args.runs, runs)
+              if valid_calib(r.get("calib_drain_sec"))}
     out = {
         "metric": "total", "value": total, "unit": "sec",
         "queries": {n: round(v, 3) for n, v in mins.items()},
         "sf": runs[0].get("sf", ""),
-        **({"calib_drain_sec": min(calibs),
+        **({"calib_drain_sec": min(calibs.values()),
             "calib_drain_sec_runs": calibs} if calibs else {}),
         "note": args.note or (
             "min-of-%d (run totals %s)" % (
@@ -74,8 +111,8 @@ def main() -> int:
           + ", ".join("%.1f" % r["value"] for r in runs) + ")")
 
     if os.path.exists(args.anchor):
-        aq = json.load(open(args.anchor))
-        aq = aq.get("queries", aq)
+        adoc = json.load(open(args.anchor))
+        aq = adoc.get("queries", adoc)
         common = [n for n in names if n in aq and aq[n] > 0]
         if not common:
             # the record was still written; the distinct exit code exists so
@@ -110,6 +147,39 @@ def main() -> int:
                        reverse=True)[:5]
         print("worst ratios: "
               + ", ".join(f"{n} {r:.2f}x" for r, n in worst))
+        # Drain-family triage (round-18, per the r17 verdict): the family's
+        # wall time floats with a host-boot-dependent floor, so its raw
+        # anchor ratio (what the driver's 2x gate sees) is printed NEXT TO
+        # the calib-normalized ratio raw * (anchor_floor / record_floor).
+        # A family entry whose raw ratio moved but whose normalized ratio
+        # held is the host floor moving, not a code/plan change.
+        fam = [n for n in DRAIN_FAMILY if n in common]
+        rec_calib = out.get("calib_drain_sec")
+        anc_calib = args.anchor_calib
+        if anc_calib is None and valid_calib(adoc.get("calib_drain_sec")):
+            anc_calib = adoc["calib_drain_sec"]
+        if fam and rec_calib and anc_calib:
+            scale = anc_calib / rec_calib
+            print(f"drain family (floor calib: record {rec_calib:.3f} s, "
+                  f"anchor {anc_calib:.3f} s, scale {scale:.2f}):")
+            for n in fam:
+                raw = mins[n] / aq[n]
+                print(f"  {n:<24} raw {raw:.2f}x  calib-norm "
+                      f"{raw * scale:.2f}x")
+            floor_only = [n for n in fam if mins[n] > 2 * aq[n]
+                          and mins[n] / aq[n] * scale <= 2]
+            if floor_only:
+                print("over 2x raw but under 2x calib-normalized (host "
+                      f"floor, not code): {floor_only}")
+        elif fam:
+            missing = [w for w, c in
+                       [("record", rec_calib), ("anchor", anc_calib)]
+                       if not c]
+            print("drain family: raw ratios only — no calib stamp on "
+                  + "/".join(missing)
+                  + " (pass --anchor-calib to supply the anchor floor)")
+            for n in fam:
+                print(f"  {n:<24} raw {mins[n] / aq[n]:.2f}x")
     return 0
 
 

@@ -51,8 +51,9 @@ def main() -> int:
         check("per-query min", rec["queries"] == {"q_a": 0.9, "q_b": 1.6})
         check("total is sum of mins", rec["value"] == 2.5)
         check("calib min carried", rec.get("calib_drain_sec") == 1.2)
-        check("calib run list carried",
-              rec.get("calib_drain_sec_runs") == [1.5, 1.2])
+        check("calib runs keyed by filename",
+              rec.get("calib_drain_sec_runs") == {"r0.json": 1.5,
+                                                  "r1.json": 1.2})
 
         # --- calib absent / invalid: no field, not a crash --------------
         r3 = dict(r1); r3.pop("calib_drain_sec")
@@ -65,6 +66,51 @@ def main() -> int:
         check("no calib field when none valid",
               "calib_drain_sec" not in rec and
               "calib_drain_sec_runs" not in rec)
+
+        # --- calib booleans rejected (True is an int in Python) ---------
+        r7 = dict(r1); r7["calib_drain_sec"] = True
+        json.dump(r7, open(f"{d}/r7.json", "w"))
+        p = run(f"{d}/r7.json", f"{d}/r1.json", "-o", out, "--anchor", anchor)
+        check("bool calib merge exits 0", p.returncode == 0, p.stderr)
+        rec = json.load(open(out))
+        check("bool calib excluded", rec.get("calib_drain_sec") == 1.2)
+        check("bool calib not in run map",
+              rec.get("calib_drain_sec_runs") == {"r1.json": 1.2})
+
+        # --- drain-family raw + calib-normalized report ------------------
+        d1 = {"metric": "total", "value": 3.1, "unit": "sec",
+              "queries": {"q_stream_dedup": 2.1, "q_a": 1.0}, "sf": "x",
+              "calib_drain_sec": 1.5}
+        d2 = dict(d1, value=3.0,
+                  queries={"q_stream_dedup": 2.1, "q_a": 0.9},
+                  calib_drain_sec=1.4)
+        json.dump(d1, open(f"{d}/d1.json", "w"))
+        json.dump(d2, open(f"{d}/d2.json", "w"))
+        danchor = f"{d}/danchor.json"
+        json.dump({"queries": {"q_stream_dedup": 1.0, "q_a": 1.0},
+                   "calib_drain_sec": 0.7}, open(danchor, "w"))
+        p = run(f"{d}/d1.json", f"{d}/d2.json", "-o", out,
+                "--anchor", danchor)
+        check("drain report exits 0", p.returncode == 0, p.stderr)
+        check("drain raw ratio printed", "raw 2.10x" in p.stdout, p.stdout)
+        check("drain normalized ratio printed (0.7/1.4 scale)",
+              "calib-norm 1.05x" in p.stdout, p.stdout)
+        check("over-2x-raw-under-2x-norm flagged as host floor",
+              "host floor" in p.stdout and "q_stream_dedup" in
+              p.stdout.split("host floor")[-1], p.stdout)
+        # anchor without a calib stamp: raw-only column + loud note,
+        # recoverable via --anchor-calib
+        json.dump({"queries": {"q_stream_dedup": 1.0, "q_a": 1.0}},
+                  open(danchor, "w"))
+        p = run(f"{d}/d1.json", f"{d}/d2.json", "-o", out,
+                "--anchor", danchor)
+        check("calib-less anchor prints raw-only drain column",
+              "raw ratios only" in p.stdout and "raw 2.10x" in p.stdout,
+              p.stdout)
+        p = run(f"{d}/d1.json", f"{d}/d2.json", "-o", out,
+                "--anchor", danchor, "--anchor-calib", "0.7")
+        check("--anchor-calib restores normalized column",
+              "calib-norm 1.05x" in p.stdout, p.stdout)
 
         # --- disjoint anchor: loud by default, opt-out flag -------------
         json.dump({"queries": {"q_zzz": 1.0}}, open(anchor, "w"))
