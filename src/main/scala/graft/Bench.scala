@@ -11,6 +11,17 @@ import org.apache.spark.sql.SparkSession
   * the flagship query JIT-compiles the hot paths first.
   */
 object Bench {
+  /** The RocksDB/micro-batch drain family: queries whose wall time is
+    * dominated by the host-boot-dependent fixed floor the calibration
+    * drain measures. Must stay identical to DRAIN_FAMILY in
+    * tools/merge_bench.py (ToolingSyncSpec pins the two lists together).
+    */
+  val drainCalibFamily: Set[String] = Set(
+    "q_doc_pipeline", "q_session_window", "q_state_inspect",
+    "q_stateful_indicators", "q_stream_dedup", "q_stream_join",
+    "q_stream_outer_join", "q_stream_session", "q_stream_static",
+    "q_stream_tumbling", "q_tws_sessions", "q_tws_totals")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -189,13 +200,7 @@ object Bench {
     // CPU-bound query was paying ~2 s of staging + two drains for a stamp
     // nothing consumes. Field OMITTED when skipped (vs -1.0, which keeps
     // its meaning of attempted-and-failed). Full runs always include the
-    // family, so driver records are unaffected. Must match the family
-    // list in tools/merge_bench.py (DRAIN_FAMILY).
-    val drainCalibFamily = Set(
-      "q_doc_pipeline", "q_session_window", "q_state_inspect",
-      "q_stateful_indicators", "q_stream_dedup", "q_stream_join",
-      "q_stream_outer_join", "q_stream_session", "q_stream_static",
-      "q_stream_tumbling", "q_tws_sessions", "q_tws_totals")
+    // family, so driver records are unaffected.
     val calibDrainSec: Option[Double] =
       if (!names.exists(drainCalibFamily)) None
       else Some(try {
@@ -222,25 +227,18 @@ object Bench {
     // and serialize with a single renderer (round-17 advice: the previous
     // note-splice string surgery could only be guarded, never proven) —
     // stdout gets the fields, BENCHLOCAL gets fields + note, same renderer.
-    def jstr(s: String): String = s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }.mkString("\"", "", "\"")
-    def render(fields: Seq[(String, String)]): String =
-      fields.map { case (k, v) => jstr(k) + ":" + v }.mkString("{", ",", "}")
-    val qs = results.map { case (k, v) => jstr(k) + ":" + r3(v) }
-      .mkString("{", ",", "}")
+    import graft.util.MiniJson
+    val qs = MiniJson.obj(
+      results.map { case (k, v) => k -> r3(v).toString })
     val total = r3(results.map(_._2).filter(_ >= 0).sum)
     val fields = Vector(
-      "metric" -> "\"total\"",
+      "metric" -> MiniJson.str("total"),
       "value" -> total.toString,
-      "unit" -> "\"sec\"",
+      "unit" -> MiniJson.str("sec"),
       "queries" -> qs,
-      "sf" -> jstr(sfDir)) ++
+      "sf" -> MiniJson.str(sfDir)) ++
       calibDrainSec.map(c => "calib_drain_sec" -> c.toString)
-    println(render(fields))
+    println(MiniJson.obj(fields))
     // Provenance note for the repo-side record (round-16 ask: stop future
     // judges re-deriving which file is the quiet-host floor): run count is
     // implicit (this writer emits SINGLE-PASS runs; min-of-N records come
@@ -278,7 +276,7 @@ object Bench {
         s"${loadavg}"
       // same renderer as the stdout line, note appended as a real field —
       // no string surgery on an already-serialized record (round-17 advice)
-      val stamped = render(fields :+ ("note" -> jstr(note)))
+      val stamped = MiniJson.obj(fields :+ ("note" -> MiniJson.str(note)))
       try java.nio.file.Files.writeString(
         java.nio.file.Paths.get(target), stamped + "\n")
       catch { case e: Throwable =>
