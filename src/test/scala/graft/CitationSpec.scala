@@ -47,13 +47,11 @@ class CitationSpec extends AnyFunSuite {
       .filter(p => p.toString.endsWith(".scala"))
       .toSeq.sortBy(_.toString)
 
-  private def lineCountCache = scala.collection.mutable.Map.empty[Path, Long]
-
   test("every cited reference file exists and every cited line anchor " +
       "is within the file") {
     assume(Files.isDirectory(referenceRoot),
       "/root/reference not mounted on this host")
-    val counts = lineCountCache
+    val counts = scala.collection.mutable.Map.empty[Path, Long]
     def lineCount(p: Path): Long =
       counts.getOrElseUpdate(p, Files.lines(p).count())
 

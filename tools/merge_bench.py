@@ -92,8 +92,13 @@ def main() -> int:
     def valid_calib(v):
         return isinstance(v, (int, float)) and not isinstance(v, bool) \
             and v > 0
-    calibs = {os.path.basename(p): r["calib_drain_sec"]
-              for p, r in zip(args.runs, runs)
+    # keys: basenames when unique (the readable common case), full paths
+    # as passed otherwise — two runs named run.json in different dirs must
+    # not silently collapse to one calib entry
+    basenames = [os.path.basename(p) for p in args.runs]
+    keys = basenames if len(set(basenames)) == len(basenames) else args.runs
+    calibs = {k: r["calib_drain_sec"]
+              for k, r in zip(keys, runs)
               if valid_calib(r.get("calib_drain_sec"))}
     out = {
         "metric": "total", "value": total, "unit": "sec",

@@ -77,6 +77,18 @@ def main() -> int:
         check("bool calib not in run map",
               rec.get("calib_drain_sec_runs") == {"r1.json": 1.2})
 
+        # --- colliding basenames fall back to full paths -----------------
+        os.makedirs(f"{d}/sub")
+        json.dump(r2, open(f"{d}/sub/r0.json", "w"))
+        p = run(f"{d}/r0.json", f"{d}/sub/r0.json", "-o", out,
+                "--anchor", anchor)
+        check("colliding-basename merge exits 0", p.returncode == 0, p.stderr)
+        rec = json.load(open(out))
+        check("colliding basenames keyed by full path",
+              rec.get("calib_drain_sec_runs") ==
+              {f"{d}/r0.json": 1.5, f"{d}/sub/r0.json": 1.2},
+              str(rec.get("calib_drain_sec_runs")))
+
         # --- drain-family raw + calib-normalized report ------------------
         d1 = {"metric": "total", "value": 3.1, "unit": "sec",
               "queries": {"q_stream_dedup": 2.1, "q_a": 1.0}, "sf": "x",
