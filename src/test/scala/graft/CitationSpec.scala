@@ -4,36 +4,57 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 
-/** Pins every reference citation in main source to a file that actually
-  * exists in `/root/reference/` — and, when the citation carries a line
-  * anchor, to a line the file actually has.
+/** Pins every reference citation in this repo's Scala sources to a file
+  * that actually exists in `/root/reference/` — and, when the citation
+  * carries a line anchor, to a line the file actually has.
   *
   * Round 17 removed the last *phantom* citations by hand (scaladoc that
   * cited `dags/spark_job_2.py` / `spark_job_3.py`, files that do not exist
   * in the reference); the round-17 verdict asked for a spec so a phantom
-  * can't re-enter unnoticed. Citation forms covered (the full set in use):
+  * can't re-enter unnoticed; round 19 extended the scan from `src/main`
+  * to `src/test` as well (a phantom in a test's scaladoc misleads a
+  * reader just as much) and widened the citation forms. Forms covered
+  * (the full set in use):
   *
   *   - `dags/<name>.py[:N[-M]]` and `datawarehouse/<name>.sql[:N[-M]]`
+  *   - bare `<name>.py:N[-M]` / `<name>.sql:N[-M]` — an ANCHORED bare
+  *     name is how most scaladoc cites a dag or warehouse file
+  *     (`spark_job_1.py:28`); `.py` resolves against `dags/`, `.sql`
+  *     against `datawarehouse/`. Names that are files in this repo's
+  *     `tools/` dir are skipped (a `merge_bench.py:166`-style cite is a
+  *     repo-local tooling reference, not a reference-repo one).
   *   - `README.md:N[-M]`, `docker-compose.yaml:N[-M]`, `Dockerfile:N[-M]`
   *     — bare-name citations with a line anchor are read as the REFERENCE
-  *     repo's top-level file (the only way main-source scaladoc uses them);
-  *     without an anchor a bare `README.md` is ambiguous with our own and
-  *     is not checked.
+  *     repo's top-level file (the only way scaladoc uses them); without
+  *     an anchor a bare `README.md` is ambiguous with our own and is not
+  *     checked.
   *
   * The whole file text is scanned, not just scaladoc — a phantom in an
-  * inline comment misleads a reader just as much. Skipped (canceled) when
-  * `/root/reference` is absent, so the suite still runs on hosts without
-  * the read-only reference mount.
+  * inline comment misleads a reader just as much. This spec's own source
+  * file is excluded: it deliberately contains a phantom fixture (the
+  * self-check test below) and regex-doc examples. Skipped (canceled)
+  * when `/root/reference` is absent, so the suite still runs on hosts
+  * without the read-only reference mount.
   */
 class CitationSpec extends AnyFunSuite {
 
   private val referenceRoot = Paths.get("/root/reference")
-  private val mainSrc = Paths.get("src/main/scala")
+  private val srcRoots = Seq(Paths.get("src/main/scala"),
+    Paths.get("src/test/scala"))
+  private val toolsDir = Paths.get("tools")
 
   /** dags/x.py, datawarehouse/x.sql — path is unambiguous on its own. */
   private val pathCite =
     """(dags|datawarehouse)/([A-Za-z0-9_.-]+\.(?:py|sql))(:[0-9]+(?:-[0-9]+)?)?""".r
+
+  /** Bare anchored dag / warehouse-sql cite: `spark_job_1.py:28`. The
+    * leading guard keeps `dags/x.py:1` matching pathCite only (no double
+    * count) and keeps dotted module paths (`org.apache.spark.sql`) out.
+    */
+  private val bareCite =
+    """(?<![/A-Za-z0-9_.-])([A-Za-z0-9_-]+\.(py|sql))(:[0-9]+(?:-[0-9]+)?)""".r
 
   /** Top-level reference files cited by bare name — only with a line
     * anchor (an anchored bare name is how the scaladoc cites them; an
@@ -42,10 +63,39 @@ class CitationSpec extends AnyFunSuite {
   private val topLevelCite =
     """(README\.md|docker-compose\.yaml|Dockerfile)(:[0-9]+(?:-[0-9]+)?)""".r
 
-  private def mainScalaFiles: Seq[Path] =
-    Files.walk(mainSrc).iterator().asScala
-      .filter(p => p.toString.endsWith(".scala"))
-      .toSeq.sortBy(_.toString)
+  /** Repo-local tooling scripts — a bare anchored cite of one of these is
+    * a reference to OUR tools/, not to the reference repo.
+    */
+  private lazy val toolNames: Set[String] =
+    if (!Files.isDirectory(toolsDir)) Set.empty
+    else Using.resource(Files.list(toolsDir)) {
+      _.iterator().asScala.map(_.getFileName.toString).toSet
+    }
+
+  private def scalaFiles: Seq[Path] =
+    srcRoots.flatMap { root =>
+      Using.resource(Files.walk(root)) {
+        _.iterator().asScala
+          .filter(p => p.toString.endsWith(".scala"))
+          // this spec holds the deliberate phantom fixture + regex examples
+          .filterNot(_.getFileName.toString == "CitationSpec.scala")
+          .toSeq
+      }
+    }.sortBy(_.toString)
+
+  /** All (reference-relative path, optional ":N[-M]" anchor) cites. */
+  private def citesIn(text: String): Seq[(String, Option[String])] = {
+    val prefixed = pathCite.findAllMatchIn(text).map(m =>
+      (s"${m.group(1)}/${m.group(2)}", Option(m.group(3)))).toSeq
+    val bare = bareCite.findAllMatchIn(text).collect {
+      case m if !toolNames.contains(m.group(1)) =>
+        val dir = if (m.group(2) == "py") "dags" else "datawarehouse"
+        (s"$dir/${m.group(1)}", Option(m.group(3)))
+    }.toSeq
+    val top = topLevelCite.findAllMatchIn(text).map(m =>
+      (m.group(1), Option(m.group(2)))).toSeq
+    prefixed ++ bare ++ top
+  }
 
   test("every cited reference file exists and every cited line anchor " +
       "is within the file") {
@@ -53,17 +103,12 @@ class CitationSpec extends AnyFunSuite {
       "/root/reference not mounted on this host")
     val counts = scala.collection.mutable.Map.empty[Path, Long]
     def lineCount(p: Path): Long =
-      counts.getOrElseUpdate(p, Files.lines(p).count())
+      counts.getOrElseUpdate(p, Using.resource(Files.lines(p))(_.count()))
 
     val problems = scala.collection.mutable.ListBuffer.empty[String]
-    for (src <- mainScalaFiles) {
+    for (src <- scalaFiles) {
       val text = Files.readString(src)
-      val cites =
-        pathCite.findAllMatchIn(text).map(m =>
-          (s"${m.group(1)}/${m.group(2)}", Option(m.group(3)))) ++
-        topLevelCite.findAllMatchIn(text).map(m =>
-          (m.group(1), Option(m.group(2))))
-      for ((rel, anchor) <- cites) {
+      for ((rel, anchor) <- citesIn(text)) {
         val target = referenceRoot.resolve(rel)
         if (!Files.isRegularFile(target))
           problems += s"$src cites $rel — no such file in the reference"
@@ -84,25 +129,37 @@ class CitationSpec extends AnyFunSuite {
   test("the corpus of citations is non-trivial (the scan itself works)") {
     assume(Files.isDirectory(referenceRoot),
       "/root/reference not mounted on this host")
-    val total = mainScalaFiles.map { src =>
-      val text = Files.readString(src)
-      pathCite.findAllMatchIn(text).size +
-        topLevelCite.findAllMatchIn(text).size
-    }.sum
-    // ~25 citations exist today; a scan that suddenly finds none means a
-    // regex or path regression in THIS spec, not a cleaned-up codebase
-    assert(total >= 10, s"only $total citations matched — the spec's scan " +
+    val total = scalaFiles.map(src => citesIn(Files.readString(src)).size).sum
+    // ~90 citations exist today (main+test, prefixed+bare+top-level); a
+    // scan that suddenly finds almost none means a regex or path
+    // regression in THIS spec, not a cleaned-up codebase
+    assert(total >= 40, s"only $total citations matched — the spec's scan " +
       "is broken (regex or src path), not the codebase")
   }
 
   test("a phantom citation IS caught (fixture self-check)") {
     // the invariant the spec exists for: a cite of a nonexistent dag file
-    // must match the extraction regex and fail the existence check
-    val phantom = "dags/spark_job_2.py:10-20"
-    val m = pathCite.findFirstMatchIn(phantom)
-    assert(m.isDefined, "extraction regex must match the known phantom form")
+    // must match the extraction regexes and fail the existence check —
+    // in BOTH the prefixed form and the bare anchored form
+    val prefixedPhantom = "dags/spark_job_2.py:10-20"
+    val m = pathCite.findFirstMatchIn(prefixedPhantom)
+    assert(m.isDefined, "pathCite must match the known phantom form")
     val rel = s"${m.get.group(1)}/${m.get.group(2)}"
     assert(!Files.isRegularFile(referenceRoot.resolve(rel)),
       "fixture expects spark_job_2.py to NOT exist in the reference")
+
+    val barePhantom = "see spark_job_3.py:5 for details"
+    val cites = citesIn(barePhantom)
+    assert(cites == Seq(("dags/spark_job_3.py", Some(":5"))),
+      s"bare anchored phantom must extract as a dags/ cite, got $cites")
+  }
+
+  test("bare cites skip repo-local tooling and dotted module paths") {
+    assert(citesIn("validated in merge_bench.py:166 and the spec").isEmpty,
+      "a tools/ script cite is repo-local, not a reference cite")
+    assert(citesIn("import org.apache.spark.sql:12 nonsense").isEmpty,
+      "dotted module paths must not match the bare-cite regex")
+    assert(citesIn("dags/spark_job_1.py:28").size == 1,
+      "a prefixed cite must match exactly once (no bare double-count)")
   }
 }

@@ -51,25 +51,7 @@ class MiniJsonSpec extends AnyFunSuite {
       "field order is part of the driver-contract line shape")
   }
 
-  test("Bench's drain family matches merge_bench.py's DRAIN_FAMILY " +
-      "(cross-language list sync)") {
-    // the Scala side gates the calibration drain; the Python side picks
-    // which anchor ratios get the calib-normalized column — a name in one
-    // but not the other silently mis-triages exactly the queries the
-    // calibration exists for
-    val py = java.nio.file.Files.readString(
-      java.nio.file.Paths.get("tools/merge_bench.py"))
-    val block = py.split("DRAIN_FAMILY = \\(")(1).split("\\)")(0)
-    val pyFamily = "\"(q[A-Za-z0-9_]+)\"".r.findAllMatchIn(block)
-      .map(_.group(1)).toSet
-    assert(pyFamily === Bench.drainCalibFamily,
-      "edit both lists together: Bench.drainCalibFamily and " +
-        "tools/merge_bench.py DRAIN_FAMILY")
-  }
-
-  test("every drain-family name is a registered query") {
-    val unknown = Bench.drainCalibFamily -- SparkEntry.queries.keySet
-    assert(unknown.isEmpty,
-      s"drain family names not in SparkEntry.queries: $unknown")
-  }
+  // the drain-family cross-language sync tests moved to ToolingSyncSpec
+  // in round 19 (they are unrelated to JSON; Bench.scala's scaladoc names
+  // that spec as the pin)
 }

@@ -66,6 +66,23 @@ def main() -> int:
                          "ratios calib-normalized alongside raw")
     args = ap.parse_args()
 
+    # a duplicated run file is never an intentional min-of-N input: the
+    # "min" degenerates to fewer effective runs and (post-dedup by key)
+    # calib_drain_sec_runs entries silently collapse (ADVICE r18)
+    reals = [os.path.realpath(p) for p in args.runs]
+    if len(set(reals)) != len(reals):
+        dupes = sorted({p for p, r in zip(args.runs, reals)
+                        if reals.count(r) > 1})
+        print(f"duplicate run files (same path or same file): {dupes}",
+              file=sys.stderr)
+        return 2
+    # 0 is falsy and a negative floor yields nonsense normalized ratios;
+    # both must fail loudly, not fall into the raw-only branch (ADVICE r18)
+    if args.anchor_calib is not None and not args.anchor_calib > 0:
+        print(f"--anchor-calib must be a positive drain-floor in seconds, "
+              f"got {args.anchor_calib}", file=sys.stderr)
+        return 2
+
     runs = [json.load(open(p)) for p in args.runs]
     if len(runs) < 2:
         print("need >= 2 runs for a min-of-N", file=sys.stderr)

@@ -139,6 +139,29 @@ def main() -> int:
                 "--anchor", f"{d}/nope.json")
         check("absent anchor file exits 0", p.returncode == 0, p.stderr)
 
+        # --- duplicate run inputs rejected (ADVICE r18) -------------------
+        p = run(f"{d}/r0.json", f"{d}/r0.json", "-o", f"{d}/dup.json")
+        check("duplicated run path exits 2", p.returncode == 2,
+              str(p.returncode))
+        check("duplicate rejection writes nothing",
+              not os.path.exists(f"{d}/dup.json"))
+        rel0 = os.path.relpath(f"{d}/r0.json")
+        p = run(f"{d}/r0.json", rel0, "-o", f"{d}/dup.json")
+        check("two spellings of one file exit 2", p.returncode == 2,
+              str(p.returncode))
+
+        # --- non-positive --anchor-calib rejected (ADVICE r18) ------------
+        p = run(f"{d}/d1.json", f"{d}/d2.json", "-o", f"{d}/dup.json",
+                "--anchor", danchor, "--anchor-calib", "0")
+        check("--anchor-calib 0 exits 2", p.returncode == 2,
+              str(p.returncode))
+        p = run(f"{d}/d1.json", f"{d}/d2.json", "-o", f"{d}/dup.json",
+                "--anchor", danchor, "--anchor-calib", "-0.7")
+        check("negative --anchor-calib exits 2", p.returncode == 2,
+              str(p.returncode))
+        check("rejected --anchor-calib writes nothing",
+              not os.path.exists(f"{d}/dup.json"))
+
         # --- pre-existing failure modes ----------------------------------
         p = run(f"{d}/r0.json", "-o", out)
         check("single run exits 2", p.returncode == 2, str(p.returncode))
