@@ -51,17 +51,23 @@ class CitationSpec extends AnyFunSuite {
 
   /** Bare anchored dag / warehouse-sql cite: `spark_job_1.py:28`. The
     * leading guard keeps `dags/x.py:1` matching pathCite only (no double
-    * count) and keeps dotted module paths (`org.apache.spark.sql`) out.
+    * count). `.py` stems may be dotted (a phantom `etl.v2.py:40` must
+    * still be caught — prose module paths never end in a literal `.py`);
+    * `.sql` stems stay dot-free because a dotted-`.sql` token IS a JVM
+    * package path (`org.apache.spark.sql:12` would misfire), and the
+    * reference's three warehouse files are dot-free anyway.
     */
   private val bareCite =
-    """(?<![/A-Za-z0-9_.-])([A-Za-z0-9_-]+\.(py|sql))(:[0-9]+(?:-[0-9]+)?)""".r
+    """(?<![/A-Za-z0-9_.-])(?:([A-Za-z0-9_.-]+\.(py))|([A-Za-z0-9_-]+\.(sql)))(:[0-9]+(?:-[0-9]+)?)""".r
 
   /** Top-level reference files cited by bare name — only with a line
     * anchor (an anchored bare name is how the scaladoc cites them; an
-    * unanchored one could be this repo's own README).
+    * unanchored one could be this repo's own README). Leading guard as
+    * in bareCite: `myDockerfile:3` or a path-prefixed spelling must not
+    * be misattributed to the reference's top-level file.
     */
   private val topLevelCite =
-    """(README\.md|docker-compose\.yaml|Dockerfile)(:[0-9]+(?:-[0-9]+)?)""".r
+    """(?<![/A-Za-z0-9_.-])(README\.md|docker-compose\.yaml|Dockerfile)(:[0-9]+(?:-[0-9]+)?)""".r
 
   /** Repo-local tooling scripts — a bare anchored cite of one of these is
     * a reference to OUR tools/, not to the reference repo.
@@ -87,10 +93,16 @@ class CitationSpec extends AnyFunSuite {
   private def citesIn(text: String): Seq[(String, Option[String])] = {
     val prefixed = pathCite.findAllMatchIn(text).map(m =>
       (s"${m.group(1)}/${m.group(2)}", Option(m.group(3)))).toSeq
-    val bare = bareCite.findAllMatchIn(text).collect {
-      case m if !toolNames.contains(m.group(1)) =>
-        val dir = if (m.group(2) == "py") "dags" else "datawarehouse"
-        (s"$dir/${m.group(1)}", Option(m.group(3)))
+    val bare = bareCite.findAllMatchIn(text).map { m =>
+      // group 1/2 = dotted-ok .py branch, group 3/4 = dot-free .sql branch
+      val (name, ext) =
+        if (m.group(1) != null) (m.group(1), m.group(2))
+        else (m.group(3), m.group(4))
+      (name, ext, Option(m.group(5)))
+    }.collect {
+      case (name, ext, anchor) if !toolNames.contains(name) =>
+        val dir = if (ext == "py") "dags" else "datawarehouse"
+        (s"$dir/$name", anchor)
     }.toSeq
     val top = topLevelCite.findAllMatchIn(text).map(m =>
       (m.group(1), Option(m.group(2)))).toSeq
@@ -152,14 +164,30 @@ class CitationSpec extends AnyFunSuite {
     val cites = citesIn(barePhantom)
     assert(cites == Seq(("dags/spark_job_3.py", Some(":5"))),
       s"bare anchored phantom must extract as a dags/ cite, got $cites")
+
+    // dotted .py stems must not evade extraction (r19 self-review)
+    val dotted = citesIn("per etl.v2.py:40 the batch is keyed")
+    assert(dotted == Seq(("dags/etl.v2.py", Some(":40"))),
+      s"dotted bare .py phantom must extract, got $dotted")
   }
 
   test("bare cites skip repo-local tooling and dotted module paths") {
     assert(citesIn("validated in merge_bench.py:166 and the spec").isEmpty,
       "a tools/ script cite is repo-local, not a reference cite")
     assert(citesIn("import org.apache.spark.sql:12 nonsense").isEmpty,
-      "dotted module paths must not match the bare-cite regex")
+      "dotted package paths must not match the .sql bare-cite branch")
     assert(citesIn("dags/spark_job_1.py:28").size == 1,
       "a prefixed cite must match exactly once (no bare double-count)")
+  }
+
+  test("top-level cites require a clean leading boundary (r19 self-review)") {
+    assert(citesIn("staged via myDockerfile:120 in the harness").isEmpty,
+      "a suffix like myDockerfile must not be read as the reference's " +
+        "Dockerfile")
+    assert(citesIn("see tools/Dockerfile:3 for the image").isEmpty,
+      "a path-prefixed spelling is not the reference's top-level file")
+    assert(citesIn("compare docker-compose.yaml:256-266") ==
+      Seq(("docker-compose.yaml", Some(":256-266"))),
+      "a genuinely bare anchored top-level cite must still extract")
   }
 }
