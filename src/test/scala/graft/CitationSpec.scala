@@ -23,8 +23,10 @@ import scala.util.Using
   *     name is how most scaladoc cites a dag or warehouse file
   *     (`spark_job_1.py:28`); `.py` resolves against `dags/`, `.sql`
   *     against `datawarehouse/`. Names that are files in this repo's
-  *     `tools/` dir are skipped (a `merge_bench.py:166`-style cite is a
-  *     repo-local tooling reference, not a reference-repo one).
+  *     `tools/` dir are repo-local tooling cites (`merge_bench.py:166`),
+  *     validated against `tools/<name>` instead of the reference (round
+  *     20, ADVICE r19 — previously they were skipped unvalidated, so a
+  *     stale anchor could rot silently).
   *   - `README.md:N[-M]`, `docker-compose.yaml:N[-M]`, `Dockerfile:N[-M]`
   *     — bare-name citations with a line anchor are read as the REFERENCE
   *     repo's top-level file (the only way scaladoc uses them); without
@@ -45,9 +47,15 @@ class CitationSpec extends AnyFunSuite {
     Paths.get("src/test/scala"))
   private val toolsDir = Paths.get("tools")
 
-  /** dags/x.py, datawarehouse/x.sql — path is unambiguous on its own. */
+  /** dags/x.py, datawarehouse/x.sql — path is unambiguous on its own.
+    * Leading boundary guard as in bareCite (ADVICE r19): `mydags/x.py:1`
+    * or `old-datawarehouse/q.sql:5` embed the directory name as a
+    * substring but cite something else entirely — matching them would
+    * check a never-made citation against the reference and fail the
+    * suite (or misattribute the cite) for unrelated text.
+    */
   private val pathCite =
-    """(dags|datawarehouse)/([A-Za-z0-9_.-]+\.(?:py|sql))(:[0-9]+(?:-[0-9]+)?)?""".r
+    """(?<![/A-Za-z0-9_.-])(dags|datawarehouse)/([A-Za-z0-9_.-]+\.(?:py|sql))(:[0-9]+(?:-[0-9]+)?)?""".r
 
   /** Bare anchored dag / warehouse-sql cite: `spark_job_1.py:28`. The
     * leading guard keeps `dags/x.py:1` matching pathCite only (no double
@@ -93,21 +101,35 @@ class CitationSpec extends AnyFunSuite {
   private def citesIn(text: String): Seq[(String, Option[String])] = {
     val prefixed = pathCite.findAllMatchIn(text).map(m =>
       (s"${m.group(1)}/${m.group(2)}", Option(m.group(3)))).toSeq
-    val bare = bareCite.findAllMatchIn(text).map { m =>
+    val bare = bareCites(text).collect {
+      case (name, ext, anchor) if !toolNames.contains(name) =>
+        val dir = if (ext == "py") "dags" else "datawarehouse"
+        (s"$dir/$name", anchor)
+    }
+    val top = topLevelCite.findAllMatchIn(text).map(m =>
+      (m.group(1), Option(m.group(2)))).toSeq
+    prefixed ++ bare ++ top
+  }
+
+  private def bareCites(text: String): Seq[(String, String, Option[String])] =
+    bareCite.findAllMatchIn(text).map { m =>
       // group 1/2 = dotted-ok .py branch, group 3/4 = dot-free .sql branch
       val (name, ext) =
         if (m.group(1) != null) (m.group(1), m.group(2))
         else (m.group(3), m.group(4))
       (name, ext, Option(m.group(5)))
-    }.collect {
-      case (name, ext, anchor) if !toolNames.contains(name) =>
-        val dir = if (ext == "py") "dags" else "datawarehouse"
-        (s"$dir/$name", anchor)
     }.toSeq
-    val top = topLevelCite.findAllMatchIn(text).map(m =>
-      (m.group(1), Option(m.group(2)))).toSeq
-    prefixed ++ bare ++ top
-  }
+
+  /** Bare anchored cites of this repo's own `tools/` scripts
+    * (`merge_bench.py:166`). Through round 19 these were dropped
+    * unvalidated, so a stale or phantom anchor in scaladoc could rot
+    * silently (ADVICE r19); now they resolve against `tools/<name>` and
+    * their line anchors are checked there, mirroring the reference check.
+    */
+  private def toolCitesIn(text: String): Seq[(String, Option[String])] =
+    bareCites(text).collect {
+      case (name, _, anchor) if toolNames.contains(name) => (name, anchor)
+    }
 
   test("every cited reference file exists and every cited line anchor " +
       "is within the file") {
@@ -118,20 +140,28 @@ class CitationSpec extends AnyFunSuite {
       counts.getOrElseUpdate(p, Using.resource(Files.lines(p))(_.count()))
 
     val problems = scala.collection.mutable.ListBuffer.empty[String]
+    def checkAnchor(src: Path, label: String, target: Path,
+        anchor: Option[String]): Unit =
+      anchor.foreach { a =>
+        // ":51-56" / ":22" -> the largest line number mentioned
+        val maxLine = a.drop(1).split('-').map(_.toLong).max
+        val n = lineCount(target)
+        if (maxLine > n)
+          problems += s"$src cites $label$a but the file has only $n lines"
+      }
     for (src <- scalaFiles) {
       val text = Files.readString(src)
       for ((rel, anchor) <- citesIn(text)) {
         val target = referenceRoot.resolve(rel)
         if (!Files.isRegularFile(target))
           problems += s"$src cites $rel — no such file in the reference"
-        else anchor.foreach { a =>
-          // ":51-56" / ":22" -> the largest line number mentioned
-          val maxLine = a.drop(1).split('-').map(_.toLong).max
-          val n = lineCount(target)
-          if (maxLine > n)
-            problems += s"$src cites $rel$a but the file has only $n lines"
-        }
+        else checkAnchor(src, rel, target, anchor)
       }
+      // repo-local tooling cites: same line-anchor validation against
+      // tools/<name> (the file exists by construction — toolNames is the
+      // tools/ directory listing)
+      for ((name, anchor) <- toolCitesIn(text))
+        checkAnchor(src, s"tools/$name", toolsDir.resolve(name), anchor)
     }
     assert(problems.isEmpty,
       "phantom reference citations (fix the scaladoc or the regexes " +
@@ -178,6 +208,36 @@ class CitationSpec extends AnyFunSuite {
       "dotted package paths must not match the .sql bare-cite branch")
     assert(citesIn("dags/spark_job_1.py:28").size == 1,
       "a prefixed cite must match exactly once (no bare double-count)")
+  }
+
+  test("tool cites are validated against tools/, not dropped (r19 advice)") {
+    // extraction: a tools/ cite routes to toolCitesIn, never to citesIn
+    assert(toolCitesIn("validated in merge_bench.py:166 and the spec") ==
+      Seq(("merge_bench.py", Some(":166"))),
+      "a tools/ script cite must extract for LOCAL validation")
+    assert(toolCitesIn("see spark_job_1.py:28").isEmpty,
+      "a reference cite must not leak into the tool-cite channel")
+    // validation: a phantom line anchor on a real tools/ file IS caught —
+    // the check the r19 advice asked for (previously skipped entirely)
+    val tool = toolsDir.resolve("merge_bench.py")
+    assume(Files.isRegularFile(tool), "tools/merge_bench.py missing")
+    val lines = Using.resource(Files.lines(tool))(_.count())
+    assert(lines < 9999, "fixture expects merge_bench.py < 9999 lines")
+    val phantom = toolCitesIn("per merge_bench.py:9999 the merge dedups")
+    assert(phantom == Seq(("merge_bench.py", Some(":9999"))) &&
+      9999L > lines,
+      "a stale tools/ anchor must extract and exceed the file's length " +
+        "so the main test reports it")
+  }
+
+  test("pathCite requires a clean leading boundary (r19 advice)") {
+    assert(citesIn("staged under mydags/x.py:1 in the harness").isEmpty,
+      "an embedded 'dags/' substring is not a reference cite")
+    assert(citesIn("kept in old-datawarehouse/q.sql:5 for posterity").isEmpty,
+      "an embedded 'datawarehouse/' substring is not a reference cite")
+    assert(citesIn("(dags/spark_job_1.py:28)") ==
+      Seq(("dags/spark_job_1.py", Some(":28"))),
+      "a genuinely prefixed cite after punctuation must still extract")
   }
 
   test("top-level cites require a clean leading boundary (r19 self-review)") {

@@ -43,4 +43,39 @@ class ToolingSyncSpec extends AnyFunSuite {
     assert(unknown.isEmpty,
       s"drain family names not in SparkEntry.queries: $unknown")
   }
+
+  test("BASELINE_ANCHOR.json's query key set equals SparkEntry.queries " +
+      "(r19 verdict ask #7)") {
+    // Today only merge_bench's exit-3 guard would notice drift between the
+    // anchor and the registry, and only at merge time; this pins it at
+    // test time. Extraction is the same regex Bench.main uses to read the
+    // anchor, so the two readers can't diverge silently either.
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("BASELINE_ANCHOR.json"))
+    val anchorKeys = "\"(q[A-Za-z0-9_]+)\"\\s*:\\s*[0-9.]+".r
+      .findAllMatchIn(txt).map(_.group(1)).toSet
+    val registered = SparkEntry.queries.keySet
+    assert(anchorKeys === registered,
+      s"anchor/registry drift — only in anchor: ${anchorKeys -- registered}" +
+        s"; only in registry: ${registered -- anchorKeys}")
+  }
+
+  test("Bench's loadavg stamp is a parseable 1-min loadavg on Linux") {
+    val v = Bench.loadavg1m()
+    if (java.nio.file.Files.exists(
+        java.nio.file.Paths.get("/proc/loadavg")))
+      assert(v.matches("""\d+\.\d+"""),
+        s"expected a decimal loadavg from /proc/loadavg, got '$v'")
+    else assert(v == "?", s"off-Linux marker must be '?', got '$v'")
+  }
+
+  test("merge_bench.py carries the loadavg field names Bench emits " +
+      "(cross-language field sync)") {
+    val py = java.nio.file.Files.readString(
+      java.nio.file.Paths.get("tools/merge_bench.py"))
+    for (f <- Seq("loadavg_start", "loadavg_finish"))
+      assert(py.contains("\"" + f + "\""),
+        s"tools/merge_bench.py no longer reads '$f' — rename both sides " +
+          "together (Bench.scala emits it)")
+  }
 }

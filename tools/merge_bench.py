@@ -68,11 +68,22 @@ def main() -> int:
 
     # a duplicated run file is never an intentional min-of-N input: the
     # "min" degenerates to fewer effective runs and (post-dedup by key)
-    # calib_drain_sec_runs entries silently collapse (ADVICE r18)
-    reals = [os.path.realpath(p) for p in args.runs]
-    if len(set(reals)) != len(reals):
-        dupes = sorted({p for p, r in zip(args.runs, reals)
-                        if reals.count(r) > 1})
+    # calib_drain_sec_runs entries silently collapse (ADVICE r18).
+    # Identity is (st_dev, st_ino) when the file exists — realpath alone
+    # misses hardlinks / bind mounts to the same inode (ADVICE r19);
+    # realpath remains the fallback key for not-yet-existing paths and
+    # the reported spelling either way.
+    def file_key(p):
+        try:
+            st = os.stat(p)
+            return (st.st_dev, st.st_ino)
+        except OSError:
+            return os.path.realpath(p)
+    keys_ = [file_key(p) for p in args.runs]
+    if len(set(keys_)) != len(keys_):
+        dupes = sorted({os.path.realpath(p)
+                        for p, k in zip(args.runs, keys_)
+                        if keys_.count(k) > 1})
         print(f"duplicate run files (same path or same file): {dupes}",
               file=sys.stderr)
         return 2
@@ -117,12 +128,24 @@ def main() -> int:
     calibs = {k: r["calib_drain_sec"]
               for k, r in zip(keys, runs)
               if valid_calib(r.get("calib_drain_sec"))}
+    # host-posture stamps (round 20, r19 verdict ask #4): each run's
+    # start/finish 1-min loadavg, carried per run so a future triage can
+    # tell "started loaded" from "got loaded" without shell archaeology.
+    # "?" is Bench's off-Linux marker — nothing to carry.
+    loads = {}
+    for k, r in zip(keys, runs):
+        entry = {f[len("loadavg_"):]: r[f]
+                 for f in ("loadavg_start", "loadavg_finish")
+                 if isinstance(r.get(f), str) and r[f] not in ("", "?")}
+        if entry:
+            loads[k] = entry
     out = {
         "metric": "total", "value": total, "unit": "sec",
         "queries": {n: round(v, 3) for n, v in mins.items()},
         "sf": runs[0].get("sf", ""),
         **({"calib_drain_sec": min(calibs.values()),
             "calib_drain_sec_runs": calibs} if calibs else {}),
+        **({"loadavg_runs": loads} if loads else {}),
         "note": args.note or (
             "min-of-%d (run totals %s)" % (
                 len(runs),

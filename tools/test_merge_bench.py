@@ -55,6 +55,23 @@ def main() -> int:
               rec.get("calib_drain_sec_runs") == {"r0.json": 1.5,
                                                   "r1.json": 1.2})
 
+        # --- loadavg carry (round 20, r19 verdict ask #4) ----------------
+        l1 = dict(r1, loadavg_start="3.70", loadavg_finish="1.10")
+        l2 = dict(r2, loadavg_start="?")  # off-Linux marker, no finish
+        json.dump(l1, open(f"{d}/l1.json", "w"))
+        json.dump(l2, open(f"{d}/l2.json", "w"))
+        p = run(f"{d}/l1.json", f"{d}/l2.json", "-o", out, "--anchor", anchor)
+        check("loadavg merge exits 0", p.returncode == 0, p.stderr)
+        rec = json.load(open(out))
+        check("loadavg carried per run, '?' dropped",
+              rec.get("loadavg_runs") ==
+              {"l1.json": {"start": "3.70", "finish": "1.10"}},
+              str(rec.get("loadavg_runs")))
+        p = run(f"{d}/r0.json", f"{d}/r1.json", "-o", out, "--anchor", anchor)
+        rec = json.load(open(out))
+        check("no loadavg field when no run has one",
+              "loadavg_runs" not in rec)
+
         # --- calib absent / invalid: no field, not a crash --------------
         r3 = dict(r1); r3.pop("calib_drain_sec")
         r4 = dict(r2); r4["calib_drain_sec"] = -1.0  # failed-calibration marker
@@ -149,6 +166,18 @@ def main() -> int:
         p = run(f"{d}/r0.json", rel0, "-o", f"{d}/dup.json")
         check("two spellings of one file exit 2", p.returncode == 2,
               str(p.returncode))
+        # hardlinks share an inode but not a realpath (ADVICE r19): the
+        # degenerate min-of-N must still be rejected
+        try:
+            os.link(f"{d}/r0.json", f"{d}/r0_hardlink.json")
+            p = run(f"{d}/r0.json", f"{d}/r0_hardlink.json",
+                    "-o", f"{d}/dup.json")
+            check("hardlinked duplicate exits 2", p.returncode == 2,
+                  str(p.returncode))
+            check("hardlink rejection writes nothing",
+                  not os.path.exists(f"{d}/dup.json"))
+        except OSError as e:
+            print(f"  skip hardlinked duplicate (os.link unsupported: {e})")
 
         # --- non-positive --anchor-calib rejected (ADVICE r18) ------------
         p = run(f"{d}/d1.json", f"{d}/d2.json", "-o", f"{d}/dup.json",
