@@ -48,8 +48,9 @@ class ToolingSyncSpec extends AnyFunSuite {
       "(r19 verdict ask #7)") {
     // Today only merge_bench's exit-3 guard would notice drift between the
     // anchor and the registry, and only at merge time; this pins it at
-    // test time. Extraction is the same regex Bench.main uses to read the
-    // anchor, so the two readers can't diverge silently either.
+    // test time. Key extraction mirrors Bench.main's anchor regex (same
+    // key pattern; Bench additionally captures the value), so the two
+    // readers can't diverge silently either.
     val txt = java.nio.file.Files.readString(
       java.nio.file.Paths.get("BASELINE_ANCHOR.json"))
     val anchorKeys = "\"(q[A-Za-z0-9_]+)\"\\s*:\\s*[0-9.]+".r
