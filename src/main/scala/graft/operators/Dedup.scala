@@ -480,12 +480,15 @@ object Dedup {
       .filter(graft.functions.VectorFunctions.match_fraction(
         col("ga.sig"), col("gb.sig")) >= estCut)
       .select(col("id_1"), col("id_2"))
-    // Stage 2 — exact verify on the survivors only.
-    val sets = postings.groupBy(col("id")).agg(collect_set(col("shingle")).as("set"))
+    // Stage 2 — exact verify on the survivors only (sorted sets +
+    // count-only merge-walk intersection, see [[jaccardPrefixPairs]]).
+    val sets = postings.groupBy(col("id"))
+      .agg(sort_array(collect_set(col("shingle"))).as("set"))
     estimated
       .join(maybeBroadcast(sets.as("sa")), col("id_1") === col("sa.id"))
       .join(maybeBroadcast(sets.as("sb")), col("id_2") === col("sb.id"))
-      .withColumn("i", size(array_intersect(col("sa.set"), col("sb.set"))).cast("double"))
+      .withColumn("i", graft.functions.SetFunctions
+        .sorted_intersect_count(col("sa.set"), col("sb.set")).cast("double"))
       .withColumn("jaccard",
         col("i") / (size(col("sa.set")) + size(col("sb.set")) - col("i")))
       .filter(col("jaccard") >= threshold)
@@ -575,10 +578,18 @@ object Dedup {
     // smallGraphEdges threshold is a downstream append/union landmine
     // drop reflexive (and null-id) pairs BEFORE symmetrizing — see scaladoc
     val properPairs = pairs.filter(col("id_1") =!= col("id_2"))
-    val edges = properPairs.select(
-        col("id_1").cast("long").as("src"), col("id_2").cast("long").as("dst"))
-      .unionByName(properPairs.select(
-        col("id_2").cast("long").as("src"), col("id_1").cast("long").as("dst")))
+    // symmetrize IN-ROW (explode of both orientations), not via a union of
+    // two selects over `pairs`: a union evaluates the pair producer once
+    // PER SIDE, and the producers this feeds (prefix-filtered candidate
+    // verify) are the most expensive stage of the cluster queries — the
+    // r21 profile showed the whole verify pipeline running twice back to
+    // back under the union. Same rows, one evaluation. (r21)
+    val edges = properPairs.select(explode(array(
+        struct(col("id_1").cast("long").as("src"),
+          col("id_2").cast("long").as("dst")),
+        struct(col("id_2").cast("long").as("src"),
+          col("id_1").cast("long").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .localCheckpoint()
     if (edges.count() <= smallGraphEdges) return smallGraphMemberLabels(edges)
     // Propagate over the edge-touching nodes (by construction the only
@@ -792,26 +803,46 @@ object Dedup {
       // for thresholds with short decimal expansions.
       .filter(col("rnk") <=
         col("sz") - ceil(lit(threshold) * col("sz") - lit(1e-9)) + 1)
-      .select(col("id"), col("shingle"))
+      // sz rides along (one long per posting): the candidate join below
+      // applies the PPJoin length filter with ZERO extra joins
+      .select(col("id"), col("shingle"), col("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val cand = prefix.as("a")
+    // PPJoin LENGTH filter (lossless, r21): J(A,B) <= min(|A|,|B|) /
+    // max(|A|,|B|), so J >= t forces min >= t*max. Both prefix sides
+    // already carry their doc's size, so the filter runs right on the
+    // candidate join output — dropping pairs BEFORE the distinct and the
+    // expensive per-pair set attach + intersection (measured sf0.1: 409k
+    // distinct candidates -> 310k after this filter, for 25 final pairs).
+    // The 0.5 slack makes the double product safe for integral sizes:
+    // t*max errs below 0.5 from its exact rational value for any
+    // realistic size, and a false KEEP only costs one verified candidate,
+    // never a lost pair.
+    val sized = prefix.as("a")
       .join(prefix.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .filter(least(col("a.sz"), col("b.sz")).cast("double") >=
+        lit(threshold) * greatest(col("a.sz"), col("b.sz")) - lit(0.5))
       .select(col("a.id").as("id_1"), col("b.id").as("id_2"))
       .distinct()
     // Exact verify via per-doc shingle sets (the same shape as
     // [[minhashNearDup]]'s stage 2): each candidate pair costs one
-    // array_intersect over two in-row arrays. The previous formulation
-    // re-joined both docs' FULL postings per pair — a |cand| x avg_set_size
-    // row explosion through two shuffles before the intersection count
-    // (measured 5.2 s -> 1.9 s for q_jaccard_prefix at sf0.1).
+    // count-only merge walk over two in-row SORTED arrays
+    // ([[graft.functions.SortedIntersectCount]]). The previous formulations,
+    // in order of replacement: re-joining both docs' FULL postings per pair
+    // (a |cand| x avg_set_size explosion through two shuffles — 5.2 s ->
+    // 1.9 s for q_jaccard_prefix at sf0.1 when replaced), then
+    // size(array_intersect(...)), whose per-row hash-set build + boxed
+    // probes + materialized intersection array dominated the verify stage
+    // (r21 profile: ~12 CPU-seconds warm at sf0.1, ~5x that cold).
     def maybeBroadcast(d: DataFrame): DataFrame =
       if (bcastDocs) broadcast(d) else d
-    val sets = sh.groupBy(col("id")).agg(collect_set(col("shingle")).as("set"))
-    cand
+    val sets = sh.groupBy(col("id"))
+      .agg(sort_array(collect_set(col("shingle"))).as("set"))
+    sized
       .join(maybeBroadcast(sets.as("sa")), col("id_1") === col("sa.id"))
       .join(maybeBroadcast(sets.as("sb")), col("id_2") === col("sb.id"))
-      .withColumn("i", size(array_intersect(col("sa.set"), col("sb.set"))).cast("double"))
+      .withColumn("i", graft.functions.SetFunctions
+        .sorted_intersect_count(col("sa.set"), col("sb.set")).cast("double"))
       .withColumn("jaccard",
         col("i") / (size(col("sa.set")) + size(col("sb.set")) - col("i")))
       .filter(col("jaccard") >= threshold)
@@ -851,21 +882,41 @@ object Dedup {
       // [[jaccardPrefixPairs]]'s ceil).
       .filter(col("rnk") <=
         floor(lit(1.0 - threshold) * col("sz") + lit(1e-9)).cast("long") + 1)
-      .select(col("id"), col("shingle"))
+      // sub-side sz rides along so the length filter below needs only the
+      // SUPER side's size attached
+      .select(col("id"), col("shingle"), col("sz"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val cand = prefix.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") =!= col("b.id"))
-      .select(col("a.id").as("sub_id"), col("b.id").as("super_id"))
+      // sub_sz is functionally dependent on sub_id, so the distinct's
+      // cardinality is unchanged by carrying it
+      .select(col("a.id").as("sub_id"), col("a.sz").as("sub_sz"),
+        col("b.id").as("super_id"))
       .distinct()
+    // one-sided length filter (lossless, r21): C(A→B) = |A∩B|/|A| >= t with
+    // |A∩B| <= |B| forces |B| >= t*|A| — one scalar size attach (super
+    // side; the sub size rode the prefix) + filter before the per-pair set
+    // work (same 0.5 double-slack argument as [[jaccardPrefixPairs]]'s
+    // PPJoin length filter).
+    val sized = cand
+      .join(sizes.as("z2"), col("super_id") === col("z2.id"))
+      .filter(col("z2.sz").cast("double") >=
+        lit(threshold) * col("sub_sz") - lit(0.5))
+      .select(col("sub_id"), col("super_id"))
     def maybeBroadcast(d: DataFrame): DataFrame =
       if (bcastDocs) broadcast(d) else d
-    val sets = sh.groupBy(col("id")).agg(collect_set(col("shingle")).as("set"))
-    cand
+    // sorted sets + count-only merge-walk intersection — see
+    // [[jaccardPrefixPairs]]'s verify note for why this beats
+    // size(array_intersect(...)) at candidate volume
+    val sets = sh.groupBy(col("id"))
+      .agg(sort_array(collect_set(col("shingle"))).as("set"))
+    sized
       .join(maybeBroadcast(sets.as("sa")), col("sub_id") === col("sa.id"))
       .join(maybeBroadcast(sets.as("sb")), col("super_id") === col("sb.id"))
       .withColumn("containment",
-        size(array_intersect(col("sa.set"), col("sb.set"))).cast("double")
+        graft.functions.SetFunctions
+          .sorted_intersect_count(col("sa.set"), col("sb.set")).cast("double")
           / size(col("sa.set")))
       .filter(col("containment") >= threshold)
       .select(col("sub_id"), col("super_id"), col("containment"))

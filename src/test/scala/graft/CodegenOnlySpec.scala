@@ -56,7 +56,9 @@ class CodegenOnlySpec extends SparkTestBase {
         TextFunctions.nfc_normalize(col("txt")).as("nfc"),
         ZOrderFunctions.zorder2(col("xi"), col("yi")).as("z"),
         JaroWinklerFunctions.jaro_winkler(col("txt"), lit("hello world")).as("jw"),
-        LevenshteinFunctions.lev_within(col("txt"), lit("hello world"), 3).as("lw")
+        LevenshteinFunctions.lev_within(col("txt"), lit("hello world"), 3).as("lw"),
+        graft.functions.SetFunctions.sorted_intersect_count(
+          sort_array(col("sig")), sort_array(col("sig"))).as("sic")
       ).collect()
       assert(out.length == 2)
       val r = out.find(_.getAs[Double]("cos") > 0.99).get
@@ -65,6 +67,7 @@ class CodegenOnlySpec extends SparkTestBase {
       assert(r.getAs[Double]("mf") == 1.0)
       assert(r.getAs[Long]("ph") > 0)
       assert(r.getAs[Double]("jw") == 1.0)
+      assert(r.getAs[Int]("sic") == 3)
       // the tokenizer Generator (CodegenFallback by design) still plans
       // under CODEGEN_ONLY — the mode gates projections, not generators
       val toks = vecs.select(TextFunctions.tokenize(col("txt"), " "))

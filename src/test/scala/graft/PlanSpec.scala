@@ -1027,7 +1027,14 @@ class PlanSpec extends SparkTestBase {
       // pair/label subtree); one broadcast docs join + one window
       "q_cluster_canonical" -> Budget(0, 0, 1, 0, 1),
       "q_containment" -> Budget(3, 0, 5, 0, 0),
-      "q_containment_prefix" -> Budget(1, 0, 3, 0, 0),
+      // r21: +1 shuffle, +1 broadcast join — the one-sided PPJoin length
+      // filter attaches the SCALAR per-doc size table (|docs| rows of
+      // (id, sz)) to the candidates' super side before the set verify
+      // (the sub size rides the prefix postings); the new exchange is the
+      // size aggregate surfacing under its broadcast (it previously hid
+      // inside the persisted prefix subtree), and it pays for itself by
+      // dropping candidates before the per-pair intersection work
+      "q_containment_prefix" -> Budget(2, 0, 4, 0, 0),
       "q_kn_bigram" -> Budget(10, 0, 3, 1, 0),
       "q_graph_jaccard" -> Budget(8, 2, 14, 5, 0),
       "q_bloom_clean" -> Budget(2, 0, 2, 0, 0),
