@@ -252,7 +252,13 @@ object Ext11Queries {
     * Bloom admission tier ([[RuntimeFilters]]).
     */
   def docPipeline(s: SparkSession, dir: String): DataFrame = {
-    val scored = docsStream(s, dir)
+    // r21: drain isolated onto a child session at a width derived from the
+    // replay input (was: the caller session's batch width) — see
+    // [[graft.streaming.DrainWidth]]
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.DrainWidth.forPath(s, s"$dir/documents.parquet").toString)
+    val scored = docsStream(ss, dir)
       .withColumn("n_tokens", TextAnalysis.tokenCount(col("text")).cast("long"))
       .withColumn("quality", TextAnalysis.qualityScore(col("text")))
       .withColumn("pred_lang", TextAnalysis.langId(col("text")))
@@ -268,7 +274,7 @@ object Ext11Queries {
       .trigger(Trigger.AvailableNow())
       .start()
     graft.streaming.Drain.awaitOrFail(q, "stream drain")
-    s.table(name)
+    ss.table(name)
   }
 
   val docPipelineOracle: String = {

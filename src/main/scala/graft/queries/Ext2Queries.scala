@@ -362,7 +362,11 @@ object Ext2Queries {
     // and the per-call memory view is dropped once the result resolves
     // instead of pinning its rows in the caller's catalog for JVM life
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // drain width sized to the replayed table (r21, was a constant 8) —
+    // 4 join state stores per partition per batch, see
+    // [[graft.streaming.DrainWidth]]
+    ss.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.DrainWidth.forPath(s, s"$dir/events.parquet").toString)
     def side(tpe: String) = StreamQueries.eventsStream(ss, dir)
       .filter(col("event_type") === tpe)
       .select(col("event_id"), col("user_id"), col("ts_t"), col("ts_us"))

@@ -196,7 +196,11 @@ object Ext37Queries {
     // caller's session can't inherit 8 shuffle partitions; the per-drain
     // memory view is dropped once the result resolves
     val ss = s.newSession()
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // drain width sized to the staged replay input (r21, was a constant
+    // 8) — 4 join state stores spin up per partition per batch, see
+    // [[graft.streaming.DrainWidth]]
+    ss.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.DrainWidth.forPath(s, staged).toString)
     val joined = outerJoinStream(ss, staged)
     val name = "stream_outer_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = joined

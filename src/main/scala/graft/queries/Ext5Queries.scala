@@ -249,7 +249,13 @@ object Ext5Queries {
     * stay gated independently).
     */
   def streamSession(s: SparkSession, dir: String): DataFrame = {
-    val agg = StreamQueries.eventsStream(s, dir)
+    // r21: drain isolated onto a child session at a width derived from the
+    // replay input (was: the caller session's batch width) — see
+    // [[graft.streaming.DrainWidth]]
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.DrainWidth.forPath(s, s"$dir/events.parquet").toString)
+    val agg = StreamQueries.eventsStream(ss, dir)
       .withWatermark("ts_t", "1 hour")
       .groupBy(session_window(col("ts_t"), "45 minutes"), col("user_id"))
       .agg(count(lit(1)).as("n"))
@@ -269,8 +275,8 @@ object Ext5Queries {
     // resolve THEN drop the per-call memory view (round-13 fix: each call
     // pinned one UUID-named view + its rows in the session catalog for
     // JVM life; the analyzed plan keeps the sink relation alive)
-    val result = s.table(name)
-    s.catalog.dropTempView(name)
+    val result = ss.table(name)
+    ss.catalog.dropTempView(name)
     result
   }
 

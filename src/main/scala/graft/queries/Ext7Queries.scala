@@ -245,9 +245,15 @@ object Ext7Queries {
     * gated against the batch join.
     */
   def streamStatic(s: SparkSession, dir: String): DataFrame = {
-    val dim = Tables.customer(s, dir)
+    // r21: drain isolated onto a child session at a width derived from the
+    // replay input (was: the caller session's batch width) — see
+    // [[graft.streaming.DrainWidth]]
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.DrainWidth.forPath(s, s"$dir/events.parquet").toString)
+    val dim = Tables.customer(ss, dir)
       .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment"))
-    val agg = StreamQueries.eventsStream(s, dir)
+    val agg = StreamQueries.eventsStream(ss, dir)
       .join(broadcast(dim), Seq("user_id"))
       .groupBy("segment", "event_type")
       .agg(count(lit(1)).as("n"),
@@ -260,7 +266,7 @@ object Ext7Queries {
       .trigger(Trigger.AvailableNow())
       .start()
     graft.streaming.Drain.awaitOrFail(q, "stream drain")
-    s.table(name)
+    ss.table(name)
   }
 
   val streamStaticOracle: String =

@@ -276,7 +276,13 @@ object ExtQueries {
     * the batch-distinct key set.
     */
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
-    val deduped = StreamQueries.eventsStream(s, dir)
+    // r21: drain isolated onto a child session at a width derived from the
+    // replay input (was: the caller session's batch width) — see
+    // [[graft.streaming.DrainWidth]]
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.DrainWidth.forPath(s, s"$dir/events.parquet").toString)
+    val deduped = StreamQueries.eventsStream(ss, dir)
       .withWatermark("ts_t", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
       .select(col("user_id"), col("event_type"))
@@ -291,8 +297,8 @@ object ExtQueries {
     // resolve THEN drop the per-call memory view (round-13 fix: each call
     // pinned one UUID-named view + its rows in the session catalog for
     // JVM life; the analyzed plan keeps the sink relation alive)
-    val result = s.table(name)
-    s.catalog.dropTempView(name)
+    val result = ss.table(name)
+    ss.catalog.dropTempView(name)
     result
   }
 

@@ -102,7 +102,14 @@ object StreamQueries {
     * the drain terminates, so the result equals the batch aggregation.
     */
   def streamTumbling(s: SparkSession, dir: String): DataFrame = {
-    val agg = eventsStream(s, dir)
+    // r21: drain isolated onto a child session at a width derived from the
+    // replay input (was: the caller session's batch width — one state
+    // store per shuffle partition per batch is the bounded drain's floor,
+    // see [[graft.streaming.DrainWidth]])
+    val ss = s.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions",
+      graft.streaming.DrainWidth.forPath(s, s"$dir/events.parquet").toString)
+    val agg = eventsStream(ss, dir)
       .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
@@ -118,10 +125,10 @@ object StreamQueries {
     // resolve THEN drop the per-call memory view (round-13 fix: each call
     // pinned one UUID-named view + its rows in the session catalog for
     // JVM life; the analyzed plan keeps the sink relation alive)
-    val result = s.table(name).select(
+    val result = ss.table(name).select(
       unix_micros(col("window.start")).as("win_start_us"),
       col("event_type"), col("n"), col("sum_value"))
-    s.catalog.dropTempView(name)
+    ss.catalog.dropTempView(name)
     result
   }
 

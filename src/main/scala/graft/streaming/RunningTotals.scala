@@ -65,9 +65,11 @@ object RunningTotals {
     import ss.implicits._
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    // 1 RocksDB store per shuffle partition: narrow the bounded drain so
-    // store spin-up, not data, stops dominating
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // 1 RocksDB store per shuffle partition: size the bounded drain's width
+    // to its replay input (r21, was a constant 8) so store spin-up, not
+    // data, stops dominating — see [[DrainWidth]]
+    ss.conf.set("spark.sql.shuffle.partitions",
+      DrainWidth.forFrame(events).toString)
     // Re-bind the ALREADY-RESOLVED plan: newSession() isolates the
     // temp-view catalog and session UDFs, so re-analyzing the raw logical
     // plan there would fail for a caller DataFrame that references either.

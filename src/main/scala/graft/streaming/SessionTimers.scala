@@ -193,9 +193,11 @@ object SessionTimers {
     ss.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     // 1 RocksDB store per shuffle partition PER BATCH (3 batches here):
-    // narrow the drain so store spin-up, not data, stops dominating (the
-    // production stream sizes partitions to key cardinality instead)
-    ss.conf.set("spark.sql.shuffle.partitions", "8")
+    // size the drain's width to the staged replay input (r21, was a
+    // constant 8) so store spin-up, not data, stops dominating — the
+    // production knob is graft.drain.partitions, see [[DrainWidth]]
+    ss.conf.set("spark.sql.shuffle.partitions",
+      DrainWidth.forPath(s, staged).toString)
     val out = sessionStream(ss, staged, gapUs)
     val name = "tws_sessions_" +
       java.util.UUID.randomUUID().toString.replace("-", "")
