@@ -149,7 +149,7 @@ object Plans {
     val twsDir = graft.util.TempDirs.create("plans-tws").toString
     md.append("\n## q_tws_sessions\n\n")
     md.append(
-      """Timer-emitted streaming sessions: `TransformWithState` in EVENT-TIME mode keyed by user_id — one (start, last, n) triple + one event-time timer per ACTIVE key in RocksDB, bounded by concurrent-session cardinality, not stream length. The 0-second `EventTimeWatermark` sits DIRECTLY over the file source (every landing-zone file advances the clock; far-future sentinel files provide the slack that provably fires the tail timers inside the bounded `AvailableNow` drain). Drain runs on 8 shuffle partitions — one RocksDB store spins up per partition per micro-batch, so store setup, not data, is what the narrow drain bounds; the production stream sizes partitions to key cardinality instead.""")
+      """Timer-emitted streaming sessions: `TransformWithState` in EVENT-TIME mode keyed by user_id — one (start, last, n) triple + one event-time timer per ACTIVE key in RocksDB, bounded by concurrent-session cardinality, not stream length. The 0-second `EventTimeWatermark` sits DIRECTLY over the file source (every landing-zone file advances the clock; far-future sentinel files provide the slack that provably fires the tail timers inside the bounded `AvailableNow` drain). Drain width derives from the replay input's byte size (DrainWidth, r21; graft.drain.partitions overrides) — one RocksDB store spins up per partition per micro-batch, so store setup, not data, is what the narrow drain bounds; the production stream sizes partitions to state volume the same way.""")
     md.append("\n\n```\n== Analyzed Streaming Logical Plan ==\n")
     md.append(graft.streaming.SessionTimers
       .sessionStream(spark, twsDir, 1800000000L)
@@ -159,7 +159,7 @@ object Plans {
     val sojDir = graft.util.TempDirs.create("plans-soj").toString
     md.append("\n## q_stream_outer_join\n\n")
     md.append(
-      """LEFT OUTER stream-stream join: unmatched clicks emit with NULL purchase columns only once the watermark PROVES no in-window purchase can arrive (state eviction drives the null padding, not a recompute). ONE shared watermark node over the source — the per-side type filters sit ABOVE it, so the sentinel rows (which carry the join types themselves, out-of-domain negative keys) advance BOTH sides' clocks before dropping out of the join inputs. The join condition carries the user_id equi-key plus the 1-hour event-time range — exactly what bounds per-side state under the watermark. Drain narrowed to 8 shuffle partitions (4 state stores per partition).""")
+      """LEFT OUTER stream-stream join: unmatched clicks emit with NULL purchase columns only once the watermark PROVES no in-window purchase can arrive (state eviction drives the null padding, not a recompute). ONE shared watermark node over the source — the per-side type filters sit ABOVE it, so the sentinel rows (which carry the join types themselves, out-of-domain negative keys) advance BOTH sides' clocks before dropping out of the join inputs. The join condition carries the user_id equi-key plus the 1-hour event-time range — exactly what bounds per-side state under the watermark. Drain width derives from the staged replay input's byte size (DrainWidth, r21; 4 state stores per partition per batch).""")
     md.append("\n\n```\n== Analyzed Streaming Logical Plan ==\n")
     md.append(graft.queries.Ext37Queries.outerJoinStream(spark, sojDir)
       .queryExecution.analyzed.treeString)

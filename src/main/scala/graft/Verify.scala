@@ -153,6 +153,22 @@ object Verify {
         f"[verify] $done/${selected.size} done, ${(System.nanoTime() - t0) / 1e9}%.0f s")
     }
     pool.shutdown()
+    // r20 flake mitigation (r20 verdict item 2): the sf0.1 Verify JVM once
+    // segfaulted in RocksDB's native stats machinery
+    // (InternalStats::DumpCFMapStatsWriteStall in rocksdbjni) on a native
+    // thread racing JVM shutdown — AFTER all 314 outputs were written and
+    // compared, so no artifact was affected. Make the teardown order
+    // explicit: stop any streaming query still registered on the root
+    // session (the bounded drains stop their own, but a failed drain can
+    // leave one behind), then stop the session, so state-store/RocksDB
+    // teardown runs while the JVM is fully alive instead of inside the
+    // exit sequence.
+    spark.streams.active.foreach { q =>
+      try q.stop()
+      catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[verify] stopping leftover stream failed: $e")
+      }
+    }
     spark.stop()
   }
 }

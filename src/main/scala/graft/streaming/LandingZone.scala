@@ -54,9 +54,11 @@ object LandingZone {
   val DefaultMaxStepBytes: Long = 1L << 30 // 1 GiB
 
   /** Files per staged step used by the built-in drains
-    * ([[SessionTimers.drain]], `Ext37Queries.streamOuterJoin`): matches
-    * their 8 shuffle partitions so the source side feeds state folding at
-    * the same width.
+    * ([[SessionTimers.drain]], `Ext37Queries.streamOuterJoin`): the
+    * source-side read width (k parallel source tasks per batch). Since
+    * r21 the drains' STATE width derives separately from the replay
+    * input's size ([[DrainWidth]]); this staging width stays fixed — it
+    * bounds file count per step, not state-store count.
     */
   val DrainFilesPerStep: Int = 8
 
