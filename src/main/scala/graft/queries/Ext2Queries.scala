@@ -367,6 +367,13 @@ object Ext2Queries {
     // [[graft.streaming.DrainWidth]]
     ss.conf.set("spark.sql.shuffle.partitions",
       graft.streaming.DrainWidth.forPath(s, s"$dir/events.parquet").toString)
+    // bounded replay, INNER join: every output row needs input rows, so the
+    // engine's trailing zero-input micro-batch (state cleanup after the
+    // watermark advance — 4 store spin-ups per partition, zero emissions)
+    // is pure fixed cost; suppress it on this isolated child session only.
+    // A production continuous stream keeps the default. (r22; measured 2
+    // micro-batches -> 1, identical rows — DrainBatchProbe census)
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     def side(tpe: String) = StreamQueries.eventsStream(ss, dir)
       .filter(col("event_type") === tpe)
       .select(col("event_id"), col("user_id"), col("ts_t"), col("ts_us"))

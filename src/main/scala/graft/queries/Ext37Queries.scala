@@ -186,10 +186,20 @@ object Ext37Queries {
       Seq((-1L, -1L, ts, "click"), (-2L, -1L, ts, "purchase"))
         .toDF("event_id", "user_id", "ts_us", "event_type")
     }
-    // sentinels sit 2h+ past the data so the watermark ends up beyond every
-    // click's 1-hour purchase window
-    val staged = LandingZone.stage(ev,
-      Seq(sentinel(maxUs + 7200000000L), sentinel(maxUs + 10800000000L)),
+    // Sentinels sit 2h+ past the data so the watermark ends up beyond every
+    // click's 1-hour purchase window. Sentinel A rides the DATA step (r22):
+    // the watermark published at the end of batch 1 is then already past
+    // every click's join window (maxUs+2h > click_t+1h for every data
+    // click), so batch 2 — sentinel B's step — evicts and null-pads every
+    // unmatched click. Batch 1's own processing is unchanged (the watermark
+    // DURING a batch is the previous batch's, the initial 0 here); the
+    // former data/sentA/sentB layout paid a third file batch plus the
+    // engine's trailing no-data batch for the same flush — measured 4
+    // micro-batches where this layout pays 2, identical rows
+    // (DrainBatchProbe census, r22).
+    val staged = LandingZone.stage(
+      ev.unionByName(sentinel(maxUs + 7200000000L)),
+      Seq(sentinel(maxUs + 10800000000L)),
       filesPerStep = LandingZone.DrainFilesPerStep)
     // Round-13 isolation fix: the narrow-drain partition override runs on
     // an isolated child session so a concurrently planned query on the
@@ -201,6 +211,12 @@ object Ext37Queries {
     // [[graft.streaming.DrainWidth]]
     ss.conf.set("spark.sql.shuffle.partitions",
       graft.streaming.DrainWidth.forPath(s, staged).toString)
+    // bounded replay: the last FILE batch already runs past every join
+    // window (see the staging note), so the engine's trailing zero-input
+    // micro-batch — 4 more store spin-ups per partition that can emit
+    // nothing — is suppressed on this isolated child session only; a
+    // production continuous stream keeps the default
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val joined = outerJoinStream(ss, staged)
     val name = "stream_outer_" + java.util.UUID.randomUUID().toString.replace("-", "")
     val q = joined

@@ -255,6 +255,12 @@ object Ext5Queries {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions",
       graft.streaming.DrainWidth.forPath(s, s"$dir/events.parquet").toString)
+    // bounded replay, COMPLETE mode: every batch rewrites the sink with the
+    // full aggregate, so the engine's trailing zero-input micro-batch would
+    // only re-emit the identical rows; suppressed on this isolated child
+    // session only — a production continuous stream keeps the default (r22,
+    // see the stream_join note)
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val agg = StreamQueries.eventsStream(ss, dir)
       .withWatermark("ts_t", "1 hour")
       .groupBy(session_window(col("ts_t"), "45 minutes"), col("user_id"))

@@ -282,6 +282,12 @@ object ExtQueries {
     val ss = s.newSession()
     ss.conf.set("spark.sql.shuffle.partitions",
       graft.streaming.DrainWidth.forPath(s, s"$dir/events.parquet").toString)
+    // bounded replay: dropDuplicatesWithinWatermark emits each surviving
+    // key on FIRST SIGHT (inside the data batch); the engine's trailing
+    // zero-input micro-batch only evicts state and can emit nothing, so it
+    // is suppressed on this isolated child session only — a production
+    // continuous stream keeps the default (r22, see the stream_join note)
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val deduped = StreamQueries.eventsStream(ss, dir)
       .withWatermark("ts_t", "1 hour")
       .dropDuplicatesWithinWatermark("user_id", "event_type")

@@ -23,7 +23,7 @@ object StreamQueries {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  private[queries] def eventsStream(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // The stream source needs a DECLARED schema; probe the file's physical
     // timestamp encoding with a batch schema read so the declaration matches

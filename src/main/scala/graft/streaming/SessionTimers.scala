@@ -125,13 +125,12 @@ object SessionTimers {
   }
 
   /** Stage `(user_id, ts_us)` rows as a file landing zone — the real events
-    * first, then two far-future sentinel steps — and drain with
-    * `maxFilesPerTrigger` = the per-step file count so the watermark
-    * advances batch-by-batch and every parked session's timer provably
-    * fires before the drain terminates: batch 1 folds the data (k source
-    * tasks, round-15 — no longer a single-task funnel), batch 2
-    * (sentinel A) publishes the data watermark, batch 3 (sentinel B) runs
-    * with watermark >= every `last + gap` timer.
+    * WITH sentinel A merged into the same step (r22), then one far-future
+    * sentinel step — and drain with `maxFilesPerTrigger` = the per-step
+    * file count so every parked session's timer provably fires before the
+    * drain terminates: batch 1 folds the data (k source tasks, round-15 —
+    * no longer a single-task funnel) and publishes sentinel A's watermark,
+    * batch 2 (sentinel B) runs with watermark >= every `last + gap` timer.
     */
   /** The UN-STARTED streaming Dataset over a staged landing zone — exposed
     * so the plan pin (PlanSpec/PLANS.md) can inspect the streaming logical
@@ -167,20 +166,31 @@ object SessionTimers {
     def stage(): String = {
       val maxUs =
         rows.agg(max(col("ts_us"))).as[Option[Long]].first().getOrElse(0L)
+      // Sentinel A rides the DATA step (r22): the watermark published at the
+      // END of batch 1 is then already past every parked session's
+      // last+gap horizon (sentA > maxUs+gap), so batch 2 — sentinel B's
+      // step — runs with it and provably fires every timer. Batch 1's own
+      // processing is unchanged: the watermark DURING a batch is the one
+      // published by the previous batch (the initial 0 here), exactly as in
+      // the former data/sentA/sentB layout, which paid a third file batch
+      // (plus the engine's trailing no-data batch) for the same flush —
+      // measured 4 micro-batches where this layout pays 2, identical rows
+      // (DrainBatchProbe census, r22).
       val sentA = maxUs + gapUs + 3600000000L
       val sentB = sentA + 3600000000L
-      LandingZone.stage(rows,
-        Seq(Seq((SentinelKey, sentA)).toDF("user_id", "ts_us"),
-          Seq((SentinelKey, sentB)).toDF("user_id", "ts_us")),
+      LandingZone.stage(
+        rows.unionByName(Seq((SentinelKey, sentA)).toDF("user_id", "ts_us")),
+        Seq(Seq((SentinelKey, sentB)).toDF("user_id", "ts_us")),
         filesPerStep = LandingZone.DrainFilesPerStep)
     }
     // staged landing zones are replay-only — memoize (revalidated) per
-    // caller key so repeated drains of the same source skip the three
-    // staging write jobs; the layout (files per step) is part of the key
+    // caller key so repeated drains of the same source skip the staging
+    // write jobs; the layout (files per step + merged sentinel A) is part
+    // of the key
     val staged =
       if (cacheKey == null) stage()
       else StagedDirs.getOrStage(
-        s"tws-sessions|$cacheKey|$gapUs|k${LandingZone.DrainFilesPerStep}")(
+        s"tws-sessions|$cacheKey|$gapUs|k${LandingZone.DrainFilesPerStep}|m2")(
         stage())
 
     // Round-13 isolation fix: the provider/partition overrides run on an
@@ -198,6 +208,14 @@ object SessionTimers {
     // production knob is graft.drain.partitions, see [[DrainWidth]]
     ss.conf.set("spark.sql.shuffle.partitions",
       DrainWidth.forPath(s, staged).toString)
+    // Bounded replay: every timer provably fires inside the LAST FILE batch
+    // (sentinel B runs under sentinel A's watermark), so the engine's
+    // trailing zero-input micro-batch — one more IncrementalExecution +
+    // full state-store spin-up that can emit nothing here — is pure fixed
+    // cost; suppress it on this isolated child session only. A production
+    // CONTINUOUS stream keeps the default (no-data batches are how idle
+    // streams evict state on time); a bounded drain has no idle tail.
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val out = sessionStream(ss, staged, gapUs)
     val name = "tws_sessions_" +
       java.util.UUID.randomUUID().toString.replace("-", "")

@@ -274,6 +274,53 @@ class Ext37Spec extends SparkTestBase {
     } finally ss.catalog.dropTempView(name)
   }
 
+  test("round-22: merged-sentinel layout drains in exactly TWO micro-batches " +
+      "with no trailing no-data batch, and still flushes every parked timer") {
+    import org.apache.spark.sql.streaming.Trigger
+    val m = 60000000L
+    val rows = Seq.tabulate(9)(i => ((i % 3).toLong, i * m))
+      .toDF("user_id", "ts_us")
+    val gapUs = 1800000000L
+    val sentKey = Long.MinValue
+    // the drain's r22 layout: sentinel A rides the data step, sentinel B is
+    // its own step — the end-of-batch-1 watermark (sentA) exceeds every
+    // last+gap horizon, so batch 2 fires all timers; noDataMicroBatches
+    // disabled = no third cycle
+    val sentA = 9L * m + gapUs + 3600000000L
+    val sentB = sentA + 3600000000L
+    val k = graft.streaming.LandingZone.DrainFilesPerStep
+    val staged = graft.streaming.LandingZone.stage(
+      rows.unionByName(Seq((sentKey, sentA)).toDF("user_id", "ts_us")),
+      Seq(Seq((sentKey, sentB)).toDF("user_id", "ts_us")),
+      filesPerStep = k)
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    ss.conf.set("spark.sql.shuffle.partitions", "4")
+    ss.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    val out = SessionTimers.sessionStream(ss, staged, gapUs, filesPerStep = k)
+    val name = "r22_merged_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = out.toDF().writeStream.outputMode("append").format("memory")
+      .queryName(name).trigger(Trigger.AvailableNow()).start()
+    graft.streaming.Drain.awaitOrFail(q, "r22_merged")
+    try {
+      val perBatch = q.recentProgress.toSeq.map(_.numInputRows)
+      assert(perBatch == Seq(10L, 1L),
+        s"expected exactly 2 micro-batches (data+sentA, sentB): $perBatch")
+      // all 9 rows folded and FLUSHED: 3 users x 1 session of 3 events
+      val got = ss.table(name)
+        .as[(Long, Long, Long, Long)](org.apache.spark.sql.Encoders
+          .tuple(org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong,
+            org.apache.spark.sql.Encoders.scalaLong))
+        .collect().toSeq
+      assert(got.map(_._4).sum == 9L, s"rows lost: $got")
+      assert(got.size == 3, s"parked sessions not flushed: $got")
+    } finally ss.catalog.dropTempView(name)
+  }
+
   test("round-13: negative user ids are DATA, not sentinels (the old key<0 " +
       "check silently swallowed every signed-hash key's sessions)") {
     val gap = 1000000L
