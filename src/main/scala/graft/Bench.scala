@@ -258,7 +258,6 @@ object Bench {
       // records (r19 verdict ask #4)
       Vector("loadavg_start" -> MiniJson.str(loadavgStart),
         "loadavg_finish" -> MiniJson.str(loadavgFinish))
-    println(MiniJson.obj(fields))
     // Provenance note for the repo-side record (round-16 ask: stop future
     // judges re-deriving which file is the quiet-host floor): run count is
     // implicit (this writer emits SINGLE-PASS runs; min-of-N records come
@@ -270,6 +269,13 @@ object Bench {
     // next after the newest driver artifact present; driver runs land as
     // the round they benchmark). Dev-filtered runs (args given) skip this —
     // a 3-query artifact must not shadow a full one.
+    //
+    // ORDER (r22, r21 verdict ask #4: BENCH_r20 landed rc=0 but
+    // parsed=null — the one-line stdout contract is fragile against
+    // driver-side tail truncation): land the repo-side sidecar FIRST, then
+    // print the stdout line and flush it explicitly, so a cut-off stdout
+    // stream can never leave the round without a complete record. The
+    // stdout line itself is unchanged (same renderer, same fields).
     if (args.isEmpty) {
       val n = Option(new java.io.File(".").listFiles()).toSeq.flatten
         .flatMap(f => "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(f.getName)
@@ -299,6 +305,10 @@ object Bench {
         System.err.println(s"[bench] BENCHLOCAL write failed: ${e.getMessage}")
       }
     }
+    // the driver contract's ONE JSON line — last stdout the program emits,
+    // explicitly flushed (see the ORDER note above)
+    println(MiniJson.obj(fields))
+    System.out.flush()
     spark.stop()
   }
 

@@ -163,6 +163,12 @@ object Verify {
     // leave one behind), then stop the session, so state-store/RocksDB
     // teardown runs while the JVM is fully alive instead of inside the
     // exit sequence.
+    // The bounded drains run on CHILD sessions whose queries the root
+    // session's manager cannot see (StreamingQueryManager is per-session),
+    // so sweep the Drain-level registry first (r21 advice), then the root
+    // session for anything started outside the drain helpers.
+    graft.streaming.Drain.stopLeftovers((_, e) =>
+      System.err.println(s"[verify] stopping leftover drain query failed: $e"))
     spark.streams.active.foreach { q =>
       try q.stop()
       catch { case scala.util.control.NonFatal(e) =>

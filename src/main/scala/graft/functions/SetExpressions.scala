@@ -3,8 +3,9 @@ package graft.functions
 import org.apache.spark.sql.{Column, GraftColumnBridge}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, IntegerType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
 /** Count-only intersection of two SORTED long-array sets.
   *
@@ -35,6 +36,25 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override def dataType: DataType = IntegerType
 
   override def prettyName: String = "sorted_intersect_count"
+
+  // The getLong merge walk reads garbage on any non-long element type —
+  // fail at ANALYSIS time instead (r21 advice). Element NULLABILITY is
+  // deliberately not rejected: a parquet round-trip of a null-free
+  // array<long> column reads back with containsNull=true (a legitimate
+  // production shape), so the null-free half of the contract — like
+  // sortedness — stays a documented data property the producers
+  // (sort_array(collect_set(<long>))) guarantee.
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(dt: DataType): Boolean = dt match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires both inputs to be array<bigint> " +
+        s"(sort_array(collect_set(<long>)) produces exactly that); got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
 
   // null only when a child is null (set arrays are built null-free)
   override def nullable: Boolean = left.nullable || right.nullable

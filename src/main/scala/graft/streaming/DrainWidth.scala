@@ -72,13 +72,20 @@ object DrainWidth {
   }
 
   /** Total data bytes under a local/Hadoop path (recursive; missing or
-    * unstat-able paths count 0 — the drain then just takes the floor). */
+    * unstat-able paths count 0 — the drain then just takes the floor, with
+    * one WARN line so a mistyped or permission-blocked replay path is
+    * distinguishable from a genuinely tiny input — r21 advice). */
   def pathBytes(s: SparkSession, path: String): Long =
     try {
       val p = new org.apache.hadoop.fs.Path(path)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.getContentSummary(p).getLength
-    } catch { case scala.util.control.NonFatal(_) => 0L }
+    } catch { case scala.util.control.NonFatal(e) =>
+      System.err.println(s"[drain-width] stat of '$path' failed " +
+        s"(${e.getClass.getSimpleName}: ${e.getMessage}) -- deriving the " +
+        "floor width from 0 bytes")
+      0L
+    }
 
   /** Derived width for a drain replaying the files under `path`. */
   def forPath(s: SparkSession, path: String): Int =

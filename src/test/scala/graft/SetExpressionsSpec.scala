@@ -56,4 +56,25 @@ class SetExpressionsSpec extends SparkTestBase {
     assert(got(1L) == ((0, 3)))   // empty right -> 0; non-null c == a -> 3
     assert(got(2L) == ((0, null))) // null c -> null
   }
+
+  test("round-22: non-long element arrays are rejected at analysis time " +
+      "(the getLong merge walk would read garbage silently)") {
+    import spark.implicits._
+    val ints = Seq((Array(1, 2), Array(2, 3))).toDF("a", "b")
+    val eInt = intercept[org.apache.spark.sql.AnalysisException] {
+      ints.select(SetFunctions.sorted_intersect_count(col("a"), col("b")))
+        .collect()
+    }
+    assert(eInt.getMessage.contains("sorted_intersect_count"),
+      s"unexpected analysis error: ${eInt.getMessage}")
+    // nullable-ELEMENT array<long> stays accepted: parquet round-trips of
+    // null-free arrays read back containsNull=true (null-freeness is a
+    // documented data property, like sortedness — not a type property)
+    val nullableTyped = Seq((Seq(Some(1L), Some(2L)), Seq(Some(2L))))
+      .toDF("a", "b")
+    val got = nullableTyped
+      .select(SetFunctions.sorted_intersect_count(col("a"), col("b")))
+      .collect().head.getInt(0)
+    assert(got == 1)
+  }
 }
